@@ -138,8 +138,10 @@ def test_propagate_under_vmap():
     parent2 = jnp.stack([s.parent, s.parent])
     level2 = jnp.stack([s.level, s.level])
     out = jax.vmap(lambda l, p, lv: hier.propagate(l, p, lv, 1))(local2, parent2, level2)
-    np.testing.assert_allclose(np.asarray(out.pos[0, b]), [1.0, 1.0, 0.0], atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out.pos[1, b]), [2.0, 2.0, 0.0], atol=1e-5)
+    # set_parent preserved b's global (0,1,0) → local = (-1,1,0); doubling all
+    # locals gives world1: a=(2,0,0), b = (2,0,0)+(-2,2,0) = (0,2,0)
+    np.testing.assert_allclose(np.asarray(out.pos[0, b]), [0.0, 1.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.pos[1, b]), [0.0, 2.0, 0.0], atol=1e-5)
 
 
 def test_names_and_partitions():
