@@ -134,33 +134,32 @@ def ortho_frustum(position, rotation, width, height, near, far):
 def frustum_sphere_visible(frustum: Frustum, centers, radii):
     """Vectorized sphere-vs-frustum: visible iff for every plane,
     dot(n, c) + d >= -r (sphere not fully outside any plane).
-    centers [..., N, 3], radii [..., N] → bool [..., N]."""
-    cx = centers[..., :, 0:1]
-    cy = centers[..., :, 1:2]
-    cz = centers[..., :, 2:3]
-    # [..., N, 8]
+    SoA layout: centers [..., 3, N], radii [..., N] → bool [..., N]."""
+    cx, cy, cz = lm.unstack(centers, -2)
+    # [..., 8, N]
     dist = (
-        cx * frustum.xs[..., None, :]
-        + cy * frustum.ys[..., None, :]
-        + cz * frustum.zs[..., None, :]
-        + frustum.ds[..., None, :]
+        frustum.xs[..., :, None] * cx[..., None, :]
+        + frustum.ys[..., :, None] * cy[..., None, :]
+        + frustum.zs[..., :, None] * cz[..., None, :]
+        + frustum.ds[..., :, None]
     )
-    return jnp.all(dist >= -radii[..., :, None], axis=-1)
+    return jnp.all(dist >= -radii[..., None, :], axis=-2)
 
 
 def frustum_contains_aabb(frustum: Frustum, mins, maxs):
     """Conservative AABB test via the p-vertex: for each plane pick the corner
-    most along the normal; fully-outside if even that corner is outside."""
-    px = jnp.where(frustum.xs[..., None, :] >= 0, maxs[..., :, 0:1], mins[..., :, 0:1])
-    py = jnp.where(frustum.ys[..., None, :] >= 0, maxs[..., :, 1:2], mins[..., :, 1:2])
-    pz = jnp.where(frustum.zs[..., None, :] >= 0, maxs[..., :, 2:3], mins[..., :, 2:3])
-    dist = (
-        px * frustum.xs[..., None, :]
-        + py * frustum.ys[..., None, :]
-        + pz * frustum.zs[..., None, :]
-        + frustum.ds[..., None, :]
-    )
-    return jnp.all(dist >= 0.0, axis=-1)
+    most along the normal; fully-outside if even that corner is outside.
+    SoA layout: mins/maxs [..., 3, N]."""
+    nx = frustum.xs[..., :, None]
+    ny = frustum.ys[..., :, None]
+    nz = frustum.zs[..., :, None]
+    mnx, mny, mnz = (m[..., None, :] for m in lm.unstack(mins, -2))
+    mxx, mxy, mxz = (m[..., None, :] for m in lm.unstack(maxs, -2))
+    px = jnp.where(nx >= 0, mxx, mnx)
+    py = jnp.where(ny >= 0, mxy, mny)
+    pz = jnp.where(nz >= 0, mxz, mnz)
+    dist = px * nx + py * ny + pz * nz + frustum.ds[..., :, None]
+    return jnp.all(dist >= 0.0, axis=-2)
 
 
 def sphere_sphere_overlap(ca, ra, cb, rb):

@@ -105,14 +105,17 @@ class Engine:
         world: World,
         donate: bool = True,
         extra: Optional[Callable[[WorldState, jnp.ndarray], WorldState]] = None,
+        jit: bool = True,
     ) -> Callable[[WorldState, jnp.ndarray], WorldState]:
         """Compose modules' phase methods into one jitted step(state, dt).
 
         Phase order matches EngineImpl::update. ``extra`` (e.g. the render
-        pipeline's cull pass for benches) runs after lateUpdate.
+        pipeline's cull pass for benches) runs after lateUpdate. With
+        ``jit=False`` returns the raw traceable function (for vmap/shard_map
+        lifting by parallel/mesh.py).
         """
         modules = list(world.modules.values())
-        max_depth = world.max_depth
+        level_indices = world.level_indices
 
         def step(state: WorldState, dt) -> WorldState:
             dt = jnp.asarray(dt, jnp.float32)
@@ -124,7 +127,7 @@ class Engine:
                 state = m.update(state, dt)
             # derive globals once (replaces eager transformEntity recursion)
             state = state.replace(
-                world=hier.propagate(state.local, state.parent, state.level, max_depth)
+                world=hier.propagate_indexed(state.local, state.parent, level_indices)
             )
             for m in modules:  # PHASE 3 lateUpdate (≙ engine.cpp:330)
                 state = m.late_update(state, dt)
@@ -132,6 +135,8 @@ class Engine:
                 state = extra(state, dt)
             return state.replace(frame=state.frame + 1, time=state.time + dt)
 
+        if not jit:
+            return step
         if donate:
             return jax.jit(step, donate_argnums=0)
         return jax.jit(step)

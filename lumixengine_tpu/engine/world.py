@@ -83,6 +83,7 @@ class World:
         self._free: List[int] = list(range(n - 1, -1, -1))
         self._count = 0
         self._level = np.zeros(n, np.int32)
+        self._level_indices: List[np.ndarray] = []
         self._max_depth = 0
         self._levels_dirty = False
         # modules attached by Engine.create_world (name -> IModule instance)
@@ -176,13 +177,20 @@ class World:
 
     def _refresh_levels(self) -> None:
         if self._levels_dirty:
-            self._level, self._max_depth = hier.compute_levels_host(self.parent)
+            self._level, self._level_indices = hier.compute_level_indices_host(self.parent)
+            self._max_depth = len(self._level_indices)
             self._levels_dirty = False
 
     @property
     def max_depth(self) -> int:
         self._refresh_levels()
         return self._max_depth
+
+    @property
+    def level_indices(self) -> List[np.ndarray]:
+        """Static per-level slot arrays for ops.hierarchy.propagate_indexed."""
+        self._refresh_levels()
+        return self._level_indices
 
     # -- transforms (host eager path, for scene building / queries) -----------
 
@@ -294,16 +302,19 @@ class World:
     # -- device state bridge ------------------------------------------------------
 
     def device_state(self) -> WorldState:
-        """Snapshot host arrays into the device pytree one jitted step consumes."""
+        """Snapshot host arrays into the device pytree one jitted step consumes.
+
+        Note the layout flip: host arrays are entity-major [N,3] (convenient
+        for per-entity edits); device arrays are component-major [3,N]
+        (TPU lane layout — see core/math.py).
+        """
         self._refresh_levels()
         local = Transform(
-            pos=jnp.asarray(self.local_pos),
-            rot=jnp.asarray(self.local_rot),
-            scale=jnp.asarray(self.local_scale),
+            pos=jnp.asarray(self.local_pos.T.copy()),
+            rot=jnp.asarray(self.local_rot.T.copy()),
+            scale=jnp.asarray(self.local_scale.T.copy()),
         )
-        world = hier.propagate(
-            local, jnp.asarray(self.parent), jnp.asarray(self._level), self._max_depth
-        )
+        world = hier.propagate_indexed(local, jnp.asarray(self.parent), self._level_indices)
         return WorldState(
             alive=jnp.asarray(self.alive),
             parent=jnp.asarray(self.parent),
@@ -318,9 +329,9 @@ class World:
 
     def load_state(self, state: WorldState) -> None:
         """Copy a device snapshot's per-frame fields back to host (save path)."""
-        self.local_pos = np.asarray(state.local.pos)
-        self.local_rot = np.asarray(state.local.rot)
-        self.local_scale = np.asarray(state.local.scale)
+        self.local_pos = np.asarray(state.local.pos).T.copy()
+        self.local_rot = np.asarray(state.local.rot).T.copy()
+        self.local_scale = np.asarray(state.local.scale).T.copy()
         for name, m in self.modules.items():
             if hasattr(m, "load_state") and name in state.modules:
                 m.load_state(state.modules[name])

@@ -1,0 +1,103 @@
+"""Procedural demo scenes — the benchmark configs from BASELINE.md.
+
+The reference ships binary stress maps (demo/maps/{anim_stress_test,
+physics_stress_test, particles, ...}); we can't load .unv worlds, so each config
+is rebuilt procedurally at equivalent scale with the same subsystem mix:
+
+  * headless_demo_world  — ~2k entities, hierarchy + model instances + camera
+                           + lights (≙ "headless demo map tick")
+  * full_frame_world     — 10k entities/world: hierarchy + cull + anim +
+                           physics + particles, vmapped over worlds (the
+                           1e8 entity-steps/sec/chip headline config)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from lumixengine_tpu.core import host_math as hm
+from lumixengine_tpu.engine.engine import Engine
+from lumixengine_tpu.renderer.model import Model, Skeleton, make_humanoid_skeleton
+from lumixengine_tpu.renderer.render_module import RendererSystem
+
+
+def _add_demo_models(renderer: RendererSystem, with_skeletons: bool = True):
+    renderer.add_model(Model(name="cube", bounding_radius=0.87, material_id=1))
+    renderer.add_model(
+        Model(
+            name="rock",
+            bounding_radius=1.5,
+            lod_distances=np.array([20.0, 60.0, 150.0, np.inf], np.float32),
+            material_id=2,
+        )
+    )
+    renderer.add_model(Model(name="tree", bounding_radius=4.0,
+                             lod_distances=np.array([40.0, 120.0, np.inf, np.inf], np.float32),
+                             material_id=3))
+    if with_skeletons:
+        renderer.add_model(
+            Model(name="character", bounding_radius=1.2, material_id=4,
+                  skeleton=make_humanoid_skeleton(32, seed=7))
+        )
+    return renderer
+
+
+def build_engine(**caps):
+    engine = Engine()
+    engine.module_capacities = caps
+    renderer = RendererSystem(engine)
+    _add_demo_models(renderer)
+    engine.add_system(renderer)
+    return engine, renderer
+
+
+def headless_demo_world(
+    num_entities: int = 2048,
+    seed: int = 0,
+    engine: Engine | None = None,
+    hierarchy_fraction: float = 0.35,
+    instance_fraction: float = 0.9,
+):
+    """~2k-entity scene: scattered props, some parented (depth ≤4), one camera,
+    32 point lights. Returns (engine, world, renderer_system)."""
+    rng = np.random.default_rng(seed)
+    if engine is None:
+        engine, renderer = build_engine(model_instances=num_entities)
+    else:
+        renderer = engine.system_manager.get_system("renderer_system")
+    world = engine.create_world(capacity=num_entities)
+
+    cam = world.create_entity(position=(0.0, 5.0, 40.0), name="camera")
+    world.create_component(cam, "camera", fov=np.radians(70.0), near=0.3, far=500.0)
+
+    env = world.create_entity(name="sun")
+    world.create_component(env, "environment", color=(1.0, 0.96, 0.9), intensity=3.0)
+
+    n_lights = min(32, num_entities // 16)
+    for i in range(n_lights):
+        e = world.create_entity(position=rng.uniform(-80, 80, 3).astype(np.float32))
+        world.create_component(e, "point_light", color=rng.uniform(0.2, 1.0, 3),
+                               intensity=rng.uniform(1, 8), range=rng.uniform(5, 25))
+
+    model_names = ["cube", "rock", "tree"]
+    props = []
+    budget = num_entities - world.entity_count
+    for i in range(budget):
+        parent = -1
+        if props and rng.random() < hierarchy_fraction:
+            parent = int(rng.choice(props[-256:]))
+        pos = rng.uniform(-100, 100, 3).astype(np.float32)
+        pos[1] = abs(pos[1]) * 0.1
+        axis = rng.normal(size=3).astype(np.float32)
+        axis /= np.linalg.norm(axis)
+        e = world.create_entity(
+            position=pos,
+            rotation=hm.quat_from_axis_angle(axis, rng.uniform(0, np.pi)),
+            scale=np.full(3, rng.uniform(0.5, 2.0), np.float32),
+        )
+        if parent >= 0:
+            world.set_parent(e, parent)
+            world.set_local_transform(e, position=rng.uniform(-3, 3, 3).astype(np.float32))
+        if rng.random() < instance_fraction:
+            world.create_component(e, "model_instance", model=model_names[int(rng.integers(3))])
+        props.append(e)
+    return engine, world, renderer

@@ -1,0 +1,218 @@
+"""RenderModule + Renderer system (≙ reference renderer/render_module.{h,cpp},
+renderer.cpp).
+
+Reference RenderModule holds the per-world render components (Camera,
+ModelInstance, PointLight, Environment, ParticleEmitter, Terrain, Decal, ...),
+registers movables into the CullingSystem, stores prev-frame transforms at
+endFrame for motion vectors, and ticks particle systems in update. The Renderer
+system owns device resources and frame pacing.
+
+TPU: the Renderer system owns the ModelRegistry/ModelBank (the "GPU resident"
+data); the RenderModule owns SoA component stores + the CullingSystem and
+contributes pure phases: endFrame snapshots prev transforms, update ticks
+particle emitters (renderer/particle_system.py), and the view extraction
+(cull → LOD → sort keys) lives in renderer/pipeline.py.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from lumixengine_tpu.core.transform import Transform
+from lumixengine_tpu.engine.plugin import IModule, ISystem
+from lumixengine_tpu.engine.world import World, WorldState
+from lumixengine_tpu.renderer.culling_system import CullingState, CullingSystem
+from lumixengine_tpu.renderer.model import Model, ModelBank, ModelRegistry
+from lumixengine_tpu.utils.store import DenseStore
+
+
+@struct.dataclass
+class RenderState:
+    culling: CullingState
+    # model instances, slot-parallel with culling store
+    mi_entity: jnp.ndarray      # int32 [K]
+    mi_model: jnp.ndarray       # int32 [K]
+    mi_visible: jnp.ndarray     # bool [K] (output of last cull pass)
+    mi_lod: jnp.ndarray         # int32 [K]
+    prev_pos: jnp.ndarray       # f32 [3,K] prev-frame world pos (motion vectors)
+    prev_rot: jnp.ndarray       # f32 [4,K]
+    # cameras
+    cam_entity: jnp.ndarray     # int32 [C]
+    cam_fov: jnp.ndarray        # f32 [C] vertical fov (radians)
+    cam_near: jnp.ndarray       # f32 [C]
+    cam_far: jnp.ndarray        # f32 [C]
+    cam_aspect: jnp.ndarray     # f32 [C]
+    # point lights
+    pl_entity: jnp.ndarray      # int32 [L]
+    pl_color: jnp.ndarray       # f32 [3,L]
+    pl_intensity: jnp.ndarray   # f32 [L]
+    pl_range: jnp.ndarray       # f32 [L]
+    pl_visible: jnp.ndarray     # bool [L]
+    # environment (directional light)
+    env_entity: jnp.ndarray     # int32 [1]
+    env_color: jnp.ndarray      # f32 [3]
+    env_intensity: jnp.ndarray  # f32 []
+    # particle emitter state is owned by the particle module slice
+    counters: Dict[str, jnp.ndarray]
+
+
+class RenderModule(IModule):
+    name = "renderer"
+
+    def __init__(self, world: World, system: "RendererSystem",
+                 max_model_instances: int = 4096, max_cameras: int = 4,
+                 max_point_lights: int = 256):
+        super().__init__(world, system)
+        self.culling = CullingSystem(max_model_instances)
+        self.model_instances = DenseStore(
+            max_model_instances, {"model": ((), np.int32, -1)}
+        )
+        self.cameras = DenseStore(
+            max_cameras,
+            {
+                "fov": ((), np.float32, np.radians(60.0)),
+                "near": ((), np.float32, 0.1),
+                "far": ((), np.float32, 10000.0),
+                "aspect": ((), np.float32, 16.0 / 9.0),
+            },
+        )
+        self.point_lights = DenseStore(
+            max_point_lights,
+            {
+                "color": ((3,), np.float32, 1.0),
+                "intensity": ((), np.float32, 1.0),
+                "range": ((), np.float32, 10.0),
+            },
+        )
+        self.env_entity = -1
+        self.env_color = np.ones(3, np.float32)
+        self.env_intensity = np.float32(1.0)
+        self.active_camera = -1
+
+    # -- component API ------------------------------------------------------
+
+    def component_types(self):
+        return ["model_instance", "camera", "point_light", "environment"]
+
+    def create_component(self, entity: int, ctype: str, **props):
+        if ctype == "model_instance":
+            model_name = props.get("model")
+            mid = self.system.models.get_id(model_name) if isinstance(model_name, str) else int(model_name)
+            self.model_instances.add(entity, model=mid)
+            radius = self.system.models.get(mid).bounding_radius
+            self.culling.add(entity, radius)
+        elif ctype == "camera":
+            self.cameras.add(entity, **props)
+            if self.active_camera < 0:
+                self.active_camera = entity
+        elif ctype == "point_light":
+            self.point_lights.add(entity, **props)
+        elif ctype == "environment":
+            self.env_entity = entity
+            if "color" in props:
+                self.env_color = np.asarray(props["color"], np.float32)
+            if "intensity" in props:
+                self.env_intensity = np.float32(props["intensity"])
+        else:
+            raise KeyError(ctype)
+
+    def destroy_component(self, entity: int, ctype: str) -> None:
+        if ctype == "model_instance":
+            self.model_instances.remove(entity)
+            self.culling.remove(entity)
+        elif ctype == "camera":
+            self.cameras.remove(entity)
+            if self.active_camera == entity:
+                self.active_camera = -1
+        elif ctype == "point_light":
+            self.point_lights.remove(entity)
+        elif ctype == "environment":
+            self.env_entity = -1
+
+    def set_model(self, entity: int, model_name: str) -> None:
+        mid = self.system.models.get_id(model_name)
+        self.model_instances.set(entity, "model", mid)
+        self.culling.set_radius(entity, self.system.models.get(mid).bounding_radius)
+
+    # -- device state ---------------------------------------------------------
+
+    def device_state(self) -> RenderState:
+        mi = self.model_instances.device()
+        cam = self.cameras.device()
+        pl = self.point_lights.device()
+        k = self.model_instances.capacity
+        return RenderState(
+            culling=self.culling.device_state(),
+            mi_entity=mi["entity"],
+            mi_model=mi["model"],
+            mi_visible=jnp.zeros(k, bool),
+            mi_lod=jnp.zeros(k, jnp.int32),
+            prev_pos=jnp.zeros((3, k), jnp.float32),
+            prev_rot=jnp.zeros((4, k), jnp.float32).at[3, :].set(1.0),
+            cam_entity=cam["entity"],
+            cam_fov=cam["fov"],
+            cam_near=cam["near"],
+            cam_far=cam["far"],
+            cam_aspect=cam["aspect"],
+            pl_entity=pl["entity"],
+            pl_color=pl["color"].T,
+            pl_intensity=pl["intensity"],
+            pl_range=pl["range"],
+            pl_visible=jnp.zeros(self.point_lights.capacity, bool),
+            env_entity=jnp.int32(self.env_entity),
+            env_color=jnp.asarray(self.env_color),
+            env_intensity=jnp.asarray(self.env_intensity),
+            counters={
+                "visible_count": jnp.int32(0),
+                "lights_visible": jnp.int32(0),
+            },
+        )
+
+    # -- phases ---------------------------------------------------------------
+
+    def end_frame(self, state: WorldState, dt) -> WorldState:
+        """Snapshot prev-frame world transforms of model instances for motion
+        vectors (≙ render_module.cpp endFrame prev_frame_transform)."""
+        rs: RenderState = state.modules[self.name]
+        eidx = jnp.maximum(rs.mi_entity, 0)
+        rs = rs.replace(
+            prev_pos=jnp.take(state.world.pos, eidx, axis=-1),
+            prev_rot=jnp.take(state.world.rot, eidx, axis=-1),
+        )
+        return state.replace(modules={**state.modules, self.name: rs})
+
+
+class RendererSystem(ISystem):
+    """≙ renderer.cpp Renderer — owns model resources; frame pacing is the
+    host/device async dispatch (submit next step before blocking on results),
+    replacing the reference's 2-in-flight FrameData + frame thread."""
+
+    name = "renderer_system"
+
+    def __init__(self, engine):
+        super().__init__(engine)
+        self.models = ModelRegistry()
+        self._bank: Optional[ModelBank] = None
+
+    def add_model(self, model: Model) -> int:
+        self._bank = None
+        return self.models.add(model)
+
+    @property
+    def bank(self) -> ModelBank:
+        if self._bank is None:
+            self._bank = self.models.bake()
+        return self._bank
+
+    def create_modules(self, world: World) -> RenderModule:
+        caps = getattr(self.engine, "module_capacities", {})
+        return RenderModule(
+            world,
+            self,
+            max_model_instances=caps.get("model_instances", min(world.capacity, 4096)),
+            max_cameras=caps.get("cameras", 4),
+            max_point_lights=caps.get("point_lights", 256),
+        )

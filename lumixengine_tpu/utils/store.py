@@ -1,0 +1,76 @@
+"""DenseStore — fixed-capacity SoA component store (host tier).
+
+The reference stores components in per-module dense arrays/hashmaps keyed by
+entity (e.g. render_module.cpp m_model_instances). This helper is the host-side
+equivalent used by every module: dense slots with a freelist, an entity column,
+and typed numpy field arrays that snapshot to device arrays.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class DenseStore:
+    def __init__(self, capacity: int, fields: Dict[str, Tuple[Tuple[int, ...], Any, Any]]):
+        """fields: name -> (trailing_shape, dtype, default)."""
+        self.capacity = int(capacity)
+        self.entity = np.full(self.capacity, -1, np.int32)
+        self.data: Dict[str, np.ndarray] = {}
+        self._defaults = {}
+        for name, (shape, dtype, default) in fields.items():
+            arr = np.zeros((self.capacity,) + tuple(shape), dtype)
+            if default is not None:
+                arr[:] = default
+            self.data[name] = arr
+            self._defaults[name] = default
+        self._slot_of: Dict[int, int] = {}
+        self._free = list(range(self.capacity - 1, -1, -1))
+
+    def __len__(self):
+        return len(self._slot_of)
+
+    def __contains__(self, entity: int) -> bool:
+        return entity in self._slot_of
+
+    def add(self, entity: int, **values) -> int:
+        if entity in self._slot_of:
+            raise ValueError(f"entity {entity} already in store")
+        if not self._free:
+            raise RuntimeError(f"component store capacity {self.capacity} exhausted")
+        slot = self._free.pop()
+        self.entity[slot] = entity
+        for name, v in values.items():
+            self.data[name][slot] = v
+        self._slot_of[entity] = slot
+        return slot
+
+    def remove(self, entity: int) -> None:
+        slot = self._slot_of.pop(entity, None)
+        if slot is None:
+            return
+        self.entity[slot] = -1
+        for name, arr in self.data.items():
+            d = self._defaults[name]
+            arr[slot] = d if d is not None else 0
+        self._free.append(slot)
+
+    def slot_of(self, entity: int) -> int:
+        return self._slot_of.get(entity, -1)
+
+    def get(self, entity: int, field: str):
+        return self.data[field][self._slot_of[entity]]
+
+    def set(self, entity: int, field: str, value) -> None:
+        self.data[field][self._slot_of[entity]] = value
+
+    def device(self) -> Dict[str, jnp.ndarray]:
+        out = {"entity": jnp.asarray(self.entity)}
+        for name, arr in self.data.items():
+            out[name] = jnp.asarray(arr)
+        return out
+
+    def mask(self) -> np.ndarray:
+        return self.entity >= 0

@@ -79,33 +79,33 @@ def test_slerp_constant_angular_velocity():
 def test_transform_compose_inverse_roundtrip():
     rng = np.random.default_rng(4)
     t = Transform(
-        pos=jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32)),
-        rot=jnp.asarray(rand_quat(rng, (8,))),
-        scale=jnp.asarray(rng.uniform(0.5, 2.0, size=(8, 3)).astype(np.float32)),
+        pos=jnp.asarray(rng.normal(size=(3, 8)).astype(np.float32)),
+        rot=jnp.asarray(rand_quat(rng, (8,)).T.copy()),
+        scale=jnp.asarray(rng.uniform(0.5, 2.0, size=(3, 8)).astype(np.float32)),
     )
     ident = xf.compose(t, xf.inverse(t))
     np.testing.assert_allclose(ident.pos, 0.0, atol=1e-4)
-    np.testing.assert_allclose(np.abs(ident.rot[..., 3]), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.abs(ident.rot[3, :]), 1.0, atol=1e-5)
     np.testing.assert_allclose(ident.scale, 1.0, atol=1e-5)
 
 
 def test_compute_local_inverts_compose():
     rng = np.random.default_rng(5)
     parent = Transform(
-        pos=jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32)),
-        rot=jnp.asarray(rand_quat(rng, (8,))),
-        scale=jnp.asarray(rng.uniform(0.5, 2.0, size=(8, 3)).astype(np.float32)),
+        pos=jnp.asarray(rng.normal(size=(3, 8)).astype(np.float32)),
+        rot=jnp.asarray(rand_quat(rng, (8,)).T.copy()),
+        scale=jnp.asarray(rng.uniform(0.5, 2.0, size=(3, 8)).astype(np.float32)),
     )
     local = Transform(
-        pos=jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32)),
-        rot=jnp.asarray(rand_quat(rng, (8,))),
-        scale=jnp.asarray(rng.uniform(0.5, 2.0, size=(8, 3)).astype(np.float32)),
+        pos=jnp.asarray(rng.normal(size=(3, 8)).astype(np.float32)),
+        rot=jnp.asarray(rand_quat(rng, (8,)).T.copy()),
+        scale=jnp.asarray(rng.uniform(0.5, 2.0, size=(3, 8)).astype(np.float32)),
     )
     global_t = xf.compose(parent, local)
     recovered = xf.compute_local(parent, global_t)
     np.testing.assert_allclose(recovered.pos, local.pos, atol=1e-4)
     np.testing.assert_allclose(
-        np.abs(np.sum(np.asarray(recovered.rot) * np.asarray(local.rot), axis=-1)), 1.0, atol=1e-5
+        np.abs(np.sum(np.asarray(recovered.rot) * np.asarray(local.rot), axis=-2)), 1.0, atol=1e-5
     )
     np.testing.assert_allclose(recovered.scale, local.scale, atol=1e-4)
 
