@@ -45,7 +45,8 @@ def test_prepare_view_orders_visible_first():
 
 
 def test_lod_selection_by_distance():
-    lod2 = jnp.array([[10.0**2, 30.0**2, 90.0**2, np.inf]])
+    # SoA: lod_dist2 is [4, K] (4 switch distances per instance column)
+    lod2 = jnp.array([[10.0**2], [30.0**2], [90.0**2], [np.inf]])
     d2 = jnp.array([5.0**2, 15.0**2, 50.0**2, 100.0**2])
     lods = pipe.select_lod(d2, jnp.broadcast_to(lod2, (4, 4)))
     np.testing.assert_array_equal(np.asarray(lods), [0, 1, 2, 3])
