@@ -28,15 +28,18 @@ import jax.numpy as jnp
 
 
 def build(args):
+    from lumixengine_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from lumixengine_tpu.models import demo_scenes
     from lumixengine_tpu.renderer import pipeline as pipe
     from lumixengine_tpu.parallel.mesh import replicate_state
 
     engine, world, renderer = demo_scenes.headless_demo_world(num_entities=args.entities)
-    bank = renderer.bank
+    rmod = world.modules["renderer"]
 
     def extra(ws, dt):
-        return pipe.cull_pass(ws, dt, bank)
+        return rmod.cull_pass(ws, dt)
 
     step_raw = engine.build_step(world, extra=extra, jit=False)
     state = world.device_state()

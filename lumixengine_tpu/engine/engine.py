@@ -115,7 +115,14 @@ class Engine:
         lifting by parallel/mesh.py).
         """
         modules = list(world.modules.values())
-        level_indices = world.level_indices
+        for m in modules:  # build trace-time constants on the host, pre-trace
+            m.prepare_statics()
+        # static slot-space plan: contiguous level segments, static parent
+        # positions (see ops/hierarchy.py) — measured fastest on TPU (static
+        # indices compile to cheap gathers; dynamic-index pointer jumping is 6x
+        # slower, masked level scans ~2x)
+        plan = world.plan
+        propagate = lambda st: hier.propagate_plan(st.local, plan)  # noqa: E731
 
         def step(state: WorldState, dt) -> WorldState:
             dt = jnp.asarray(dt, jnp.float32)
@@ -126,9 +133,7 @@ class Engine:
             for m in modules:  # PHASE 2 update (≙ engine.cpp:322)
                 state = m.update(state, dt)
             # derive globals once (replaces eager transformEntity recursion)
-            state = state.replace(
-                world=hier.propagate_indexed(state.local, state.parent, level_indices)
-            )
+            state = state.replace(world=propagate(state))
             for m in modules:  # PHASE 3 lateUpdate (≙ engine.cpp:330)
                 state = m.late_update(state, dt)
             if extra is not None:

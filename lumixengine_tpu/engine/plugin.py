@@ -42,6 +42,11 @@ class IModule:
         """Module's slice of WorldState.modules — any pytree (may be ())."""
         return ()
 
+    def prepare_statics(self) -> None:
+        """Host hook called by Engine.build_step BEFORE tracing: build any
+        trace-time constant tables here (inside a jit trace, fresh constants
+        become tracers and cannot be converted back to numpy)."""
+
     def load_state(self, module_state: Any) -> None:
         """Optional: copy a device snapshot back into host stores."""
 

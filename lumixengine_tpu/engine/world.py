@@ -54,7 +54,9 @@ class WorldState:
     alive: jnp.ndarray          # bool [N]
     parent: jnp.ndarray         # int32 [N], -1 = root / dead
     level: jnp.ndarray          # int32 [N] hierarchy depth (0 = root)
-    archetype: jnp.ndarray      # uint64 [N] component-membership bitmask
+    # NOTE: the archetype bitmask (u64, ≙ reference world.cpp archetypes) is
+    # HOST-tier only: modules carry their own entity columns, and u64 arrays
+    # are pathological on TPU (emulated as u32 pairs; measured compile blowup).
     local: Transform            # [N] local (== global for roots)
     world: Transform            # [N] derived global
     modules: Dict[str, Any]     # per-module state pytrees, keyed by module name
@@ -85,7 +87,13 @@ class World:
         self._level = np.zeros(n, np.int32)
         self._level_indices: List[np.ndarray] = []
         self._max_depth = 0
-        self._levels_dirty = False
+        self._levels_dirty = True  # force initial slot build
+        self._perm = np.arange(n, dtype=np.int32)
+        self._slot_of = np.arange(n, dtype=np.int32)
+        self._slot_level = np.zeros(n, np.int32)
+        self._slot_parent = np.full(n, INVALID_ENTITY, np.int32)
+        self._plan = hier.HierarchyPlan([])
+        self.topology_version = 0
         # modules attached by Engine.create_world (name -> IModule instance)
         self.modules: Dict[str, Any] = {}
         # component type name -> (bit index, module)
@@ -176,10 +184,38 @@ class World:
         return [int(c) for c in np.nonzero(self.parent == e)[0]]
 
     def _refresh_levels(self) -> None:
-        if self._levels_dirty:
-            self._level, self._level_indices = hier.compute_level_indices_host(self.parent)
-            self._max_depth = len(self._level_indices)
-            self._levels_dirty = False
+        if not self._levels_dirty:
+            return
+        self._level, self._level_indices = hier.compute_level_indices_host(self.parent)
+        self._max_depth = len(self._level_indices)
+        self._rebuild_slots()
+        self._levels_dirty = False
+
+    def _rebuild_slots(self) -> None:
+        """Recompute the topo-sorted slot permutation + static propagation plan.
+
+        Device slots are assigned in level order (roots first, then level 1,
+        ...) so hierarchy propagation touches only contiguous segments with
+        static parent positions — see ops/hierarchy.py HierarchyPlan.
+        """
+        n = self.capacity
+        order = np.argsort(self._level, kind="stable").astype(np.int32)  # slot -> entity
+        self._perm = order
+        self._slot_of = np.empty(n, np.int32)
+        self._slot_of[order] = np.arange(n, dtype=np.int32)
+        self._slot_level = self._level[order]
+        # slot-space parent indices (-1 for roots/dead)
+        pe = self.parent[order]
+        self._slot_parent = np.where(pe >= 0, self._slot_of[np.maximum(pe, 0)], -1).astype(np.int32)
+        self.topology_version += 1
+        segments = []
+        for d in range(1, self._max_depth + 1):
+            idx = np.nonzero(self._slot_level == d)[0]
+            if idx.size == 0:
+                continue
+            start, end = int(idx[0]), int(idx[-1]) + 1
+            segments.append((start, end, self._slot_parent[start:end]))
+        self._plan = hier.HierarchyPlan(segments)
 
     @property
     def max_depth(self) -> int:
@@ -188,9 +224,42 @@ class World:
 
     @property
     def level_indices(self) -> List[np.ndarray]:
-        """Static per-level slot arrays for ops.hierarchy.propagate_indexed."""
+        """Static per-level ENTITY-id arrays for ops.hierarchy.propagate_indexed
+        (entity-ordered states; the plan path below is faster)."""
         self._refresh_levels()
         return self._level_indices
+
+    @property
+    def plan(self) -> "hier.HierarchyPlan":
+        """Static propagation plan in topo-sorted slot space."""
+        self._refresh_levels()
+        return self._plan
+
+    def slot(self, e: int) -> int:
+        """Device slot of an entity (device arrays are topo-sorted)."""
+        self._refresh_levels()
+        return int(self._slot_of[e])
+
+    def to_slots(self, entities: np.ndarray) -> np.ndarray:
+        """Translate entity-id arrays (−1 preserved) into device slots — used
+        by module stores when snapshotting their entity columns."""
+        self._refresh_levels()
+        e = np.asarray(entities, np.int32)
+        return np.where(e >= 0, self._slot_of[np.maximum(e, 0)], -1).astype(np.int32)
+
+    def hierarchy_is_uniform_scale(self) -> bool:
+        """True when every entity involved in a parent/child relation has a
+        uniform (isotropic) scale — SRT compose is then associative and the
+        O(log depth) pointer-doubling propagate is exact."""
+        involved = self.parent >= 0
+        parents = self.parent[involved]
+        if parents.size:
+            involved = involved.copy()
+            involved[parents] = True
+        s = self.local_scale[involved]
+        if s.size == 0:
+            return True
+        return bool(np.allclose(s[:, 0:1], s, rtol=0.0, atol=1e-6))
 
     # -- transforms (host eager path, for scene building / queries) -----------
 
@@ -304,22 +373,24 @@ class World:
     def device_state(self) -> WorldState:
         """Snapshot host arrays into the device pytree one jitted step consumes.
 
-        Note the layout flip: host arrays are entity-major [N,3] (convenient
-        for per-entity edits); device arrays are component-major [3,N]
-        (TPU lane layout — see core/math.py).
+        Two layout flips vs host arrays: (1) component-major [3,N] (TPU lane
+        layout, see core/math.py); (2) entity axis in TOPO-SORTED slot order so
+        hierarchy propagation runs on contiguous level segments with a fully
+        static plan. Module stores translate their entity columns to slots via
+        World.to_slots.
         """
         self._refresh_levels()
+        p = self._perm
         local = Transform(
-            pos=jnp.asarray(self.local_pos.T.copy()),
-            rot=jnp.asarray(self.local_rot.T.copy()),
-            scale=jnp.asarray(self.local_scale.T.copy()),
+            pos=jnp.asarray(self.local_pos[p].T.copy()),
+            rot=jnp.asarray(self.local_rot[p].T.copy()),
+            scale=jnp.asarray(self.local_scale[p].T.copy()),
         )
-        world = hier.propagate_indexed(local, jnp.asarray(self.parent), self._level_indices)
+        world = hier.propagate_plan(local, self._plan)
         return WorldState(
-            alive=jnp.asarray(self.alive),
-            parent=jnp.asarray(self.parent),
-            level=jnp.asarray(self._level),
-            archetype=jnp.asarray(self.archetype),
+            alive=jnp.asarray(self.alive[p]),
+            parent=jnp.asarray(self._slot_parent),
+            level=jnp.asarray(self._slot_level),
             local=local,
             world=world,
             modules={name: m.device_state() for name, m in self.modules.items()},
@@ -329,9 +400,11 @@ class World:
 
     def load_state(self, state: WorldState) -> None:
         """Copy a device snapshot's per-frame fields back to host (save path)."""
-        self.local_pos = np.asarray(state.local.pos).T.copy()
-        self.local_rot = np.asarray(state.local.rot).T.copy()
-        self.local_scale = np.asarray(state.local.scale).T.copy()
+        self._refresh_levels()
+        inv = self._slot_of
+        self.local_pos = np.asarray(state.local.pos).T[inv].copy()
+        self.local_rot = np.asarray(state.local.rot).T[inv].copy()
+        self.local_scale = np.asarray(state.local.scale).T[inv].copy()
         for name, m in self.modules.items():
             if hasattr(m, "load_state") and name in state.modules:
                 m.load_state(state.modules[name])

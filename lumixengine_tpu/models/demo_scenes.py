@@ -80,11 +80,16 @@ def headless_demo_world(
 
     model_names = ["cube", "rock", "tree"]
     props = []
+    prop_level = {}
     budget = num_entities - world.entity_count
     for i in range(budget):
         parent = -1
         if props and rng.random() < hierarchy_fraction:
-            parent = int(rng.choice(props[-256:]))
+            cand = int(rng.choice(props[-256:]))
+            # cap hierarchy at depth 4 (typical game scene; keeps the
+            # propagation scan shallow)
+            if prop_level.get(cand, 0) < 3:
+                parent = cand
         pos = rng.uniform(-100, 100, 3).astype(np.float32)
         pos[1] = abs(pos[1]) * 0.1
         axis = rng.normal(size=3).astype(np.float32)
@@ -97,6 +102,7 @@ def headless_demo_world(
         if parent >= 0:
             world.set_parent(e, parent)
             world.set_local_transform(e, position=rng.uniform(-3, 3, 3).astype(np.float32))
+        prop_level[e] = prop_level.get(parent, -1) + 1 if parent >= 0 else 0
         if rng.random() < instance_fraction:
             world.create_component(e, "model_instance", model=model_names[int(rng.integers(3))])
         props.append(e)

@@ -84,6 +84,82 @@ def propagate_indexed(
     return Transform.from_packed(world)
 
 
+class HierarchyPlan:
+    """Static propagation schedule in topo-sorted slot space.
+
+    The World assigns device slots in level order (all roots first, then level
+    1, ...), so each level is a CONTIGUOUS segment and the parents of segment d
+    are known host-side as a static position array into segment d-1. One level
+    then costs: 1 static-index gather (parents) + 1 slice + 1
+    dynamic_update_slice — no scatters, no device-side index data at all.
+    """
+
+    def __init__(self, segments):
+        # segments: list of (start:int, end:int, parent_pos: np.int32[K_d]) for levels 1..D
+        self.segments = [
+            (int(s), int(e), np.asarray(p, np.int32)) for (s, e, p) in segments
+        ]
+
+    def __len__(self):
+        return len(self.segments)
+
+    def __eq__(self, other):
+        return isinstance(other, HierarchyPlan) and len(self.segments) == len(other.segments) and all(
+            s0 == s1 and e0 == e1 and np.array_equal(p0, p1)
+            for (s0, e0, p0), (s1, e1, p1) in zip(self.segments, other.segments)
+        )
+
+
+def propagate_plan(local: Transform, plan: HierarchyPlan) -> Transform:
+    """Fast path: propagate in topo-sorted slot space using a static plan.
+    Roots' globals are their locals; each level composes its contiguous slice
+    with statically-indexed parents."""
+    world = local.packed()  # [..., 10, N]
+    comp_axis = world.ndim - 2
+    for start, end, ppos in plan.segments:
+        if end <= start:
+            continue
+        parent_t = Transform.from_packed(jnp.take(world, jnp.asarray(ppos), axis=-1))
+        local_t = Transform.from_packed(
+            jax.lax.slice_in_dim(world, start, end, axis=world.ndim - 1)
+        )
+        new_packed = xf.compose(parent_t, local_t).packed()
+        world = jax.lax.dynamic_update_slice_in_dim(
+            world, new_packed, start, axis=world.ndim - 1
+        )
+    return Transform.from_packed(world)
+
+
+def propagate_doubling(
+    local: Transform,
+    parent: jnp.ndarray,
+    max_depth: int,
+) -> Transform:
+    """Pointer-jumping path: O(log depth) full-width rounds instead of one pass
+    per level. Each round composes every node with its current ancestor-prefix
+    and doubles the pointer. VALID ONLY for associative composition — SRT
+    compose is associative iff scales are uniform (similarity transforms form a
+    group; non-uniform scale + rotation does not). The World builder detects
+    uniform-scale hierarchies host-side and selects this path.
+    """
+    import math as pymath
+
+    if max_depth <= 0:
+        return local
+    world = local.packed()  # [..., 10, N]
+    ptr = parent
+    # after r rounds each node has composed its 2^r nearest ancestors
+    rounds = max(1, pymath.ceil(pymath.log2(max_depth)))
+    for _ in range(rounds):
+        has = ptr >= 0
+        pid = jnp.maximum(ptr, 0)
+        parent_t = Transform.from_packed(jnp.take(world, pid, axis=-1))
+        composed = xf.compose(parent_t, Transform.from_packed(world)).packed()
+        world = jnp.where(has[..., None, :], composed, world)
+        ptr = jnp.where(has, jnp.take(ptr, pid, axis=-1), ptr)
+    return Transform.from_packed(world)
+
+
 def compute_levels_host(parent) -> Tuple[np.ndarray, int]:
     """Host-side level computation on topology change.
 

@@ -45,8 +45,8 @@ class CullingSystem:
     def set_radius(self, entity: int, radius: float) -> None:
         self.store.set(entity, "radius", np.float32(radius))
 
-    def device_state(self) -> CullingState:
-        d = self.store.device()
+    def device_state(self, world=None) -> CullingState:
+        d = self.store.device(world)
         return CullingState(entity=d["entity"], radius=d["radius"])
 
 

@@ -10,26 +10,31 @@ visibility mask → per-instance LOD (distance² vs baked lod_dist2) → integer
 sort keys (invisible instances get the max key so they compact to the tail) →
 `jnp.argsort` (XLA's sort plays the radix sort's role) → gathered instance
 transform buffer. All arrays use the SoA layout (instance axis minor, see
-core/math.py). The output View is exactly the data a GPU renderer consumes;
-rasterization itself is out of scope on TPU (SURVEY.md §7.9).
+core/math.py).
+
+Performance rule: component membership (which entity slot backs instance k,
+its model id, its cull radius) is STATIC between host edits, so those index
+arrays are baked into the traced step as constants — static-index gathers
+compile ~15x faster code than data-dependent gathers on TPU (measured). The
+step is re-traced when membership changes, exactly like the hierarchy plan.
 
 The fused bench step uses `cull_pass` (visibility + LOD + counters, no sort) —
 draw-order sorting and instance-buffer extraction (`prepare_view`) are the
-render-consumer path, matching BASELINE.md's "full frame" definition
-(transforms + culling + skinning + physics + particles).
+render-consumer path, matching BASELINE.md's "full frame" definition.
 """
 from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
 from lumixengine_tpu.core import geometry as geom
 from lumixengine_tpu.engine.world import WorldState
-from lumixengine_tpu.renderer import culling_system as cullsys
+from lumixengine_tpu.ops import culling as cullops
 from lumixengine_tpu.renderer.model import MAX_LODS, ModelBank
-from lumixengine_tpu.renderer.render_module import RenderState
 
 SORT_DEPTH = 0     # back-to-front depth bucket (transparent)
 SORT_MATERIAL = 1  # material/state bucket (opaque) — ≙ pipeline.cpp sort modes
@@ -51,59 +56,86 @@ class View:
     lights_visible: jnp.ndarray  # bool [L]
 
 
-def camera_frustum(ws: WorldState, rs: RenderState, cam_slot: int) -> geom.Frustum:
+class ViewStatics:
+    """Trace-time constants for one world's render components: slot indices,
+    model ids, cull radii, masks. Rebuilt by the host on membership change."""
+
+    def __init__(self, module):
+        w = module.world
+        bank: ModelBank = module.system.bank
+        self.mi_slots = w.to_slots(module.model_instances.entity)       # [K]
+        self.mi_mask = self.mi_slots >= 0                               # [K]
+        self.mi_model = np.asarray(module.model_instances.data["model"], np.int32)
+        self.radius = np.asarray(module.culling.store.data["radius"], np.float32)
+        mid = np.maximum(self.mi_model, 0)
+        self.lod_dist2 = np.asarray(bank.lod_dist2)[:, mid]             # [4,K]
+        self.material = np.asarray(bank.material_id)[mid]               # [K]
+        self.cam_slots = w.to_slots(module.cameras.entity)              # [C]
+        self.pl_slots = w.to_slots(module.point_lights.entity)          # [L]
+        self.pl_mask = self.pl_slots >= 0
+
+
+def camera_frustum(ws: WorldState, rs, statics: ViewStatics, cam_slot: int) -> geom.Frustum:
     """Build the active camera's frustum from its entity world transform."""
-    e = jnp.maximum(rs.cam_entity[cam_slot], 0)
-    pos = jnp.take(ws.world.pos, e, axis=-1)  # [.., 3]
-    rot = jnp.take(ws.world.rot, e, axis=-1)
+    e = max(int(statics.cam_slots[cam_slot]), 0)
+    pos = ws.world.pos[..., :, e]
+    rot = ws.world.rot[..., :, e]
     return geom.perspective_frustum(
         pos, rot, rs.cam_fov[cam_slot], rs.cam_aspect[cam_slot],
         rs.cam_near[cam_slot], rs.cam_far[cam_slot],
     )
 
 
-def select_lod(dist2: jnp.ndarray, lod_dist2: jnp.ndarray) -> jnp.ndarray:
+def select_lod(dist2: jnp.ndarray, lod_dist2) -> jnp.ndarray:
     """LOD index = number of switch distances passed (≙ model.h getLODMeshIndices).
-    dist2 [..., K], lod_dist2 [..., 4, K] → int32 [..., K]."""
-    return jnp.sum(dist2[..., None, :] > lod_dist2, axis=-2).astype(jnp.int32)
+    dist2 [..., K], lod_dist2 [4, K] → int32 [..., K]."""
+    return jnp.sum(dist2[..., None, :] > jnp.asarray(lod_dist2), axis=-2).astype(jnp.int32)
 
 
-def _cull_and_lod(ws: WorldState, rs: RenderState, bank: ModelBank, cam_slot: int,
+def _cull_and_lod(ws: WorldState, rs, statics: ViewStatics, cam_slot: int,
                   use_pallas: Optional[bool]):
-    frustum = camera_frustum(ws, rs, cam_slot)
-    cam_e = jnp.maximum(rs.cam_entity[cam_slot], 0)
-    cam_pos = jnp.take(ws.world.pos, cam_e, axis=-1)
+    """One fused pass: a single static-index gather (pos|scale) per instance
+    feeds both the sphere cull and the LOD pick."""
+    frustum = camera_frustum(ws, rs, statics, cam_slot)
+    cam_e = max(int(statics.cam_slots[cam_slot]), 0)
+    cam_pos = ws.world.pos[..., :, cam_e]
+
+    eidx = jnp.asarray(np.maximum(statics.mi_slots, 0))
+    packed = jnp.concatenate([ws.world.pos, ws.world.scale], axis=-2)  # [.., 6, N]
+    g = jnp.take(packed, eidx, axis=-1)                                # [.., 6, K]
+    comp = g.ndim - 2
+    ipos = jax.lax.slice_in_dim(g, 0, 3, axis=comp)
+    iscale = jax.lax.slice_in_dim(g, 3, 6, axis=comp)
 
     # 1. cull (≙ CullingSystem::cull via getRenderables)
-    visible = cullsys.cull(rs.culling, ws.world.pos, ws.world.scale, frustum,
-                           use_pallas=use_pallas)
-    eidx = jnp.maximum(rs.mi_entity, 0)
-    alive = jnp.take(ws.alive, eidx, axis=-1) & (rs.mi_entity >= 0)
+    max_scale = jnp.max(jnp.abs(iscale), axis=-2)
+    radii = jnp.asarray(statics.radius) * max_scale
+    visible = cullops.frustum_cull(ipos, radii, frustum, use_pallas=use_pallas)
+    alive = jnp.take(ws.alive, eidx, axis=-1) & jnp.asarray(statics.mi_mask)
     visible = visible & alive
 
     # 2. LOD select by camera distance (≙ pipeline.cpp createSortKeys LOD pick)
-    ipos = jnp.take(ws.world.pos, eidx, axis=-1)  # [.., 3, K]
     d2 = jnp.sum((ipos - cam_pos[..., None]) ** 2, axis=-2)
-    mid = jnp.maximum(rs.mi_model, 0)
-    lod = select_lod(d2, jnp.take(bank.lod_dist2, mid, axis=-1))
-    lod = jnp.minimum(lod, MAX_LODS - 1)
-    return frustum, visible, lod, d2, ipos, eidx, mid
+    lod = jnp.minimum(select_lod(d2, statics.lod_dist2), MAX_LODS - 1)
+    return frustum, visible, lod, d2, ipos, eidx
 
 
 def prepare_view(
     ws: WorldState,
-    rs: RenderState,
-    bank: ModelBank,
+    module,
     cam_slot: int = 0,
     sort_mode: int = SORT_MATERIAL,
     use_pallas: Optional[bool] = None,
+    statics: Optional[ViewStatics] = None,
 ) -> View:
-    frustum, visible, lod, d2, ipos, eidx, mid = _cull_and_lod(
-        ws, rs, bank, cam_slot, use_pallas
+    statics = statics or module.statics()
+    rs = ws.modules[module.name]
+    frustum, visible, lod, d2, ipos, eidx = _cull_and_lod(
+        ws, rs, statics, cam_slot, use_pallas
     )
 
     # 3. sort keys (≙ pipeline.cpp createSortKeys 64-bit keys + radix sort)
-    material = jnp.take(bank.material_id, mid)
+    material = jnp.asarray(statics.material)
     if sort_mode == SORT_MATERIAL:
         key = (material.astype(jnp.uint32) << jnp.uint32(8)) | lod.astype(jnp.uint32)
     else:
@@ -115,6 +147,7 @@ def prepare_view(
     # 4. instance buffer in draw order (≙ createCommands transient instance data)
     irot = jnp.take(ws.world.rot, eidx, axis=-1)
     iscale = jnp.take(ws.world.scale, eidx, axis=-1)
+    model_ids = jnp.where(visible, jnp.asarray(statics.mi_model), -1)
     return View(
         visible=visible,
         lod=lod,
@@ -123,28 +156,29 @@ def prepare_view(
         instance_pos=jnp.take(ipos, order, axis=-1),
         instance_rot=jnp.take(irot, order, axis=-1),
         instance_scale=jnp.take(iscale, order, axis=-1),
-        instance_model=jnp.take(jnp.where(visible, rs.mi_model, -1), order),
+        instance_model=jnp.take(model_ids, order),
         visible_count=jnp.sum(visible).astype(jnp.int32),
-        lights_visible=_cull_lights(ws, rs, frustum),
+        lights_visible=_cull_lights(ws, rs, statics, frustum),
     )
 
 
-def _cull_lights(ws: WorldState, rs: RenderState, frustum: geom.Frustum) -> jnp.ndarray:
-    le = jnp.maximum(rs.pl_entity, 0)
+def _cull_lights(ws: WorldState, rs, statics: ViewStatics, frustum: geom.Frustum) -> jnp.ndarray:
+    le = jnp.asarray(np.maximum(statics.pl_slots, 0))
     centers = jnp.take(ws.world.pos, le, axis=-1)
     vis = geom.frustum_sphere_visible(frustum, centers, rs.pl_range)
-    return vis & (rs.pl_entity >= 0)
+    return vis & jnp.asarray(statics.pl_mask)
 
 
-def cull_pass(ws: WorldState, dt, bank: ModelBank, module_name: str = "renderer",
-              use_pallas: Optional[bool] = None) -> WorldState:
+def cull_pass(ws: WorldState, dt, module, use_pallas: Optional[bool] = None,
+              statics: Optional[ViewStatics] = None) -> WorldState:
     """Fused-step stage: visibility + LOD + light culling + counters for camera
     0, stored back into RenderState. Draw-order sort + instance extraction
     (prepare_view) are left to the render consumer, matching the reference
     where they feed GPU buffers."""
-    rs: RenderState = ws.modules[module_name]
-    frustum, visible, lod, d2, ipos, eidx, mid = _cull_and_lod(ws, rs, bank, 0, use_pallas)
-    lights = _cull_lights(ws, rs, frustum)
+    statics = statics or module.statics()
+    rs = ws.modules[module.name]
+    frustum, visible, lod, d2, ipos, eidx = _cull_and_lod(ws, rs, statics, 0, use_pallas)
+    lights = _cull_lights(ws, rs, statics, frustum)
     rs = rs.replace(
         mi_visible=visible,
         mi_lod=lod,
@@ -155,4 +189,4 @@ def cull_pass(ws: WorldState, dt, bank: ModelBank, module_name: str = "renderer"
             "lights_visible": jnp.sum(lights).astype(jnp.int32),
         },
     )
-    return ws.replace(modules={**ws.modules, module_name: rs})
+    return ws.replace(modules={**ws.modules, module.name: rs})

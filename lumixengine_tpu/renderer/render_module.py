@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -91,13 +92,34 @@ class RenderModule(IModule):
         self.env_color = np.ones(3, np.float32)
         self.env_intensity = np.float32(1.0)
         self.active_camera = -1
+        self._statics = None  # trace-time constants cache (pipeline.ViewStatics)
+        self._statics_version = -1
 
     # -- component API ------------------------------------------------------
 
     def component_types(self):
         return ["model_instance", "camera", "point_light", "environment"]
 
+    def statics(self):
+        """Trace-time constants (slot indices, model ids, radii) — rebuilt on
+        membership change; baked into traced steps for static-index gathers."""
+        self.world._refresh_levels()
+        if self._statics is None or self._statics_version != self.world.topology_version:
+            from lumixengine_tpu.renderer.pipeline import ViewStatics
+
+            self._statics = ViewStatics(self)
+            self._statics_version = self.world.topology_version
+        return self._statics
+
+    def invalidate_statics(self) -> None:
+        self._statics = None
+
+    def prepare_statics(self) -> None:
+        _ = self.system.bank  # bake the model bank outside any trace
+        _ = self.statics()
+
     def create_component(self, entity: int, ctype: str, **props):
+        self.invalidate_statics()
         if ctype == "model_instance":
             model_name = props.get("model")
             mid = self.system.models.get_id(model_name) if isinstance(model_name, str) else int(model_name)
@@ -120,6 +142,7 @@ class RenderModule(IModule):
             raise KeyError(ctype)
 
     def destroy_component(self, entity: int, ctype: str) -> None:
+        self.invalidate_statics()
         if ctype == "model_instance":
             self.model_instances.remove(entity)
             self.culling.remove(entity)
@@ -133,6 +156,7 @@ class RenderModule(IModule):
             self.env_entity = -1
 
     def set_model(self, entity: int, model_name: str) -> None:
+        self.invalidate_statics()
         mid = self.system.models.get_id(model_name)
         self.model_instances.set(entity, "model", mid)
         self.culling.set_radius(entity, self.system.models.get(mid).bounding_radius)
@@ -140,12 +164,13 @@ class RenderModule(IModule):
     # -- device state ---------------------------------------------------------
 
     def device_state(self) -> RenderState:
-        mi = self.model_instances.device()
-        cam = self.cameras.device()
-        pl = self.point_lights.device()
+        w = self.world
+        mi = self.model_instances.device(w)
+        cam = self.cameras.device(w)
+        pl = self.point_lights.device(w)
         k = self.model_instances.capacity
         return RenderState(
-            culling=self.culling.device_state(),
+            culling=self.culling.device_state(w),
             mi_entity=mi["entity"],
             mi_model=mi["model"],
             mi_visible=jnp.zeros(k, bool),
@@ -162,7 +187,7 @@ class RenderModule(IModule):
             pl_intensity=pl["intensity"],
             pl_range=pl["range"],
             pl_visible=jnp.zeros(self.point_lights.capacity, bool),
-            env_entity=jnp.int32(self.env_entity),
+            env_entity=jnp.int32(w.slot(self.env_entity) if self.env_entity >= 0 else -1),
             env_color=jnp.asarray(self.env_color),
             env_intensity=jnp.asarray(self.env_intensity),
             counters={
@@ -175,14 +200,25 @@ class RenderModule(IModule):
 
     def end_frame(self, state: WorldState, dt) -> WorldState:
         """Snapshot prev-frame world transforms of model instances for motion
-        vectors (≙ render_module.cpp endFrame prev_frame_transform)."""
+        vectors (≙ render_module.cpp endFrame prev_frame_transform). Uses
+        STATIC slot indices (membership is host data) — one static-index
+        gather for pos+rot."""
         rs: RenderState = state.modules[self.name]
-        eidx = jnp.maximum(rs.mi_entity, 0)
+        eidx = jnp.asarray(np.maximum(self.statics().mi_slots, 0))
+        packed = jnp.concatenate([state.world.pos, state.world.rot], axis=-2)  # [..,7,N]
+        g = jnp.take(packed, eidx, axis=-1)
+        comp = g.ndim - 2
         rs = rs.replace(
-            prev_pos=jnp.take(state.world.pos, eidx, axis=-1),
-            prev_rot=jnp.take(state.world.rot, eidx, axis=-1),
+            prev_pos=jax.lax.slice_in_dim(g, 0, 3, axis=comp),
+            prev_rot=jax.lax.slice_in_dim(g, 3, 7, axis=comp),
         )
         return state.replace(modules={**state.modules, self.name: rs})
+
+    def cull_pass(self, state: WorldState, dt) -> WorldState:
+        """Convenience: the pipeline's fused cull/LOD pass on camera 0."""
+        from lumixengine_tpu.renderer import pipeline as pipe
+
+        return pipe.cull_pass(state, dt, self, statics=self.statics())
 
 
 class RendererSystem(ISystem):

@@ -66,8 +66,11 @@ class DenseStore:
     def set(self, entity: int, field: str, value) -> None:
         self.data[field][self._slot_of[entity]] = value
 
-    def device(self) -> Dict[str, jnp.ndarray]:
-        out = {"entity": jnp.asarray(self.entity)}
+    def device(self, world=None) -> Dict[str, jnp.ndarray]:
+        """Snapshot to device arrays. When `world` is given, the entity column
+        is translated into the world's topo-sorted device slots."""
+        ent = self.entity if world is None else world.to_slots(self.entity)
+        out = {"entity": jnp.asarray(ent)}
         for name, arr in self.data.items():
             out[name] = jnp.asarray(arr)
         return out

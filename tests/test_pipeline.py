@@ -13,10 +13,10 @@ def build(n=256):
 
 def test_fused_step_runs_and_culls():
     engine, world, renderer = build()
-    bank = renderer.bank
+    rmod = world.modules["renderer"]
 
     def extra(ws, dt):
-        return pipe.cull_pass(ws, dt, bank)
+        return rmod.cull_pass(ws, dt)
 
     step = engine.build_step(world, extra=extra, donate=False)
     state = world.device_state()
@@ -33,7 +33,7 @@ def test_prepare_view_orders_visible_first():
     engine, world, renderer = build()
     state = world.device_state()
     rs = state.modules["renderer"]
-    view = pipe.prepare_view(state, rs, renderer.bank, cam_slot=0)
+    view = pipe.prepare_view(state, world.modules["renderer"], cam_slot=0)
     vis_count = int(view.visible_count)
     ordered_models = np.asarray(view.instance_model)
     # all visible instances come first in draw order, invisible compacted to tail
@@ -65,10 +65,10 @@ def test_prev_frame_transform_snapshot():
 
 def test_step_under_vmap_batches_worlds():
     engine, world, renderer = build(128)
-    bank = renderer.bank
+    rmod = world.modules["renderer"]
 
     def extra(ws, dt):
-        return pipe.cull_pass(ws, dt, bank)
+        return rmod.cull_pass(ws, dt)
 
     step_raw = engine.build_step(world, extra=extra, jit=False)
     state = world.device_state()

@@ -99,12 +99,13 @@ def test_device_propagate_matches_host_chain():
 
     state = w.device_state()
     for e in entities:
+        sl = w.slot(e)  # device arrays are topo-sorted
         host_pos, host_rot, host_scale = w.get_global_transform(e)
-        np.testing.assert_allclose(np.asarray(state.world.pos[:, e]), host_pos, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(state.world.pos[:, sl]), host_pos, atol=1e-4)
         np.testing.assert_allclose(
-            np.abs(np.dot(np.asarray(state.world.rot[:, e]), host_rot)), 1.0, atol=1e-4
+            np.abs(np.dot(np.asarray(state.world.rot[:, sl]), host_rot)), 1.0, atol=1e-4
         )
-        np.testing.assert_allclose(np.asarray(state.world.scale[:, e]), host_scale, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(state.world.scale[:, sl]), host_scale, atol=1e-4)
 
 
 def test_propagate_deep_chain():
@@ -120,7 +121,7 @@ def test_propagate_deep_chain():
         prev = e
         chain.append(e)
     state = w.device_state()
-    np.testing.assert_allclose(np.asarray(state.world.pos[:, chain[-1]]), [30.0, 0.0, 0.0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(state.world.pos[:, w.slot(chain[-1])]), [30.0, 0.0, 0.0], atol=1e-4)
 
 
 def test_propagate_under_vmap():
@@ -138,14 +139,19 @@ def test_propagate_under_vmap():
     parent2 = jnp.stack([s.parent, s.parent])
     level2 = jnp.stack([s.level, s.level])
     out = jax.vmap(lambda l, p, lv: hier.propagate(l, p, lv, 1))(local2, parent2, level2)
+    sb = w.slot(b)
     # set_parent preserved b's global (0,1,0) → local = (-1,1,0); doubling all
     # locals gives world1: a=(2,0,0), b = (2,0,0)+(-2,2,0) = (0,2,0)
-    np.testing.assert_allclose(np.asarray(out.pos[0, :, b]), [0.0, 1.0, 0.0], atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out.pos[1, :, b]), [0.0, 2.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.pos[0, :, sb]), [0.0, 1.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.pos[1, :, sb]), [0.0, 2.0, 0.0], atol=1e-5)
 
-    # the indexed fast path agrees with the masked path
-    out2 = jax.vmap(lambda l, p: hier.propagate_indexed(l, p, w.level_indices))(local2, parent2)
+    # the static-plan fast path agrees with the masked path
+    out2 = jax.vmap(lambda l: hier.propagate_plan(l, w.plan))(local2)
     np.testing.assert_allclose(np.asarray(out2.pos), np.asarray(out.pos), atol=1e-6)
+
+    # and pointer doubling agrees too (uniform scale here → associative)
+    out3 = jax.vmap(lambda l, p: hier.propagate_doubling(l, p, 1))(local2, parent2)
+    np.testing.assert_allclose(np.asarray(out3.pos), np.asarray(out.pos), atol=1e-6)
 
 
 def test_names_and_partitions():
