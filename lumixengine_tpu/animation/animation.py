@@ -121,6 +121,8 @@ class ClipBankStatics:
         self.clip_fps = np.zeros(len(clips), np.float32)
         self.clip_length = np.zeros(len(clips), np.float32)
         self.clip_flags = np.zeros(len(clips), np.int32)
+        self.root_end_pos = np.zeros((len(clips), 3), np.float32)
+        self.root_end_rot = np.tile(np.array([0, 0, 0, 1], np.float32), (len(clips), 1))
         off = 0
         for i, c in enumerate(clips):
             self.clip_offset[i] = off
@@ -195,17 +197,28 @@ class ClipRegistry:
             else:
                 root[3:6, o : o + f] = 0.0
                 root[6, o : o + f] = 1.0
+            statics.root_end_pos[i] = root[0:3, o + f - 1]
+            statics.root_end_rot[i] = root[3:7, o + f - 1]
         bank = ClipBank(table=jnp.asarray(table), root_motion=jnp.asarray(root))
         return bank, statics
 
 
 def make_walk_clip(skeleton, name: str = "walk", frames: int = 31, fps: float = 30.0,
-                   amplitude: float = 0.4, seed: int = 0, flags: int = 0) -> Clip:
+                   amplitude: float = 0.4, seed: int = 0, flags: int = 0,
+                   root_speed: float = 1.2) -> Clip:
     """Procedural looping clip over a Skeleton: bind pose + per-bone sinusoidal
-    swing with random phase (stands in for imported clips in demos/benches)."""
+    swing with random phase (stands in for imported clips in demos/benches).
+    Clips with root-motion flags get linear root travel along -Z at
+    `root_speed` m/s, which the engine extracts as root motion."""
     rng = np.random.default_rng(seed)
     b = skeleton.bone_count
     pos = np.tile(skeleton.bind_pos[None], (frames, 1, 1)).astype(np.float32)
+    if flags & ANY_ROOT_MOTION:
+        travel = np.arange(frames, dtype=np.float32) / fps * root_speed
+        if flags & XZ_ROOT_TRANSLATION:
+            pos[:, 0, 2] -= travel
+        if flags & Y_ROOT_TRANSLATION:
+            pos[:, 0, 1] += 0.05 * np.sin(2 * np.pi * np.arange(frames) / (frames - 1))
     rot = np.zeros((frames, b, 4), np.float32)
     phase = rng.uniform(0, 2 * np.pi, b)
     axes = rng.normal(size=(b, 3)).astype(np.float32)

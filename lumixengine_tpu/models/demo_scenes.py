@@ -41,13 +41,77 @@ def _add_demo_models(renderer: RendererSystem, with_skeletons: bool = True):
     return renderer
 
 
-def build_engine(**caps):
+def build_engine(with_animation: bool = False, **caps):
     engine = Engine()
     engine.module_capacities = caps
     renderer = RendererSystem(engine)
     _add_demo_models(renderer)
     engine.add_system(renderer)
+    if with_animation:
+        from lumixengine_tpu.animation.animation import XZ_ROOT_TRANSLATION, make_walk_clip
+        from lumixengine_tpu.animation.controller import AnimationNode, Blend1D, Controller, Input
+        from lumixengine_tpu.animation.module import AnimationSystem
+
+        anim = AnimationSystem(engine, renderer=renderer)
+        sk = renderer.models.get(renderer.models.get_id("character")).skeleton
+        anim.add_clip(make_walk_clip(sk, "idle", frames=25, fps=24.0, amplitude=0.1, seed=11))
+        anim.add_clip(make_walk_clip(sk, "walk", frames=31, fps=30.0, amplitude=0.4, seed=12,
+                                     flags=XZ_ROOT_TRANSLATION))
+        anim.add_clip(make_walk_clip(sk, "run", frames=21, fps=30.0, amplitude=0.7, seed=13,
+                                     flags=XZ_ROOT_TRANSLATION))
+        # locomotion: blend idle→walk→run by a "speed" input (≙ demo anim ctrl)
+        ctrl = Controller(
+            "locomotion",
+            anim.bank_statics,
+            Blend1D(
+                Input(0),
+                [(0.0, AnimationNode(0)), (1.5, AnimationNode(1)), (4.0, AnimationNode(2))],
+            ),
+            inputs=["speed"],
+        )
+        anim.add_controller(ctrl)
+        engine.add_system(anim)
+        return engine, renderer, anim
     return engine, renderer
+
+
+def skinned_crowd_world(
+    num_characters: int = 256,
+    animator_fraction: float = 0.5,
+    seed: int = 0,
+):
+    """256-character skinned crowd (BASELINE.md config 2): half Animables
+    (looping clips), half Animators (locomotion controller with root motion).
+    Returns (engine, world, renderer, anim)."""
+    rng = np.random.default_rng(seed)
+    engine, renderer, anim = build_engine(
+        with_animation=True,
+        model_instances=num_characters + 8,
+        animables=num_characters,
+        animators=num_characters,
+    )
+    world = engine.create_world(capacity=num_characters + 8)
+    cam = world.create_entity(position=(0.0, 10.0, 60.0), name="camera")
+    world.create_component(cam, "camera", fov=np.radians(70.0), near=0.3, far=500.0)
+    n_animators = int(num_characters * animator_fraction)
+    for i in range(num_characters):
+        e = world.create_entity(
+            position=(rng.uniform(-50, 50), 0.0, rng.uniform(-50, 50)),
+            rotation=hm.quat_from_axis_angle(np.array([0, 1, 0], np.float32),
+                                             rng.uniform(0, 2 * np.pi)),
+        )
+        world.create_component(e, "model_instance", model="character")
+        if i < n_animators:
+            world.create_component(
+                e, "animator", controller="locomotion",
+                inputs={"speed": float(rng.uniform(0.0, 5.0))},
+            )
+        else:
+            world.create_component(
+                e, "animable", clip=["idle", "walk", "run"][int(rng.integers(3))],
+                start_time=float(rng.uniform(0, 1)),
+            )
+    return engine, world, renderer, anim
 
 
 def headless_demo_world(
