@@ -1,0 +1,510 @@
+"""Rigid-body kernels — the XLA-native replacement for PhysX
+(≙ reference src/physics/* which binds PhysX: broadphase SAP/MBP, narrowphase
+PCM/GJK-EPA, PGS solver, islands, sleeping — all black-box prebuilt libs).
+
+TPU pipeline (SURVEY.md §7.6):
+  1. integrate velocities   — semi-implicit Euler + damping
+  2. broadphase             — dense masked all-pairs over the static pair list
+                              (layer-filtered, built host-side; the candidate
+                              *structure* is static, only the overlap mask is
+                              data). A fixed-grid path for 10k+ bodies lands
+                              with the stress config.
+  3. narrowphase            — analytic contacts: sphere-sphere, sphere-box,
+                              box-box (corner-vs-box manifolds, top-k deepest),
+                              anything-vs-ground-plane
+  4. solver                 — projected Jacobi PGS: per-contact normal +
+                              Coulomb friction impulses with Baumgarte bias,
+                              accumulated-impulse clamping, under-relaxation;
+                              impulse scatter-add to bodies is a MATMUL with
+                              the static contact-incidence matrix (MXU), not a
+                              scatter
+  5. integrate positions    — x += v·dt, q += ½ω⊗q·dt, renormalize
+  6. sleeping               — velocity-threshold frame counters
+
+Conventions: SoA layout (body axis minor): pos [3,NB], rot quat [4,NB],
+vel [3,NB], angvel [3,NB] (world space, rad/s). Contact normals point from
+body i toward body j; impulses push the bodies apart.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lumixengine_tpu.core import math as lm
+
+AX = -2  # component axis for [C, N] SoA arrays
+
+SHAPE_SPHERE = 0
+SHAPE_BOX = 1
+SHAPE_CAPSULE = 2
+
+# unit-cube corner signs [3, 8]
+_CORNER_SIGNS = np.array(
+    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], np.float32
+).T
+
+
+def integrate_velocities(vel, angvel, dt, gravity, lin_damping, ang_damping, dyn_mask):
+    """Semi-implicit Euler velocity update (gravity + exponential damping)."""
+    g = jnp.asarray(gravity, jnp.float32)
+    m = dyn_mask[..., None, :] if dyn_mask.ndim == vel.ndim - 1 else dyn_mask
+    v = vel + g[..., :, None] * dt
+    v = v * jnp.exp(-lin_damping * dt)
+    w = angvel * jnp.exp(-ang_damping * dt)
+    return jnp.where(m, v, vel), jnp.where(m, w, angvel)
+
+
+def integrate_positions(pos, rot, vel, angvel, dt, dyn_mask):
+    """x += v·dt; q += ½·(ω⊗q)·dt, renormalized."""
+    m = dyn_mask[..., None, :]
+    new_pos = pos + vel * dt
+    wx, wy, wz = lm.unstack(angvel, AX)
+    zero = jnp.zeros_like(wx)
+    wq = jnp.stack([wx, wy, wz, zero], axis=AX)
+    dq = lm.quat_mul(wq, rot, axis=AX) * (0.5 * dt)
+    new_rot = lm.quat_normalize(rot + dq, axis=AX)
+    return jnp.where(m, new_pos, pos), jnp.where(m, new_rot, rot)
+
+
+def box_corners(pos, rot, half_extents):
+    """World-space box corners: [.., 3, 8, NB]."""
+    he = half_extents[..., :, None, :]  # [..,3,1,NB]
+    local = he * jnp.asarray(_CORNER_SIGNS)[:, :, None]  # [..,3,8,NB]
+    return pos[..., :, None, :] + lm.quat_rotate(rot[..., :, None, :], local, axis=-3)
+
+
+def world_aabb(pos, rot, shape, radius, half_extents):
+    """Conservative world AABB per body → (mins [3,NB], maxs [3,NB])."""
+    # box: |R|·he via quat→3 column magnitudes; sphere: radius
+    ex = jnp.abs(lm.quat_rotate(rot, jnp.stack([half_extents[..., 0, :], jnp.zeros_like(radius), jnp.zeros_like(radius)], axis=AX), axis=AX))
+    ey = jnp.abs(lm.quat_rotate(rot, jnp.stack([jnp.zeros_like(radius), half_extents[..., 1, :], jnp.zeros_like(radius)], axis=AX), axis=AX))
+    ez = jnp.abs(lm.quat_rotate(rot, jnp.stack([jnp.zeros_like(radius), jnp.zeros_like(radius), half_extents[..., 2, :]], axis=AX), axis=AX))
+    box_ext = ex + ey + ez
+    r = radius[..., None, :]
+    ext = jnp.where((shape == SHAPE_BOX)[..., None, :], box_ext, jnp.broadcast_to(r, box_ext.shape))
+    return pos - ext, pos + ext
+
+
+class Contacts(NamedTuple):
+    """Dense contact slots; everything is [.., C] or [.., 3, C]. body_a/b are
+    STATIC arrays (host-built slot structure); masks/geometry are data.
+    body_b == -1 means contact vs the static environment."""
+
+    body_a: np.ndarray     # int32 [C] (static)
+    body_b: np.ndarray     # int32 [C] (static; -1 = world)
+    point: jnp.ndarray     # f32 [.., 3, C]
+    normal: jnp.ndarray    # f32 [.., 3, C] (a → b)
+    depth: jnp.ndarray     # f32 [.., C] penetration (>0 = penetrating)
+    active: jnp.ndarray    # bool [.., C]
+
+
+def ground_contacts(pos, rot, shape, radius, half_extents, dyn_mask,
+                    ground_y: float = 0.0, slots_per_body: int = 4):
+    """Contacts of every dynamic body vs the ground plane y=ground_y
+    (normal +Y). Boxes contribute their `slots_per_body` deepest corners,
+    spheres their lowest point."""
+    nb = pos.shape[-1]
+    k = slots_per_body
+    corners = box_corners(pos, rot, half_extents)         # [..,3,8,NB]
+    c_depth = ground_y - corners[..., 1, :, :]            # [..,8,NB] penetration per corner
+    top_d, top_i = jax.lax.top_k(jnp.moveaxis(c_depth, -2, -1), k)  # [..,NB,k]
+    # gather corner positions for the top-k corners
+    ci = jnp.moveaxis(top_i, -1, -2)                      # [..,k,NB]
+    cx = jnp.take_along_axis(corners[..., 0, :, :], ci, axis=-2)
+    cy = jnp.take_along_axis(corners[..., 1, :, :], ci, axis=-2)
+    cz = jnp.take_along_axis(corners[..., 2, :, :], ci, axis=-2)
+    box_pts = jnp.stack([cx, cy, cz], axis=-3)            # [..,3,k,NB]
+    box_dep = jnp.moveaxis(top_d, -1, -2)                 # [..,k,NB]
+
+    sph_low = pos - jnp.stack(
+        [jnp.zeros_like(radius), radius, jnp.zeros_like(radius)], axis=AX
+    )
+    sph_dep = ground_y - sph_low[..., 1, :]
+    is_box = (shape == SHAPE_BOX)
+    pts = jnp.where(is_box[..., None, None, :], box_pts,
+                    jnp.concatenate([sph_low[..., :, None, :],
+                                     jnp.zeros(sph_low.shape[:-1] + (k - 1, nb))], axis=-2))
+    dep = jnp.where(is_box[..., None, :], box_dep,
+                    jnp.concatenate([sph_dep[..., None, :],
+                                     jnp.full(sph_dep.shape[:-1] + (k - 1, nb), -1.0)], axis=-2))
+    c = k * nb
+    point = pts.reshape(pts.shape[:-2] + (c,))
+    depth = dep.reshape(dep.shape[:-2] + (c,))
+    # normal a → b(world): ground pushes a up (+Y), so a→b points down (-Y)
+    normal = jnp.zeros(point.shape).at[..., 1, :].set(-1.0)
+    # slot layout is [k, NB] flattened → body index varies fastest along NB
+    body_a = np.tile(np.arange(nb, dtype=np.int32), k)
+    active = (depth > 0.0) & dyn_mask[..., body_a]
+    return Contacts(
+        body_a=body_a,
+        body_b=np.full(k * nb, -1, np.int32),
+        point=point,
+        normal=normal,
+        depth=depth,
+        active=active,
+    )
+
+
+def _sphere_sphere(pa, ra, pb, rb):
+    d = pb - pa
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=AX), 1e-12))
+    n = d / dist[..., None, :]
+    depth = (ra + rb) - dist
+    point = pa + n * ra[..., None, :]  # on a's surface
+    return point, n, depth
+
+
+def _point_in_box_depth(points, box_pos, box_rot, he):
+    """Deepest-axis penetration of points into a box.
+    points [..,3,K], box arrays [..,3/4,K] → (depth [..,K], normal [..,3,K] in
+    world space pointing OUT of the box, clamped surface point [..,3,K])."""
+    inv_rot = lm.quat_conjugate(box_rot, axis=AX)
+    local = lm.quat_rotate(inv_rot, points - box_pos, axis=AX)  # [..,3,K]
+    d = he - jnp.abs(local)  # distance to each face pair (positive inside)
+    depth = jnp.min(d, axis=AX)
+    axis = jnp.argmin(d, axis=AX)  # 0/1/2
+    sign = jnp.sign(jnp.take_along_axis(local, axis[..., None, :], axis=AX))[..., 0, :]
+    # one-hot face normal in box space
+    ax0 = (axis == 0).astype(jnp.float32) * sign
+    ax1 = (axis == 1).astype(jnp.float32) * sign
+    ax2 = (axis == 2).astype(jnp.float32) * sign
+    n_local = jnp.stack([ax0, ax1, ax2], axis=AX)
+    n_world = lm.quat_rotate(box_rot, n_local, axis=AX)
+    return depth, n_world
+
+
+def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
+                  points_per_pair: int = 4):
+    """Narrowphase over the static pair list.
+
+    sphere-sphere: single point; sphere-box: closest-feature; box-box: the
+    `points_per_pair` deepest of both boxes' corners inside the other box.
+    Returns Contacts with C = P * points_per_pair slots.
+    """
+    pa_i = jnp.asarray(pair_a)
+    pb_i = jnp.asarray(pair_b)
+    P = int(pair_a.shape[0])
+    k = points_per_pair
+
+    def take(x, idx):
+        return jnp.take(x, idx, axis=-1)
+
+    pos_a, pos_b = take(pos, pa_i), take(pos, pb_i)
+    rot_a, rot_b = take(rot, pa_i), take(rot, pb_i)
+    rad_a, rad_b = take(radius, pa_i), take(radius, pb_i)
+    he_a, he_b = take(half_extents, pa_i), take(half_extents, pb_i)
+    shape_a = shape[pair_a] if isinstance(shape, np.ndarray) else take(shape, pa_i)
+    shape_b = shape[pair_b] if isinstance(shape, np.ndarray) else take(shape, pb_i)
+
+    # --- sphere-sphere single contact
+    ss_pt, ss_n, ss_d = _sphere_sphere(pos_a, rad_a, pos_b, rad_b)
+
+    # --- sphere(a) vs box(b): clamp sphere center into b
+    invb = lm.quat_conjugate(rot_b, axis=AX)
+    ca_in_b = lm.quat_rotate(invb, pos_a - pos_b, axis=AX)
+    clamped = jnp.clip(ca_in_b, -he_b, he_b)
+    closest_w = pos_b + lm.quat_rotate(rot_b, clamped, axis=AX)
+    delta = closest_w - pos_a
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=AX), 1e-12))
+    sb_n = delta / dist[..., None, :]   # a → b
+    sb_d = rad_a - dist
+    sb_pt = closest_w
+
+    # --- box(a) vs sphere(b): mirrored
+    inva = lm.quat_conjugate(rot_a, axis=AX)
+    cb_in_a = lm.quat_rotate(inva, pos_b - pos_a, axis=AX)
+    clamped2 = jnp.clip(cb_in_a, -he_a, he_a)
+    closest2 = pos_a + lm.quat_rotate(rot_a, clamped2, axis=AX)
+    delta2 = pos_b - closest2
+    dist2 = jnp.sqrt(jnp.maximum(jnp.sum(delta2 * delta2, axis=AX), 1e-12))
+    bs_n = delta2 / dist2[..., None, :]
+    bs_d = rad_b - dist2
+    bs_pt = closest2
+
+    # --- box-box: SAT over the 6 face axes (edge-edge axes omitted — face
+    # contacts dominate stacking/drop scenarios; ≙ PhysX PCM face contacts).
+    # Axis with minimum positive overlap = contact normal; manifold = the
+    # incident box's deepest corners against the reference face.
+    def box_axes(rot):
+        ex = lm.quat_rotate(rot, jnp.asarray([1.0, 0.0, 0.0])[:, None], axis=AX)
+        ey = lm.quat_rotate(rot, jnp.asarray([0.0, 1.0, 0.0])[:, None], axis=AX)
+        ez = lm.quat_rotate(rot, jnp.asarray([0.0, 0.0, 1.0])[:, None], axis=AX)
+        return [ex, ey, ez]  # each [..,3,P]
+
+    axes_a = box_axes(rot_a)
+    axes_b = box_axes(rot_b)
+    d_ab = pos_b - pos_a
+
+    def proj(axes, he, u):
+        """Support extent of a box along world axis u: Σ he_i·|a_i·u|."""
+        return sum(
+            he[..., i, :] * jnp.abs(jnp.sum(axes[i] * u, axis=AX)) for i in range(3)
+        )
+
+    ca = box_corners(pos_a, rot_a, he_a)  # [..,3,8,P]
+    cb = box_corners(pos_b, rot_b, he_b)
+
+    best_overlap = None
+    best_n = None
+    best_from_a = None
+    for src, u_list in ((0, axes_a), (1, axes_b)):
+        for u in u_list:
+            du = jnp.sum(d_ab * u, axis=AX)
+            overlap = proj(axes_a, he_a, u) + proj(axes_b, he_b, u) - jnp.abs(du)
+            n_u = u * jnp.expand_dims(jnp.sign(jnp.where(du == 0, 1.0, du)), AX)  # a → b
+            if best_overlap is None:
+                best_overlap, best_n = overlap, n_u
+                best_from_a = jnp.full(overlap.shape, src == 0)
+            else:
+                better = overlap < best_overlap
+                best_n = jnp.where(jnp.expand_dims(better, AX), n_u, best_n)
+                best_from_a = jnp.where(better, src == 0, best_from_a)
+                best_overlap = jnp.minimum(overlap, best_overlap)
+
+    # reference-face support planes along the chosen normal
+    n_bb = best_n
+    sup_a = jnp.sum(pos_a * n_bb, axis=AX) + proj(axes_a, he_a, n_bb)   # A's far face along n
+    sup_b = jnp.sum(pos_b * n_bb, axis=AX) - proj(axes_b, he_b, n_bb)  # B's near face along n
+    # corner depths: B's corners behind A's face (ref A) / A's corners beyond B's face (ref B)
+    dep_b_corners = sup_a[..., None, :] - jnp.sum(cb * n_bb[..., :, None, :], axis=-3)  # [..,8,P]
+    dep_a_corners = jnp.sum(ca * n_bb[..., :, None, :], axis=-3) - sup_b[..., None, :]
+    from_a = best_from_a[..., None, :]
+    all_dep = jnp.where(from_a, dep_b_corners, dep_a_corners)
+    all_pts = jnp.where(jnp.expand_dims(from_a, -3), cb, ca)
+    # clamp corner depth by the SAT overlap (a corner can't be deeper than the boxes)
+    all_dep = jnp.minimum(all_dep, best_overlap[..., None, :])
+    all_dep = jnp.where(best_overlap[..., None, :] > 0.0, all_dep, -1.0)
+
+    top_d, top_i = jax.lax.top_k(jnp.moveaxis(all_dep, -2, -1), k)  # [..,P,k]
+    ti = jnp.moveaxis(top_i, -1, -2)  # [..,k,P]
+
+    def gath(c):
+        return jnp.take_along_axis(c, ti, axis=-2)
+
+    bb_pts = jnp.stack([gath(all_pts[..., i, :, :]) for i in range(3)], axis=-3)
+    bb_n = jnp.broadcast_to(n_bb[..., :, None, :], bb_pts.shape)
+    bb_d = jnp.moveaxis(top_d, -1, -2)
+
+    # --- select per pair type, expand to k slots
+    a_box = shape_a == SHAPE_BOX
+    b_box = shape_b == SHAPE_BOX
+    both_box = a_box & b_box
+    a_sph_b_box = (~a_box) & b_box
+    a_box_b_sph = a_box & (~b_box)
+
+    def single_to_slots(pt, n, d):
+        pts = jnp.concatenate([pt[..., :, None, :], jnp.zeros(pt.shape[:-1] + (k - 1, P))], axis=-2)
+        nn = jnp.concatenate([n[..., :, None, :], jnp.zeros(n.shape[:-1] + (k - 1, P))], axis=-2)
+        dd = jnp.concatenate([d[..., None, :], jnp.full(d.shape[:-1] + (k - 1, P), -1.0)], axis=-2)
+        return pts, nn, dd
+
+    ss_pts, ss_ns, ss_ds = single_to_slots(ss_pt, ss_n, ss_d)
+    sb_pts, sb_ns, sb_ds = single_to_slots(sb_pt, sb_n, sb_d)
+    bs_pts, bs_ns, bs_ds = single_to_slots(bs_pt, bs_n, bs_d)
+
+    m_bb = both_box[..., None, :]
+    m_sb = a_sph_b_box[..., None, :]
+    m_bs = a_box_b_sph[..., None, :]
+    pts = jnp.where(m_bb[..., None, :, :], bb_pts,
+                    jnp.where(m_sb[..., None, :, :], sb_pts,
+                              jnp.where(m_bs[..., None, :, :], bs_pts, ss_pts)))
+    ns = jnp.where(m_bb[..., None, :, :], bb_n,
+                   jnp.where(m_sb[..., None, :, :], sb_ns,
+                             jnp.where(m_bs[..., None, :, :], bs_ns, ss_ns)))
+    ds = jnp.where(m_bb, bb_d, jnp.where(m_sb, sb_ds, jnp.where(m_bs, bs_ds, ss_ds)))
+
+    c = P * k
+    point = pts.reshape(pts.shape[:-2] + (c,))
+    normal = ns.reshape(ns.shape[:-2] + (c,))
+    depth = ds.reshape(ds.shape[:-2] + (c,))
+    body_a = np.tile(np.asarray(pair_a, np.int32), k)
+    body_b = np.tile(np.asarray(pair_b, np.int32), k)
+    # slot layout: [k, P] flattened row-major → tile matches reshape order
+    active = depth > 0.0
+    nlen = jnp.sum(normal * normal, axis=AX)
+    active = active & (nlen > 1e-6)
+    return Contacts(body_a=body_a, body_b=body_b, point=point, normal=normal,
+                    depth=depth, active=active)
+
+
+def concat_contacts(a: Contacts, b: Contacts) -> Contacts:
+    return Contacts(
+        body_a=np.concatenate([a.body_a, b.body_a]),
+        body_b=np.concatenate([a.body_b, b.body_b]),
+        point=jnp.concatenate([a.point, b.point], axis=-1),
+        normal=jnp.concatenate([a.normal, b.normal], axis=-1),
+        depth=jnp.concatenate([a.depth, b.depth], axis=-1),
+        active=jnp.concatenate([a.active, b.active], axis=-1),
+    )
+
+
+def _orthonormal_tangents(n):
+    """Two tangent dirs per contact from normal [..,3,C]."""
+    nx, ny, nz = lm.unstack(n, AX)
+    # pick the axis least aligned with n
+    use_x = jnp.abs(nx) < 0.9
+    hx = jnp.where(use_x, 1.0, 0.0)
+    hy = jnp.where(use_x, 0.0, 1.0)
+    h = jnp.stack([hx, hy, jnp.zeros_like(hx)], axis=AX)
+    t1 = lm.cross(n, h, axis=AX)
+    t1 = t1 * jax.lax.rsqrt(jnp.maximum(jnp.sum(t1 * t1, axis=AX, keepdims=True), 1e-12))
+    t2 = lm.cross(n, t1, axis=AX)
+    return t1, t2
+
+
+def solve_contacts(
+    pos, rot, vel, angvel,
+    contacts: Contacts,
+    inv_mass,            # f32 [NB] static
+    inv_inertia_world,   # f32 [.., 3, 3, NB] world-space inverse inertia (diag approx ok)
+    incidence_a,         # f32 [NB, C] static +1 matrix (body_a rows)
+    incidence_b,         # f32 [NB, C] static +1 matrix (body_b rows, -1 slots zeroed)
+    dt,
+    friction,            # f32 [C] per-contact combined friction (static)
+    restitution,         # f32 [C] (static)
+    iterations: int = 8,
+    baumgarte: float = 0.2,
+    slop: float = 0.005,
+    relaxation: float = 0.75,
+):
+    """Projected Jacobi PGS. Returns (vel', angvel').
+
+    The reference's PhysX PGS is sequential Gauss-Seidel; Jacobi with
+    under-relaxation + accumulated-impulse projection is the parallel
+    equivalent (contact impulses all computed against the same iterate, then
+    scatter-added via one incidence matmul)."""
+    ba = jnp.asarray(np.maximum(contacts.body_a, 0))
+    bb = jnp.asarray(np.maximum(contacts.body_b, 0))
+    has_b = jnp.asarray((contacts.body_b >= 0).astype(np.float32))
+    im_a = jnp.asarray(inv_mass)[ba]
+    im_b = jnp.asarray(inv_mass)[bb] * has_b
+
+    n = contacts.normal
+    t1, t2 = _orthonormal_tangents(n)
+    pt = contacts.point
+    active = contacts.active
+
+    r_a = pt - jnp.take(pos, ba, axis=-1)
+    r_b = pt - jnp.take(pos, bb, axis=-1)
+
+    def ang_term(r, d, II_diag):
+        """n · ((I⁻¹ (r × d)) × r) with diagonal world inertia approx [..,3,C]."""
+        rxd = lm.cross(r, d, axis=AX)
+        tmp = II_diag * rxd
+        return jnp.sum(lm.cross(tmp, r, axis=AX) * d, axis=AX)
+
+    II_a = jnp.take(inv_inertia_world, ba, axis=-1)  # [..,3,C] diag
+    II_b = jnp.take(inv_inertia_world, bb, axis=-1) * has_b[..., None, :]
+
+    k_n = im_a + im_b + ang_term(r_a, n, II_a) + ang_term(r_b, n, II_b)
+    k_t1 = im_a + im_b + ang_term(r_a, t1, II_a) + ang_term(r_b, t1, II_b)
+    k_t2 = im_a + im_b + ang_term(r_a, t2, II_a) + ang_term(r_b, t2, II_b)
+    k_n = jnp.maximum(k_n, 1e-9)
+    k_t1 = jnp.maximum(k_t1, 1e-9)
+    k_t2 = jnp.maximum(k_t2, 1e-9)
+
+    bias = (baumgarte / dt) * jnp.maximum(contacts.depth - slop, 0.0)
+
+    inc_a = jnp.asarray(incidence_a)
+    inc_b = jnp.asarray(incidence_b)
+    fr = jnp.asarray(friction)
+    rest = jnp.asarray(restitution)
+
+    def rel_vel(v, w):
+        va = jnp.take(v, ba, axis=-1) + lm.cross(jnp.take(w, ba, axis=-1), r_a, axis=AX)
+        vb = (jnp.take(v, bb, axis=-1) + lm.cross(jnp.take(w, bb, axis=-1), r_b, axis=AX)) * has_b[..., None, :]
+        return vb - va
+
+    # restitution target from pre-solve velocities
+    vn0 = jnp.sum(rel_vel(vel, angvel) * n, axis=AX)
+    v_target = bias + jnp.where(vn0 < -0.5, -rest * vn0, 0.0)
+
+    def apply_impulse(v, w, imp):
+        """imp [..,3,C] applied +imp to b, -imp to a via incidence matmuls."""
+        dva = -jnp.einsum("nc,...kc->...kn", inc_a, imp, preferred_element_type=jnp.float32)
+        dvb = jnp.einsum("nc,...kc->...kn", inc_b, imp, preferred_element_type=jnp.float32)
+        v = v + (dva + dvb) * jnp.asarray(inv_mass)[None, :]
+        ta = -jnp.einsum("nc,...kc->...kn", inc_a, lm.cross(r_a, imp, axis=AX),
+                         preferred_element_type=jnp.float32)
+        tb = jnp.einsum("nc,...kc->...kn", inc_b, lm.cross(r_b, imp, axis=AX),
+                        preferred_element_type=jnp.float32)
+        w = w + (ta + tb) * inv_inertia_world
+        return v, w
+
+    def body_fn(_, carry):
+        v, w, lam_n, lam_t1, lam_t2 = carry
+        vr = rel_vel(v, w)
+        vn = jnp.sum(vr * n, axis=AX)
+        dln = (v_target - vn) / k_n * relaxation
+        new_ln = jnp.maximum(lam_n + dln, 0.0)
+        dln = jnp.where(active, new_ln - lam_n, 0.0)
+        # friction clamped by μ·λ_n
+        vt1 = jnp.sum(vr * t1, axis=AX)
+        vt2 = jnp.sum(vr * t2, axis=AX)
+        max_f = fr * (lam_n + dln)
+        new_lt1 = jnp.clip(lam_t1 + (-vt1 / k_t1) * relaxation, -max_f, max_f)
+        new_lt2 = jnp.clip(lam_t2 + (-vt2 / k_t2) * relaxation, -max_f, max_f)
+        dlt1 = jnp.where(active, new_lt1 - lam_t1, 0.0)
+        dlt2 = jnp.where(active, new_lt2 - lam_t2, 0.0)
+        imp = (
+            n * dln[..., None, :]
+            + t1 * dlt1[..., None, :]
+            + t2 * dlt2[..., None, :]
+        )
+        v, w = apply_impulse(v, w, imp)
+        return v, w, lam_n + dln, lam_t1 + dlt1, lam_t2 + dlt2
+
+    zeros = jnp.zeros(contacts.depth.shape)
+    v, w, *_ = jax.lax.fori_loop(
+        0, iterations, body_fn, (vel, angvel, zeros, zeros, zeros)
+    )
+    return v, w
+
+
+def inv_inertia_world_diag(rot, inv_inertia_body):
+    """Approximate world-space inverse inertia as a diagonal [..,3,NB]:
+    diag(R · I⁻¹_body · Rᵀ). Exact for spheres; good for near-axis-aligned
+    boxes (full tensor form lands with the joint solver)."""
+    m = lm.quat_to_mat3(jnp.moveaxis(rot, -2, -1))  # [..,NB,3,3]
+    ib = jnp.moveaxis(inv_inertia_body, -2, -1)     # [..,NB,3]
+    diag = jnp.einsum("...nij,...nj,...nij->...ni", m, ib, m)
+    return jnp.moveaxis(diag, -1, -2)               # [..,3,NB]
+
+
+def update_sleep(vel, angvel, sleep_counter, dyn_mask,
+                 lin_thresh: float = 0.03, ang_thresh: float = 0.05,
+                 frames_to_sleep: int = 30):
+    """Velocity-threshold sleeping (≙ PhysX sleep thresholds): counts calm
+    frames; asleep bodies get zeroed velocities until something wakes them
+    (an applied impulse resets the counter via wake())."""
+    calm = (jnp.sum(vel * vel, axis=AX) < lin_thresh**2) & (
+        jnp.sum(angvel * angvel, axis=AX) < ang_thresh**2
+    )
+    counter = jnp.where(calm & dyn_mask, sleep_counter + 1, 0)
+    asleep = counter >= frames_to_sleep
+    v = jnp.where(asleep[..., None, :], 0.0, vel)
+    w = jnp.where(asleep[..., None, :], 0.0, angvel)
+    return v, w, counter, asleep
+
+
+# ---------------------------------------------------------------------------
+# queries (≙ reference physics_module.h raycast/sweep API)
+# ---------------------------------------------------------------------------
+
+
+def raycast_spheres(origin, direction, pos, radius, mask):
+    """Batched ray vs all spheres → (hit any, t_min, body index).
+    origin/direction [..,3] (normalized), pos [..,3,NB], radius [..,NB]."""
+    oc = origin[..., :, None] - pos
+    b = jnp.sum(oc * direction[..., :, None], axis=AX)
+    c = jnp.sum(oc * oc, axis=AX) - radius * radius
+    disc = b * b - c
+    t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    valid = (disc >= 0.0) & (t >= 0.0) & mask
+    t = jnp.where(valid, t, jnp.inf)
+    idx = jnp.argmin(t, axis=-1)
+    tmin = jnp.min(t, axis=-1)
+    return jnp.isfinite(tmin), tmin, idx.astype(jnp.int32)
