@@ -1,20 +1,23 @@
 #!/usr/bin/env python
 """Benchmark harness — the driver runs this on real TPU hardware.
 
-Config: the "full fused frame" from BASELINE.md — W vmapped worlds × N entities,
-one jitted donated step per frame (transform hierarchy propagation + frustum
-cull + whatever subsystems are wired into the fused step: animation, physics,
-particles as they land). Prints ONE JSON line:
+Default config: the BASELINE.md headline — "full fused frame": W vmapped
+worlds × N entities, one jitted donated step per frame running transform
+hierarchy propagation + frustum culling + skeletal animation (sampling, blend
+graphs, root motion, skinning palettes) + rigid-body physics + particle
+scripts. Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
-vs_baseline is value / 1e8 entity-steps/sec/chip (the BASELINE.json target; the
+vs_baseline = value / 1e8 entity-steps/sec/chip (the BASELINE.json target; the
 reference publishes no numbers — see BASELINE.md).
+
+Other configs for local exploration: --config demo|crowd|particles.
 
 Measurement notes: this TPU is reached through a tunnel where
 ``block_until_ready`` does not reliably block and full-buffer readbacks are
 slow, so the step loop runs INSIDE one jitted ``lax.fori_loop`` and completion
-is forced by reading back a 4-byte probe that data-depends on every subsystem's
-output (also defeats dead-code elimination). This matches the production shape
-anyway: no host sync inside the frame loop (SURVEY.md §7.8).
+is forced by reading back a 4-byte probe that data-depends on every
+subsystem's output (also defeats dead-code elimination). This matches the
+production shape anyway: no host sync inside the frame loop (SURVEY.md §7.8).
 """
 from __future__ import annotations
 
@@ -27,15 +30,34 @@ import jax
 import jax.numpy as jnp
 
 
+def build_world(args):
+    from lumixengine_tpu.models import demo_scenes
+
+    if args.config == "full":
+        engine, world, *_ = demo_scenes.full_frame_world(
+            num_entities=args.entities,
+            num_characters=args.characters,
+            num_bodies=args.bodies,
+            particle_capacity=args.particles,
+        )
+    elif args.config == "demo":
+        engine, world, _ = demo_scenes.headless_demo_world(num_entities=args.entities)
+    elif args.config == "crowd":
+        engine, world, *_ = demo_scenes.skinned_crowd_world(num_characters=args.characters)
+    elif args.config == "particles":
+        engine, world, _ = demo_scenes.particle_stress_world(capacity=args.particles)
+    else:
+        raise SystemExit(f"unknown config {args.config}")
+    return engine, world
+
+
 def build(args):
     from lumixengine_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    from lumixengine_tpu.models import demo_scenes
-    from lumixengine_tpu.renderer import pipeline as pipe
     from lumixengine_tpu.parallel.mesh import replicate_state
 
-    engine, world, renderer = demo_scenes.headless_demo_world(num_entities=args.entities)
+    engine, world = build_world(args)
     rmod = world.modules["renderer"]
 
     def extra(ws, dt):
@@ -53,10 +75,15 @@ def build(args):
         rs = state_b.modules["renderer"]
         probe = (
             jnp.sum(state_b.world.pos)
-            + jnp.sum(rs.counters["visible_count"])
+            + jnp.sum(rs.counters["visible_count"]).astype(jnp.float32)
             + jnp.sum(rs.prev_pos)
             + jnp.sum(state_b.local.pos)
         )
+        if "animation" in state_b.modules:
+            probe = probe + jnp.sum(state_b.modules["animation"].palette)
+        if "physics" in state_b.modules:
+            probe = probe + jnp.sum(state_b.modules["physics"].pos)
+        probe = probe + jnp.sum(rs.counters["particles_alive"]).astype(jnp.float32)
         return state_b, probe
 
     key = jax.random.PRNGKey(0)
@@ -67,11 +94,21 @@ def build(args):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--worlds", type=int, default=4096)
+    p.add_argument("--config", default="full",
+                   choices=["full", "demo", "crowd", "particles"])
+    p.add_argument("--worlds", type=int, default=2048)
     p.add_argument("--entities", type=int, default=10240)
-    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--characters", type=int, default=64)
+    p.add_argument("--bodies", type=int, default=64)
+    p.add_argument("--particles", type=int, default=2048)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--trials", type=int, default=2)
     p.add_argument("--dt", type=float, default=1.0 / 60.0)
     args = p.parse_args()
+    if args.config == "particles":
+        args.worlds = 1
+        if args.particles == 2048:
+            args.particles = 1_000_000
 
     run_steps, state_b = build(args)
     dt = jnp.float32(args.dt)
@@ -80,25 +117,36 @@ def main():
     state_b, probe = run_steps(state_b, dt, args.steps)
     _ = float(probe)
 
-    t0 = time.perf_counter()
-    state_b, probe = run_steps(state_b, dt, args.steps)
-    _ = float(probe)
-    elapsed = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(max(args.trials, 1)):
+        t0 = time.perf_counter()
+        state_b, probe = run_steps(state_b, dt, args.steps)
+        _ = float(probe)
+        best = min(best, time.perf_counter() - t0)
 
-    entity_steps = args.worlds * args.entities * args.steps
-    value = entity_steps / elapsed
+    if args.config == "particles":
+        unit_count = args.particles
+        metric = "particle_steps_per_sec_per_chip"
+    else:
+        unit_count = args.worlds * args.entities
+        metric = "entity_steps_per_sec_per_chip"
+    value = unit_count * args.steps / best
     print(
         json.dumps(
             {
-                "metric": "entity_steps_per_sec_per_chip",
+                "metric": metric,
                 "value": value,
                 "unit": "entity-steps/s",
                 "vs_baseline": value / 1e8,
                 "config": {
+                    "config": args.config,
                     "worlds": args.worlds,
                     "entities": args.entities,
+                    "characters": args.characters,
+                    "bodies": args.bodies,
+                    "particles": args.particles,
                     "steps": args.steps,
-                    "elapsed_s": round(elapsed, 4),
+                    "elapsed_s": round(best, 4),
                     "backend": jax.default_backend(),
                 },
             }

@@ -56,7 +56,9 @@ class RenderState:
     env_entity: jnp.ndarray     # int32 [1]
     env_color: jnp.ndarray      # f32 [3]
     env_intensity: jnp.ndarray  # f32 []
-    # particle emitter state is owned by the particle module slice
+    # particle systems: component key -> {emitter name -> EmitterState}
+    particles: Dict[str, Any]
+    prng: jnp.ndarray           # uint32 PRNG key (particle randomness)
     counters: Dict[str, jnp.ndarray]
 
 
@@ -92,13 +94,16 @@ class RenderModule(IModule):
         self.env_color = np.ones(3, np.float32)
         self.env_intensity = np.float32(1.0)
         self.active_camera = -1
+        # particle emitter components: key -> (entity, ParticleSystem instance)
+        self.particle_emitters: Dict[str, tuple] = {}
         self._statics = None  # trace-time constants cache (pipeline.ViewStatics)
         self._statics_version = -1
 
     # -- component API ------------------------------------------------------
 
     def component_types(self):
-        return ["model_instance", "camera", "point_light", "environment"]
+        return ["model_instance", "camera", "point_light", "environment",
+                "particle_emitter"]
 
     def statics(self):
         """Trace-time constants (slot indices, model ids, radii) — rebuilt on
@@ -138,11 +143,21 @@ class RenderModule(IModule):
                 self.env_color = np.asarray(props["color"], np.float32)
             if "intensity" in props:
                 self.env_intensity = np.float32(props["intensity"])
+        elif ctype == "particle_emitter":
+            # ≙ render_module.h ParticleEmitter component: instantiates a
+            # compiled particle script on this entity
+            ps = self.system.particle_system(
+                props["script"], capacity_override=props.get("capacities")
+            )
+            self.particle_emitters[f"pe{entity}"] = (entity, ps)
         else:
             raise KeyError(ctype)
 
     def destroy_component(self, entity: int, ctype: str) -> None:
         self.invalidate_statics()
+        if ctype == "particle_emitter":
+            self.particle_emitters.pop(f"pe{entity}", None)
+            return
         if ctype == "model_instance":
             self.model_instances.remove(entity)
             self.culling.remove(entity)
@@ -190,9 +205,14 @@ class RenderModule(IModule):
             env_entity=jnp.int32(w.slot(self.env_entity) if self.env_entity >= 0 else -1),
             env_color=jnp.asarray(self.env_color),
             env_intensity=jnp.asarray(self.env_intensity),
+            particles={key: ps.device_state() for key, (e, ps) in self.particle_emitters.items()},
+            prng=jax.random.PRNGKey(0),
             counters={
                 "visible_count": jnp.int32(0),
                 "lights_visible": jnp.int32(0),
+                "particles_alive": jnp.int32(0),
+                "particles_emitted": jnp.int32(0),
+                "particles_killed": jnp.int32(0),
             },
         )
 
@@ -220,6 +240,35 @@ class RenderModule(IModule):
 
         return pipe.cull_pass(state, dt, self, statics=self.statics())
 
+    def update(self, state: WorldState, dt) -> WorldState:
+        """Tick all particle systems (≙ render_module.cpp update →
+        jobs::forEach over ParticleSystems + stats counters)."""
+        if not self.particle_emitters:
+            return state
+        rs: RenderState = state.modules[self.name]
+        key = jax.random.fold_in(rs.prng, state.frame)
+        particles = dict(rs.particles)
+        alive_n = jnp.int32(0)
+        emitted_n = jnp.int32(0)
+        killed_n = jnp.int32(0)
+        for i, (pkey, (entity, ps)) in enumerate(sorted(self.particle_emitters.items())):
+            sub = ps.step(particles[pkey], dt, state.time, jax.random.fold_in(key, i))
+            particles[pkey] = sub
+            for st in sub.values():
+                alive_n = alive_n + jnp.sum(st.alive).astype(jnp.int32)
+                emitted_n = emitted_n + st.emitted
+                killed_n = killed_n + st.killed
+        rs = rs.replace(
+            particles=particles,
+            counters={
+                **rs.counters,
+                "particles_alive": alive_n,
+                "particles_emitted": emitted_n,
+                "particles_killed": killed_n,
+            },
+        )
+        return state.replace(modules={**state.modules, self.name: rs})
+
 
 class RendererSystem(ISystem):
     """≙ renderer.cpp Renderer — owns model resources; frame pacing is the
@@ -232,6 +281,8 @@ class RendererSystem(ISystem):
         super().__init__(engine)
         self.models = ModelRegistry()
         self._bank: Optional[ModelBank] = None
+        # particle script sources: name -> (src, imports dict)
+        self.particle_scripts: Dict[str, tuple] = {}
 
     def add_model(self, model: Model) -> int:
         self._bank = None
@@ -242,6 +293,17 @@ class RendererSystem(ISystem):
         if self._bank is None:
             self._bank = self.models.bake()
         return self._bank
+
+    def add_particle_script(self, name: str, src: str, imports: Optional[Dict[str, str]] = None):
+        """Register a .pat particle script (≙ ParticleSystemResource)."""
+        self.particle_scripts[name] = (src, imports or {})
+
+    def particle_system(self, script: str, capacity_override=None):
+        from lumixengine_tpu.renderer.particle_system import ParticleSystem
+
+        src, imports = self.particle_scripts[script]
+        return ParticleSystem.from_source(src, imports=imports,
+                                          capacity_override=capacity_override)
 
     def create_modules(self, world: World) -> RenderModule:
         caps = getattr(self.engine, "module_capacities", {})

@@ -1,0 +1,211 @@
+"""Particle tests — mirrors the reference's only real test suites
+(src/tests/particle_script_{tokenizer,compiler,collector}_tests.cpp) plus
+runtime behavior tests for the TPU backend."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lumixengine_tpu.core.tokenizer import IDENT, NUMBER, STRING, SYMBOL, TokenizeError, tokenize
+from lumixengine_tpu.renderer.particle_compiler import CompileError, Parser, compile_source
+from lumixengine_tpu.renderer.particle_system import ParticleSystem
+
+
+# --- tokenizer (≙ particle_script_tokenizer_tests.cpp) -------------------------
+
+def test_tokenizer_basics():
+    toks = tokenize('const x = 1.5; // comment\nfn f() { y = "str"; }')
+    kinds = [(t.kind, t.value) for t in toks[:-1]]
+    assert (IDENT, "const") in kinds
+    assert (NUMBER, "1.5") in kinds
+    assert (STRING, "str") in kinds
+    assert (SYMBOL, "{") in kinds
+
+
+def test_tokenizer_positions_and_errors():
+    toks = tokenize("a\n  b")
+    assert toks[0].line == 1 and toks[1].line == 2 and toks[1].col == 3
+    with pytest.raises(TokenizeError):
+        tokenize("a @ b")
+
+
+def test_tokenizer_multichar_symbols():
+    toks = tokenize("a >= b && c != d")
+    syms = [t.value for t in toks if t.kind == SYMBOL]
+    assert syms == [">=", "&&", "!="]
+
+
+# --- compiler (≙ particle_script_compiler_tests.cpp) ---------------------------
+
+MINI = """
+const SPEED = 2.0;
+emitter dust {
+    material "m.mat"
+    emit_per_second 10
+    max_particles 64
+    out i_pos : float3
+    var pos : float3
+    var t : float
+    fn emit() { t = 0; pos = {0, 1, 0}; }
+    fn update() {
+        t = t + time_delta;
+        pos.y = pos.y + SPEED * time_delta;
+        if t > 1 { kill(); }
+    }
+    fn output() { i_pos = pos; }
+}
+"""
+
+
+def test_compile_minimal_emitter():
+    ems = compile_source(MINI)
+    assert "dust" in ems
+    em = ems["dust"]
+    assert em.decl.emit_per_second == 10
+    assert em.channel_rows() == 4  # float3 + float
+    assert em.out_rows() == 3
+
+
+def test_const_folding():
+    ems = compile_source("const A = 2; const B = A * 3 + 1;\n" + MINI[MINI.index("emitter"):])
+    assert ems["dust"].consts["B"] == 7.0
+
+
+def test_parse_errors():
+    with pytest.raises((CompileError, TokenizeError)):
+        compile_source("emitter x { out broken }")
+    with pytest.raises((CompileError, TokenizeError)):
+        compile_source("const x = ;")
+
+
+def test_unresolved_import_raises():
+    with pytest.raises(CompileError):
+        compile_source('import "missing.pai"')
+
+
+def test_import_library_functions():
+    lib = "const PI = 3.14159265;\nfn double(x) { result = x * 2; }\n"
+    src = MINI.replace("SPEED * time_delta", "double(time_delta)")
+    src = 'import "lib.pai"\n' + src
+    ems = compile_source(src, imports={"lib.pai": lib})
+    assert "double" in ems["dust"].functions
+
+
+def test_reference_fireworks_script_compiles():
+    """The real fireworks demo script from the reference data must compile."""
+    with open("/root/reference/demo/maps/particles/fireworks.pat") as f:
+        src = f.read()
+    with open("/root/reference/data/particles/common.pai") as f:
+        lib = f.read()
+    ems = compile_source(src, imports={"/engine/particles/common.pai": lib})
+    assert set(ems) == {"explosion", "fireworks"}
+    assert ems["explosion"].decl.init_emit_count == 100
+
+
+# --- runtime ---------------------------------------------------------------------
+
+def test_update_moves_and_kills():
+    ps = ParticleSystem.from_source(MINI)
+    states = ps.device_state()
+    key = jax.random.PRNGKey(0)
+    dt = 1 / 10
+    # frame 1: emit_per_second=10 → 1 particle
+    states = ps.step(states, dt, 0.0, key)
+    st = states["dust"]
+    assert int(jnp.sum(st.alive)) == 1
+    # y starts 1 (emit) and rises by SPEED*dt per update
+    for i in range(3):
+        states = ps.step(states, dt, (i + 1) * dt, jax.random.fold_in(key, i + 1))
+    st = states["dust"]
+    ys = np.asarray(st.outs[1])[np.asarray(st.alive)]
+    assert ys.max() > 1.0 + 2.0 * dt * 2 - 1e-5
+    # after >1s of life particles die
+    for i in range(12):
+        states = ps.step(states, dt, 0.5 + i * dt, jax.random.fold_in(key, 100 + i))
+    st = states["dust"]
+    assert int(st.killed) > 0
+
+
+def test_emit_rate_accumulates_fractional():
+    ps = ParticleSystem.from_source(MINI)  # 10/s
+    states = ps.device_state()
+    key = jax.random.PRNGKey(1)
+    # dt=1/60 → 1/6 particle per frame → first spawn on frame 6
+    for i in range(5):
+        states = ps.step(states, 1 / 60, i / 60, jax.random.fold_in(key, i))
+        assert int(jnp.sum(states["dust"].alive)) == 0, i
+    states = ps.step(states, 1 / 60, 5 / 60, jax.random.fold_in(key, 6))
+    assert int(jnp.sum(states["dust"].alive)) == 1
+
+
+def test_capacity_bounds_population():
+    src = MINI.replace("emit_per_second 10", "emit_per_second 100000")
+    ps = ParticleSystem.from_source(src)
+    states = ps.device_state()
+    states = ps.step(states, 0.1, 0.0, jax.random.PRNGKey(2))
+    assert int(jnp.sum(states["dust"].alive)) == 64  # max_particles
+
+
+def test_fireworks_cross_emit():
+    with open("/root/reference/demo/maps/particles/fireworks.pat") as f:
+        src = f.read()
+    with open("/root/reference/data/particles/common.pai") as f:
+        lib = f.read()
+    ps = ParticleSystem.from_source(
+        src, imports={"/engine/particles/common.pai": lib},
+        capacity_override={"explosion": 512, "fireworks": 32},
+    )
+    assert ps.order.index("fireworks") < ps.order.index("explosion")
+    states = ps.device_state()
+    key = jax.random.PRNGKey(3)
+    # explosion has init_emit_count 100 → first frame spawns 100
+    states = ps.step(states, 1 / 30, 0.0, key)
+    assert int(jnp.sum(states["explosion"].alive)) == 100
+    # run ~2s: fireworks rockets (5/s) live 1.5s then each explodes into 100
+    t = 0.0
+    for i in range(70):
+        t += 1 / 30
+        states = ps.step(states, 1 / 30, t, jax.random.fold_in(key, i + 1))
+    ex = states["explosion"]
+    fw = states["fireworks"]
+    assert int(fw.emitted) >= 5
+    assert int(fw.killed) >= 1           # rockets die after exploding
+    assert int(ex.emitted) > 100         # initial burst + rocket explosions
+    # explosion particles carry in_pos: some spawned away from origin
+    alive = np.asarray(ex.alive)
+    pos = np.asarray(ex.outs[0:3])
+    assert alive.sum() > 0
+    assert np.abs(pos[:, alive]).max() > 0.5
+
+
+def test_random_is_seeded_and_bounded():
+    src = """
+emitter r {
+    emit_per_second 1000
+    max_particles 128
+    out i_v : float
+    var v : float
+    fn emit() { v = random(2, 3); }
+    fn output() { i_v = v; }
+}
+"""
+    ps = ParticleSystem.from_source(src)
+    s1 = ps.step(ps.device_state(), 1.0, 0.0, jax.random.PRNGKey(7))
+    s2 = ps.step(ps.device_state(), 1.0, 0.0, jax.random.PRNGKey(7))
+    v1 = np.asarray(s1["r"].outs[0])[np.asarray(s1["r"].alive)]
+    np.testing.assert_array_equal(v1, np.asarray(s2["r"].outs[0])[np.asarray(s2["r"].alive)])
+    assert v1.min() >= 2.0 and v1.max() <= 3.0 and v1.std() > 0.01
+
+
+def test_step_under_vmap():
+    ps = ParticleSystem.from_source(MINI)
+    base = ps.device_state()
+    batched = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (4,) + x.shape), base)
+
+    def one(st, key):
+        return ps.step(st, 1 / 10, 0.0, key)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    out = jax.jit(jax.vmap(one))(batched, keys)
+    assert out["dust"].alive.shape == (4, 64)
+    assert np.all(np.asarray(jnp.sum(out["dust"].alive, axis=-1)) == 1)
