@@ -96,7 +96,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="full",
                    choices=["full", "demo", "crowd", "particles"])
-    p.add_argument("--worlds", type=int, default=2048)
+    # 1024 worlds x 10240 entities saturates the chip while staying well clear
+    # of HBM limits with all subsystems on; raise with --worlds on big-HBM parts
+    p.add_argument("--worlds", type=int, default=1024)
     p.add_argument("--entities", type=int, default=10240)
     p.add_argument("--characters", type=int, default=64)
     p.add_argument("--bodies", type=int, default=64)
