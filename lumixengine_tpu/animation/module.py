@@ -118,6 +118,7 @@ class AnimStatics:
 
 class AnimationModule(IModule):
     name = "animation"
+    COMPONENT_STORES = {"animable": "animables", "animator": "animators"}
 
     def __init__(self, world: World, system: "AnimationSystem",
                  max_animables: int = 1024, max_animators: int = 256,
@@ -179,6 +180,25 @@ class AnimationModule(IModule):
         cid = int(self.animators.data["controller"][slot])
         c = self.system.controllers[cid]
         self.default_inputs[c.input_index(name), slot] = np.float32(value)
+
+    # -- serialization -----------------------------------------------------------
+
+    def serialize(self):
+        out = {}
+        for slot in range(self.animators.capacity):
+            e = int(self.animators.entity[slot])
+            if e >= 0:
+                out[str(e)] = self.default_inputs[:, slot].tolist()
+        return {"animator_inputs": out}
+
+    def deserialize(self, blob, emap):
+        for old_str, vals in blob.get("animator_inputs", {}).items():
+            new = emap.get(int(old_str))
+            if new < 0:
+                continue
+            slot = self.animators.slot_of(new)
+            if slot >= 0:
+                self.default_inputs[: len(vals), slot] = vals
 
     # -- statics / state --------------------------------------------------------
 

@@ -134,6 +134,7 @@ class PhysStatics:
 
 class PhysicsModule(IModule):
     name = "physics"
+    COMPONENT_STORES = {"rigid_actor": "actors", "distance_joint": "joints"}
 
     def __init__(self, world: World, system: "PhysicsSystem",
                  max_actors: int = 256, max_joints: int = 64,
@@ -156,6 +157,8 @@ class PhysicsModule(IModule):
         self.joints = DenseStore(
             max_joints,
             {"body_a": ((), np.int32, -1), "body_b": ((), np.int32, -1),
+             # entity ids kept alongside slots so serialization can remap
+             "ent_a": ((), np.int32, -1), "ent_b": ((), np.int32, -1),
              "length": ((), np.float32, 1.0)},
         )
         self.points_per_pair = points_per_pair
@@ -190,9 +193,11 @@ class PhysicsModule(IModule):
                 layer=np.int32(props.get("layer", 0)),
             )
         elif ctype == "distance_joint":
-            ba = self.actors.slot_of(props["body_a"])
-            bb = self.actors.slot_of(props["body_b"])
+            ea, eb = int(props["body_a"]), int(props["body_b"])
+            ba = self.actors.slot_of(ea)
+            bb = self.actors.slot_of(eb)
             self.joints.add(entity, body_a=np.int32(ba), body_b=np.int32(bb),
+                            ent_a=np.int32(ea), ent_b=np.int32(eb),
                             length=np.float32(props.get("length", 1.0)))
         else:
             raise KeyError(ctype)

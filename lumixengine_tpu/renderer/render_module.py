@@ -64,6 +64,8 @@ class RenderState:
 
 class RenderModule(IModule):
     name = "renderer"
+    COMPONENT_STORES = {"model_instance": "model_instances", "camera": "cameras",
+                        "point_light": "point_lights"}
 
     def __init__(self, world: World, system: "RendererSystem",
                  max_model_instances: int = 4096, max_cameras: int = 4,
@@ -175,6 +177,34 @@ class RenderModule(IModule):
         mid = self.system.models.get_id(model_name)
         self.model_instances.set(entity, "model", mid)
         self.culling.set_radius(entity, self.system.models.get(mid).bounding_radius)
+
+    # -- serialization (≙ RenderModule::serialize blob) -------------------------
+
+    def serialize_components(self):
+        from lumixengine_tpu.utils.store import dump_stores
+
+        out = dump_stores(self)
+        if self.env_entity >= 0:
+            out.append({"type": "environment", "entity": self.env_entity,
+                        "props": {"color": self.env_color.tolist(),
+                                  "intensity": float(self.env_intensity)}})
+        for key, (entity, ps) in self.particle_emitters.items():
+            out.append({"type": "particle_emitter", "entity": entity,
+                        "props": {"script": getattr(ps, "script_name", None) or self._script_of(ps)}})
+        return out
+
+    def _script_of(self, ps) -> str:
+        for name in self.system.particle_scripts:
+            if getattr(ps, "script_name", None) == name:
+                return name
+        # fall back: match by emitter set
+        for name, (src, imports) in self.system.particle_scripts.items():
+            try:
+                if set(self.system.particle_system(name).emitters) == set(ps.emitters):
+                    return name
+            except Exception:
+                continue
+        raise ValueError("cannot identify particle script for serialization")
 
     # -- device state ---------------------------------------------------------
 

@@ -1,0 +1,91 @@
+"""Native (C++) runtime components — built on demand with g++, bound via ctypes.
+
+The reference keeps its hot host-side paths native (LZ4 world compression,
+allocators, job system). On the TPU build the device side is XLA; the
+host-side native piece that still pays for itself is the serialization codec:
+csrc/lz4_codec.cpp implements the LZ4 block format used for world/prefab
+blobs (≙ external/lz4 + engine/world.cpp compressed serialization).
+
+Build-on-import with graceful fallback: if g++ or the build fails, callers
+(engine/serialize.py) fall back to zlib transparently.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_ROOT, "csrc", "lz4_codec.cpp")
+_OUT_DIR = os.path.join(_ROOT, ".native_cache")
+_OUT = os.path.join(_OUT_DIR, "liblxt_native.so")
+
+
+def _build() -> bool:
+    try:
+        os.makedirs(_OUT_DIR, exist_ok=True)
+        if os.path.exists(_OUT) and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC):
+            return True
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _OUT]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_OUT)
+            lib.lxt_lz4_bound.restype = ctypes.c_int
+            lib.lxt_lz4_bound.argtypes = [ctypes.c_int]
+            lib.lxt_lz4_compress.restype = ctypes.c_int
+            lib.lxt_lz4_compress.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int
+            ]
+            lib.lxt_lz4_decompress.restype = ctypes.c_int
+            lib.lxt_lz4_decompress.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int
+            ]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def lz4_compress(data: bytes) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    bound = lib.lxt_lz4_bound(len(data))
+    out = ctypes.create_string_buffer(bound)
+    n = lib.lxt_lz4_compress(data, len(data), out, bound)
+    if n < 0:
+        raise RuntimeError("lz4 compress failed")
+    return out.raw[:n]
+
+
+def lz4_decompress(data: bytes, raw_size: int) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    out = ctypes.create_string_buffer(raw_size)
+    n = lib.lxt_lz4_decompress(data, len(data), out, raw_size)
+    if n != raw_size:
+        raise RuntimeError(f"lz4 decompress failed ({n} != {raw_size})")
+    return out.raw

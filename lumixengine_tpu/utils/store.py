@@ -77,3 +77,20 @@ class DenseStore:
 
     def mask(self) -> np.ndarray:
         return self.entity >= 0
+
+
+def dump_stores(module) -> list:
+    """Generic component dump from a module's COMPONENT_STORES mapping —
+    shared by world serialization and module overrides."""
+    import numpy as _np
+
+    out = []
+    for ctype, attr in getattr(module, "COMPONENT_STORES", {}).items():
+        store = getattr(module, attr)
+        for slot in range(store.capacity):
+            e = int(store.entity[slot])
+            if e < 0:
+                continue
+            props = {k: _np.asarray(v[slot]).tolist() for k, v in store.data.items()}
+            out.append({"type": ctype, "entity": e, "props": props})
+    return out
