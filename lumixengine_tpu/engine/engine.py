@@ -55,13 +55,21 @@ class Engine:
     """≙ engine/engine.h Engine: owns SystemManager, creates Worlds, orchestrates
     the frame. Resource/file services attach lazily (engine/resource.py)."""
 
-    def __init__(self, time_multiplier: float = 1.0):
+    def __init__(self, time_multiplier: float = 1.0, base_path: str = "."):
+        from lumixengine_tpu.engine.file_system import FileSystem
+        from lumixengine_tpu.engine.input import InputSystem
+        from lumixengine_tpu.engine.resource import ResourceManagerHub
+
         self.system_manager = SystemManager(self)
         self.time_multiplier = float(time_multiplier)
         self.paused = False
         self._next_frame_paused = False
         self._smoother = TimeSmoother()
         self.game_running = False
+        # owned services (≙ EngineImpl ctor: FS, resource hub, input)
+        self.fs = FileSystem(base_path)
+        self.resources = ResourceManagerHub(self.fs)
+        self.input = InputSystem()
 
     # -- systems / worlds -----------------------------------------------------
 
@@ -155,4 +163,7 @@ class Engine:
             dt = self._smoother.push(dt_raw * self.time_multiplier)
         self._next_frame_paused = False
         self.system_manager.update(dt)
+        # ≙ engine.cpp: input->update, fs->processCallbacks at frame end
+        self.input.update()
+        self.fs.process_callbacks()
         return dt
