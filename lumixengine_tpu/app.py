@@ -1,0 +1,179 @@
+"""App runner (≙ reference src/app/main.cpp Runner).
+
+Reference boot: debug::init → jobs::init(ncpu) → Engine::create (registers all
+static plugins) → createWorld → init render pipeline → loadWorld from the
+project's startup world (-world flag override) → startGame → main loop
+(os events → engine update → pipeline render → renderer frame).
+
+TPU runner: same shape, headless-first:
+  boot     — crash handler, settings+CLI, Engine with ALL built-in systems
+  load     — project json (startup world) or -world blob, else a demo scene
+  loop     — host frame (scripts, input, fs callbacks, dt smoothing) + the
+             jitted device step; render extraction (prepare_view) on demand
+  shutdown — save-on-exit hooks, profiler dump
+The CPU↔GPU frame pipelining of the reference (2 frames in flight) maps to
+async device dispatch: the host enqueues step N+1 while N runs; we only
+block when reading metrics.
+"""
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax.numpy as jnp
+
+from lumixengine_tpu.core import config as cfg
+from lumixengine_tpu.core import debug as dbg
+from lumixengine_tpu.core import log, profiler
+from lumixengine_tpu.engine import reflection, serialize
+from lumixengine_tpu.engine.engine import Engine
+
+
+def create_full_engine(base_path: str = ".", **caps) -> Engine:
+    """Engine with every built-in system registered
+    (≙ plugin.cpp createAllStatic: each LUMIX_PLUGIN_ENTRY)."""
+    from lumixengine_tpu.animation.module import AnimationSystem
+    from lumixengine_tpu.audio.module import AudioSystem
+    from lumixengine_tpu.engine.core_module import CoreSystem
+    from lumixengine_tpu.gui.module import GuiSystem
+    from lumixengine_tpu.navigation.module import NavigationSystem
+    from lumixengine_tpu.physics.module import PhysicsSystem
+    from lumixengine_tpu.renderer.render_module import RendererSystem
+    from lumixengine_tpu.script.module import ScriptSystem
+
+    engine = Engine(base_path=base_path)
+    engine.module_capacities = caps
+    renderer = RendererSystem(engine)
+    engine.add_system(CoreSystem(engine))
+    engine.add_system(renderer)
+    engine.add_system(AnimationSystem(engine, renderer=renderer))
+    engine.add_system(PhysicsSystem(engine))
+    engine.add_system(ScriptSystem(engine))
+    engine.add_system(NavigationSystem(engine))
+    engine.add_system(GuiSystem(engine))
+    engine.add_system(AudioSystem(engine))
+    reflection.register_builtin_components()
+    return engine
+
+
+class Runner:
+    """≙ app/main.cpp Runner struct."""
+
+    def __init__(self, argv: Optional[List[str]] = None, base_path: str = ".",
+                 engine: Optional[Engine] = None):
+        dbg.install_crash_handler(base_path)
+        self.settings = cfg.Settings()
+        self.settings.register("world", "", "app")
+        self.settings.register("profile_start", False, "app")
+        self.settings.register("fps_cap", 60.0, "app")
+        self.cli = cfg.CommandLineParser(argv or [])
+        self.cli.apply_to_settings(self.settings)
+
+        self.engine = engine or create_full_engine(base_path)
+        self.world = None
+        self.state = None
+        self.step = None
+        self.frame_index = 0
+        self._fixed_dt = None
+
+    # -- boot (≙ Runner::onInit) --------------------------------------------------
+
+    def load_project(self, path: str) -> None:
+        proj = cfg.Project.loads(self.engine.fs.read(path).decode())
+        if proj.startup_world and not self.settings.get("world"):
+            self.settings.set("world", proj.startup_world)
+        for k, v in proj.settings.items():
+            if k in self.settings.options:
+                self.settings.set(k, v)
+
+    def load_world(self, path_or_blob) -> None:
+        blob = (self.engine.fs.read(path_or_blob)
+                if isinstance(path_or_blob, str) else path_or_blob)
+        self.world = serialize.load_world(self.engine, blob)
+
+    def use_world(self, world) -> None:
+        self.world = world
+
+    def start(self, fixed_dt: Optional[float] = 1.0 / 60.0) -> None:
+        """Build the fused step and start the game (≙ startGame)."""
+        assert self.world is not None, "load or set a world first"
+        self._fixed_dt = fixed_dt
+        rmod = self.world.modules.get("renderer")
+        extra = (lambda ws, dt: rmod.cull_pass(ws, dt)) if rmod else None
+        with profiler.block("build_step"):
+            self.step = self.engine.build_step(self.world, extra=extra, donate=False)
+            self.state = self.world.device_state()
+        self.engine.start_game(self.world)
+        if self.settings.get("profile_start"):
+            profiler.enable(True)
+
+    # -- frame (≙ Runner::onIdle) ----------------------------------------------------
+
+    def tick(self, dt_raw: Optional[float] = None) -> None:
+        dt_raw = self._fixed_dt if dt_raw is None else dt_raw
+        with profiler.block("frame"):
+            dt = self.engine.update_host(dt_raw)
+            sm = self.world.modules.get("script")
+            if sm is not None:
+                with profiler.block("scripts"):
+                    sm.update_host(dt)
+                    for ev in self.engine.input.events:
+                        sm.on_input(ev)
+            with profiler.block("device_step"):
+                self.state = self.step(self.state, jnp.float32(dt))
+        profiler.frame()
+        self.frame_index += 1
+
+    def run(self, frames: int) -> None:
+        for _ in range(frames):
+            self.tick()
+
+    # -- render extraction (≙ pipeline render + blit) ----------------------------------
+
+    def prepare_view(self, cam_slot: int = 0):
+        from lumixengine_tpu.renderer import pipeline as pipe
+
+        return pipe.prepare_view(self.state, self.world.modules["renderer"], cam_slot)
+
+    def metrics(self) -> dict:
+        out = {"frame": int(self.state.frame), "time": float(self.state.time)}
+        for mname, ms in self.state.modules.items():
+            counters = getattr(ms, "counters", None)
+            if isinstance(counters, dict):
+                for k, v in counters.items():
+                    out[f"{mname}.{k}"] = float(v) if hasattr(v, "dtype") else v
+        return out
+
+    def shutdown(self, trace_path: Optional[str] = None) -> None:
+        self.engine.stop_game(self.world)
+        if trace_path:
+            profiler.export_chrome_trace(trace_path)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import sys
+
+    runner = Runner(argv if argv is not None else sys.argv[1:])
+    world_path = runner.settings.get("world")
+    if world_path:
+        runner.load_world(world_path)
+    else:
+        # no world given: boot the headless demo scene
+        from lumixengine_tpu.models import demo_scenes
+
+        engine, world, _ = demo_scenes.headless_demo_world(num_entities=2048)
+        runner.engine = engine
+        runner.use_world(world)
+    runner.start()
+    frames = int(runner.cli.value("frames", "300"))
+    t0 = time.perf_counter()
+    runner.run(frames)
+    el = time.perf_counter() - t0
+    log.log_info("app", f"{frames} frames in {el:.2f}s ({frames / el:.1f} fps)")
+    print(runner.metrics())
+    runner.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

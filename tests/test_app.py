@@ -1,0 +1,73 @@
+import numpy as np
+import jax.numpy as jnp
+
+from lumixengine_tpu import app as app_mod
+from lumixengine_tpu.engine import serialize
+
+
+def test_full_engine_boots_all_systems():
+    engine = app_mod.create_full_engine()
+    world = engine.create_world(capacity=64)
+    expected = {"core", "renderer", "animation", "physics", "script",
+                "navigation", "gui", "audio"}
+    assert expected.issubset(set(world.modules))
+    # every declared component type registered exactly once
+    assert "rigid_actor" in world.component_types
+    assert "gui_rect" in world.component_types
+    assert "nav_agent" in world.component_types
+
+
+def test_runner_full_loop_with_scripts_and_metrics(tmp_path):
+    engine = app_mod.create_full_engine(model_instances=64)
+    runner = app_mod.Runner([], engine=engine)
+    world = engine.create_world(capacity=64)
+    cam = world.create_entity(position=(0, 2, 10), name="camera")
+    world.create_component(cam, "camera")
+    mover = world.create_entity(position=(0, 0, 0), name="mover")
+    world.create_component(mover, "inline_script", source=(
+        "ticks = [0]\n"
+        "def update(dt):\n"
+        "    ticks[0] += 1\n"
+    ))
+    runner.use_world(world)
+    runner.start()
+    runner.run(5)
+    m = runner.metrics()
+    assert m["frame"] == 5
+    sm = world.modules["script"]
+    assert sm.scripts[mover][0].globals["ticks"][0] == 5
+    assert "renderer.visible_count" in m
+    trace = str(tmp_path / "trace.json")
+    runner.shutdown(trace_path=trace)
+    import json, os
+    assert os.path.exists(trace) and json.load(open(trace))["traceEvents"]
+
+
+def test_runner_world_save_load_roundtrip(tmp_path):
+    engine = app_mod.create_full_engine(model_instances=32)
+    world = engine.create_world(capacity=32)
+    cam = world.create_entity(position=(0, 1, 5), name="camera")
+    world.create_component(cam, "camera")
+    blob = serialize.serialize_world(world)
+    path = tmp_path / "save.world"
+    path.write_bytes(blob)
+
+    engine2 = app_mod.create_full_engine(base_path=str(tmp_path), model_instances=32)
+    runner = app_mod.Runner([], engine=engine2, base_path=str(tmp_path))
+    runner.load_world("save.world")
+    assert runner.world.find_by_name("camera") == cam
+    runner.start()
+    runner.run(2)
+    assert runner.metrics()["frame"] == 2
+
+
+def test_crash_report(tmp_path):
+    from lumixengine_tpu.core import debug as dbg
+
+    try:
+        raise RuntimeError("synthetic crash")
+    except RuntimeError:
+        import sys
+        path = dbg.write_crash_report(*sys.exc_info(), path=str(tmp_path / "crash.txt"))
+    text = open(path).read()
+    assert "synthetic crash" in text and "recent log" in text
