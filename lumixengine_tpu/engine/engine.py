@@ -140,10 +140,12 @@ class Engine:
                 state = m.update_parallel(state, dt)
             for m in modules:  # PHASE 2 update (≙ engine.cpp:322)
                 state = m.update(state, dt)
-            # derive globals once (replaces eager transformEntity recursion)
-            state = state.replace(world=propagate(state))
             for m in modules:  # PHASE 3 lateUpdate (≙ engine.cpp:330)
                 state = m.late_update(state, dt)
+            # derive globals once after all local writes (replaces the
+            # reference's eager transformEntity recursion mid-frame; culling
+            # and render extraction below see fresh globals)
+            state = state.replace(world=propagate(state))
             if extra is not None:
                 state = extra(state, dt)
             return state.replace(frame=state.frame + 1, time=state.time + dt)

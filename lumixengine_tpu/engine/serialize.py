@@ -103,7 +103,7 @@ def _dump_module_components(module) -> List[dict]:
     return dump_stores(module)
 
 
-_ENTITY_PROPS = {"body_a", "body_b", "ent_a", "ent_b", "target_entity"}
+_ENTITY_PROPS = {"body_a", "body_b", "ent_a", "ent_b", "target_entity", "parent_entity"}
 
 
 def _restore_component(world, comp: dict, emap: EntityMap) -> None:

@@ -1,0 +1,96 @@
+"""DrawStream — CPU command buffer (≙ reference renderer/draw_stream.{h,cpp}).
+
+Reference: typed command stream (create/bind/draw/dispatch/barrier ops) built
+by jobs into substreams, merged deterministically and replayed on the frame
+thread against the gpu:: API (gpu_dx12.cpp).
+
+TPU build: the same abstraction at the data level — the render pipeline emits
+typed commands referencing device arrays (instance buffers, palettes, particle
+payloads); a backend replays them against whatever presents (a GL/Vulkan
+process, a software rasterizer, a capture file). Substream merging keeps the
+reference's deterministic ordering when passes record in parallel."""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+# command opcodes (≙ draw_stream.h op enum, the TPU-relevant subset)
+OP_SET_PASS = "set_pass"
+OP_BIND_MATERIAL = "bind_material"
+OP_BIND_INSTANCES = "bind_instances"
+OP_BIND_PALETTES = "bind_palettes"
+OP_DRAW_MODEL = "draw_model"
+OP_DRAW_INSTANCED = "draw_instanced"
+OP_DRAW_PARTICLES = "draw_particles"
+OP_DRAW_TERRAIN = "draw_terrain"
+OP_DRAW_2D = "draw_2d"
+OP_DISPATCH = "dispatch"
+OP_BARRIER = "barrier"
+
+
+@dataclass
+class DrawCommand:
+    op: str
+    args: Dict[str, Any] = field(default_factory=dict)
+
+
+class DrawStream:
+    def __init__(self, name: str = "main"):
+        self.name = name
+        self.commands: List[DrawCommand] = []
+        self._substreams: List["DrawStream"] = []
+
+    def push(self, op: str, **args) -> None:
+        self.commands.append(DrawCommand(op, args))
+
+    def substream(self, name: str = "") -> "DrawStream":
+        """≙ DrawStream::createSubstream — parallel recorders merged in order."""
+        s = DrawStream(name or f"{self.name}/{len(self._substreams)}")
+        self._substreams.append(s)
+        return s
+
+    def merge(self) -> None:
+        """Deterministic substream merge (≙ merged for deterministic order)."""
+        for s in self._substreams:
+            s.merge()
+            self.commands.extend(s.commands)
+        self._substreams = []
+
+    def replay(self, backend) -> int:
+        """Replay against a backend object exposing methods named after ops
+        (≙ DrawStream::run → gpu::*). Unknown ops go to backend.unknown()."""
+        self.merge()
+        n = 0
+        for cmd in self.commands:
+            fn = getattr(backend, cmd.op, None)
+            if fn is None:
+                fn = getattr(backend, "unknown", lambda **kw: None)
+                fn(op=cmd.op, **cmd.args)
+            else:
+                fn(**cmd.args)
+            n += 1
+        return n
+
+    def clear(self) -> None:
+        self.commands = []
+        self._substreams = []
+
+
+def record_frame(view, rs, module, stream: Optional[DrawStream] = None) -> DrawStream:
+    """Record a full frame's commands from a prepared View (≙ pipeline.cpp
+    createCommands writing the DrawStream)."""
+    s = stream or DrawStream()
+    s.push(OP_SET_PASS, name="gbuffer")
+    s.push(OP_BIND_INSTANCES, pos=view.instance_pos, rot=view.instance_rot,
+           scale=view.instance_scale, models=view.instance_model,
+           count=view.visible_count)
+    s.push(OP_DRAW_INSTANCED, sorted_by="material")
+    anim = getattr(module.world.modules.get("animation"), "name", None)
+    if anim:
+        s.push(OP_BIND_PALETTES, source="animation.palette")
+    s.push(OP_SET_PASS, name="transparent")
+    for key, (entity, ps) in getattr(module, "particle_emitters", {}).items():
+        s.push(OP_DRAW_PARTICLES, emitter=key)
+    s.push(OP_SET_PASS, name="ui")
+    s.push(OP_DRAW_2D)
+    return s

@@ -65,7 +65,11 @@ class RenderState:
 class RenderModule(IModule):
     name = "renderer"
     COMPONENT_STORES = {"model_instance": "model_instances", "camera": "cameras",
-                        "point_light": "point_lights"}
+                        "point_light": "point_lights", "decal": "decals",
+                        "curve_decal": "curve_decals", "terrain": "terrains",
+                        "reflection_probe": "reflection_probes",
+                        "environment_probe": "environment_probes",
+                        "bone_attachment": "bone_attachments"}
 
     def __init__(self, world: World, system: "RendererSystem",
                  max_model_instances: int = 4096, max_cameras: int = 4,
@@ -98,6 +102,41 @@ class RenderModule(IModule):
         self.active_camera = -1
         # particle emitter components: key -> (entity, ParticleSystem instance)
         self.particle_emitters: Dict[str, tuple] = {}
+        # ≙ render_module.h Decal / CurveDecal
+        self.decals = DenseStore(256, {
+            "material": ((), np.int32, 0),
+            "half_extents": ((3,), np.float32, 0.5),
+            "uv_scale": ((2,), np.float32, 1.0),
+        })
+        self.curve_decals = DenseStore(64, {
+            "material": ((), np.int32, 0),
+            "half_extents": ((3,), np.float32, 0.5),
+            "uv_scale": ((2,), np.float32, 1.0),
+            "bezier_p0": ((2,), np.float32, 0.0),
+            "bezier_p2": ((2,), np.float32, 1.0),
+        })
+        # ≙ Terrain component (heightmap id into RendererSystem.terrains)
+        self.terrains = DenseStore(8, {"terrain": ((), np.int32, -1)})
+        # ≙ ReflectionProbe / EnvironmentProbe
+        self.reflection_probes = DenseStore(32, {
+            "size": ((), np.int32, 128),
+            "half_extents": ((3,), np.float32, 10.0),
+        })
+        self.environment_probes = DenseStore(32, {
+            "inner": ((3,), np.float32, 5.0),
+            "outer": ((3,), np.float32, 10.0),
+        })
+        # ≙ BoneAttachment: entity follows a bone of an animated parent
+        self.bone_attachments = DenseStore(64, {
+            "parent_entity": ((), np.int32, -1),
+            "bone": ((), np.int32, 0),
+            "offset_pos": ((3,), np.float32, 0.0),
+            "offset_rot": ((4,), np.float32, (0.0, 0.0, 0.0, 1.0)),
+        })
+        # ≙ InstancedModel: per-entity instance blobs (host arrays)
+        self.instanced_models: Dict[int, dict] = {}
+        # ≙ ProceduralGeometry: per-entity vertex blobs
+        self.procedural_geometries: Dict[int, dict] = {}
         self._statics = None  # trace-time constants cache (pipeline.ViewStatics)
         self._statics_version = -1
 
@@ -105,7 +144,9 @@ class RenderModule(IModule):
 
     def component_types(self):
         return ["model_instance", "camera", "point_light", "environment",
-                "particle_emitter"]
+                "particle_emitter", "terrain", "decal", "curve_decal",
+                "instanced_model", "procedural_geometry", "reflection_probe",
+                "environment_probe", "bone_attachment"]
 
     def statics(self):
         """Trace-time constants (slot indices, model ids, radii) — rebuilt on
@@ -151,7 +192,56 @@ class RenderModule(IModule):
             ps = self.system.particle_system(
                 props["script"], capacity_override=props.get("capacities")
             )
+            ps.script_name = props["script"]
             self.particle_emitters[f"pe{entity}"] = (entity, ps)
+        elif ctype == "terrain":
+            tid = props.get("terrain", -1)
+            self.terrains.add(entity, terrain=np.int32(tid))
+        elif ctype == "decal":
+            self.decals.add(entity,
+                            material=np.int32(props.get("material", 0)),
+                            half_extents=np.asarray(props.get("half_extents", (0.5, 0.5, 0.5)), np.float32),
+                            uv_scale=np.asarray(props.get("uv_scale", (1.0, 1.0)), np.float32))
+        elif ctype == "curve_decal":
+            self.curve_decals.add(entity,
+                                  material=np.int32(props.get("material", 0)),
+                                  half_extents=np.asarray(props.get("half_extents", (0.5, 0.5, 0.5)), np.float32),
+                                  uv_scale=np.asarray(props.get("uv_scale", (1.0, 1.0)), np.float32),
+                                  bezier_p0=np.asarray(props.get("bezier_p0", (0.0, 0.0)), np.float32),
+                                  bezier_p2=np.asarray(props.get("bezier_p2", (1.0, 1.0)), np.float32))
+        elif ctype == "instanced_model":
+            mid = props.get("model")
+            mid = self.system.models.get_id(mid) if isinstance(mid, str) else int(mid)
+            n = int(props.get("count", 0))
+            self.instanced_models[entity] = {
+                "model": mid,
+                "pos": np.asarray(props.get("positions", np.zeros((n, 3))), np.float32),
+                "rot": np.asarray(props.get("rotations", np.tile([0, 0, 0, 1.0], (max(n, 1), 1))), np.float32),
+                "scale": np.asarray(props.get("scales", np.ones((max(n, 1), 3))), np.float32),
+            }
+            self.invalidate_statics()
+        elif ctype == "procedural_geometry":
+            self.procedural_geometries[entity] = {
+                "vertices": np.asarray(props.get("vertices", np.zeros((0, 3))), np.float32),
+                "material": int(props.get("material", 0)),
+            }
+        elif ctype == "reflection_probe":
+            self.reflection_probes.add(entity,
+                                       size=np.int32(props.get("size", 128)),
+                                       half_extents=np.asarray(props.get("half_extents", (10.0,) * 3), np.float32))
+        elif ctype == "environment_probe":
+            self.environment_probes.add(entity,
+                                        inner=np.asarray(props.get("inner", (5.0,) * 3), np.float32),
+                                        outer=np.asarray(props.get("outer", (10.0,) * 3), np.float32))
+        elif ctype == "bone_attachment":
+            self.bone_attachments.add(entity,
+                                      parent_entity=np.int32(props.get("parent_entity", -1)),
+                                      bone=np.int32(props.get("bone", 0)),
+                                      offset_pos=np.asarray(props.get("offset_pos", (0.0,) * 3), np.float32),
+                                      offset_rot=np.asarray(props.get("offset_rot", (0, 0, 0, 1.0)), np.float32))
+            # the attachment follows the bone in the animated entity's space
+            if props.get("parent_entity", -1) >= 0 and self.world.get_parent(entity) < 0:
+                self.world.set_parent(entity, int(props["parent_entity"]))
         else:
             raise KeyError(ctype)
 
@@ -159,6 +249,16 @@ class RenderModule(IModule):
         self.invalidate_statics()
         if ctype == "particle_emitter":
             self.particle_emitters.pop(f"pe{entity}", None)
+            return
+        if ctype in ("terrain", "decal", "curve_decal", "reflection_probe",
+                     "environment_probe", "bone_attachment"):
+            getattr(self, self.COMPONENT_STORES[ctype]).remove(entity)
+            return
+        if ctype == "instanced_model":
+            self.instanced_models.pop(entity, None)
+            return
+        if ctype == "procedural_geometry":
+            self.procedural_geometries.pop(entity, None)
             return
         if ctype == "model_instance":
             self.model_instances.remove(entity)
@@ -191,6 +291,14 @@ class RenderModule(IModule):
         for key, (entity, ps) in self.particle_emitters.items():
             out.append({"type": "particle_emitter", "entity": entity,
                         "props": {"script": getattr(ps, "script_name", None) or self._script_of(ps)}})
+        for e, im in self.instanced_models.items():
+            out.append({"type": "instanced_model", "entity": e, "props": {
+                "model": im["model"], "count": len(im["pos"]),
+                "positions": im["pos"].tolist(), "rotations": im["rot"].tolist(),
+                "scales": im["scale"].tolist()}})
+        for e, pg in self.procedural_geometries.items():
+            out.append({"type": "procedural_geometry", "entity": e, "props": {
+                "vertices": pg["vertices"].tolist(), "material": pg["material"]}})
         return out
 
     def _script_of(self, ps) -> str:
@@ -264,6 +372,57 @@ class RenderModule(IModule):
         )
         return state.replace(modules={**state.modules, self.name: rs})
 
+    def late_update(self, state: WorldState, dt) -> WorldState:
+        """Bone attachments follow animated bones (≙ render_module.cpp pose
+        lock/unlock + bone-attachment propagation): attachment local (as a
+        child of the animated entity) = bone model-space pose ∘ offset."""
+        ba = self.bone_attachments
+        if not len(ba):
+            return state
+        anim = self.world.modules.get("animation")
+        if anim is None or "animation" not in state.modules:
+            return state
+        from lumixengine_tpu.core import math as lm
+
+        ams = state.modules["animation"]
+        # static wiring: attachment -> pool column of the animated parent
+        cols, bones, eslots, offp, offr = [], [], [], [], []
+        for slot in range(ba.capacity):
+            e = int(ba.entity[slot])
+            if e < 0:
+                continue
+            parent = int(ba.data["parent_entity"][slot])
+            col = -1
+            if parent in anim.animables:
+                col = anim.pool_col_animable(anim.animables.slot_of(parent))
+            elif parent in anim.animators:
+                col = anim.pool_col_animator(anim.animators.slot_of(parent))
+            if col < 0:
+                continue
+            cols.append(col)
+            bones.append(int(ba.data["bone"][slot]))
+            eslots.append(self.world.slot(e))
+            offp.append(ba.data["offset_pos"][slot])
+            offr.append(ba.data["offset_rot"][slot])
+        if not cols:
+            return state
+        bidx = np.asarray(bones, np.int32)
+        cols = np.asarray(cols, np.int32)
+        # gather bone (b_k) of pool column (c_k) per attachment (static indices)
+        karr = np.arange(len(bones))
+        bpos = ams.pose_pos[..., :, bidx, :][..., :, karr, cols]
+        brot = ams.pose_rot[..., :, bidx, :][..., :, karr, cols]
+        op = jnp.asarray(np.asarray(offp, np.float32).T)
+        orot = jnp.asarray(np.asarray(offr, np.float32).T)
+        new_lp = bpos + lm.quat_rotate(brot, op, axis=-2)
+        new_lr = lm.quat_mul(brot, orot, axis=-2)
+        esl = jnp.asarray(np.asarray(eslots, np.int32))
+        local = state.local.replace(
+            pos=state.local.pos.at[..., :, esl].set(new_lp),
+            rot=state.local.rot.at[..., :, esl].set(new_lr),
+        )
+        return state.replace(local=local)
+
     def cull_pass(self, state: WorldState, dt) -> WorldState:
         """Convenience: the pipeline's fused cull/LOD pass on camera 0."""
         from lumixengine_tpu.renderer import pipeline as pipe
@@ -309,7 +468,12 @@ class RendererSystem(ISystem):
 
     def __init__(self, engine):
         super().__init__(engine)
+        from lumixengine_tpu.renderer.material import MaterialRegistry
+        from lumixengine_tpu.renderer.terrain import TerrainRegistry
+
         self.models = ModelRegistry()
+        self.materials = MaterialRegistry()
+        self.terrains = TerrainRegistry()
         self._bank: Optional[ModelBank] = None
         # particle script sources: name -> (src, imports dict)
         self.particle_scripts: Dict[str, tuple] = {}

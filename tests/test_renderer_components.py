@@ -1,0 +1,160 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lumixengine_tpu import app as app_mod
+from lumixengine_tpu.renderer import terrain as terr
+from lumixengine_tpu.renderer.draw_stream import DrawStream, record_frame
+from lumixengine_tpu.renderer.material import Material, MaterialRegistry, Texture
+
+
+def test_terrain_height_and_normal_sampling():
+    reg = terr.TerrainRegistry()
+    hm = np.zeros((16, 16), np.float32)
+    hm[:, 8:] = 2.0  # a step up at x=8
+    tid = reg.add(hm, xz_scale=1.0, y_scale=1.0)
+    bank = reg.bank
+    x = jnp.array([2.0, 12.0, 7.5])
+    z = jnp.array([5.0, 5.0, 5.0])
+    h = np.asarray(terr.sample_height(bank, tid, x, z))
+    assert h[0] == 0.0 and h[1] == 2.0
+    assert 0.0 < h[2] < 2.0  # bilinear across the step
+    n = np.asarray(terr.sample_normal(bank, tid, x, z))
+    assert n[1, 0] > 0.99           # flat area: straight up
+    assert abs(n[0, 2]) > 0.3       # slope area: tilted in x
+
+
+def test_terrain_grass_scatter():
+    reg = terr.TerrainRegistry()
+    tid = reg.add(np.zeros((8, 8), np.float32))
+    pos, yaw, mask = terr.scatter_grass(reg.bank, tid, density=2.0, extent_xz=(7.0, 7.0),
+                                        key=jax.random.PRNGKey(0), max_instances=256)
+    m = np.asarray(mask)
+    assert 50 <= m.sum() <= 98  # ≈ density * area, capped by max
+    p = np.asarray(pos)
+    assert p[1][m].max() < 1e-5  # snapped to flat ground
+
+
+def test_material_registry_and_bank():
+    reg = MaterialRegistry()
+    mid = reg.add(Material("rock", uniforms={"roughness": 0.3, "metallic": 0.1},
+                           layer="default"))
+    tid = reg.add(Material("glass", layer="transparent", alpha_blend=True))
+    bank = reg.bank
+    assert float(bank.uniforms[mid, 0]) == np.float32(0.3)
+    assert bool(bank.alpha[tid])
+    assert int(bank.layer_id[tid]) == reg.layer_id("transparent")
+    reg.add_texture(Texture("noise", np.zeros((4, 4, 3), np.uint8)))
+    assert reg.textures["noise"].sample_host(0.5, 0.5).shape == (3,)
+
+
+def build_world():
+    from lumixengine_tpu.models.demo_scenes import _add_demo_models
+
+    engine = app_mod.create_full_engine(model_instances=64)
+    _add_demo_models(engine.system_manager.get_system("renderer_system"))
+    world = engine.create_world(capacity=64)
+    cam = world.create_entity(position=(0, 2, 10), name="camera")
+    world.create_component(cam, "camera")
+    return engine, world
+
+
+def test_all_render_components_attach_and_step():
+    engine, world = build_world()
+    renderer = engine.system_manager.get_system("renderer_system")
+    tid = renderer.terrains.add(np.zeros((8, 8), np.float32))
+
+    t = world.create_entity()
+    world.create_component(t, "terrain", terrain=tid)
+    d = world.create_entity(position=(1, 0, 0))
+    world.create_component(d, "decal", half_extents=(1, 1, 1))
+    cd = world.create_entity()
+    world.create_component(cd, "curve_decal")
+    rp = world.create_entity()
+    world.create_component(rp, "reflection_probe", half_extents=(4, 4, 4))
+    ep = world.create_entity()
+    world.create_component(ep, "environment_probe")
+    im = world.create_entity()
+    world.create_component(im, "instanced_model", model="cube", count=4,
+                           positions=np.random.default_rng(0).uniform(-5, 5, (4, 3)))
+    pg = world.create_entity()
+    world.create_component(pg, "procedural_geometry",
+                           vertices=np.zeros((12, 3), np.float32))
+    step = engine.build_step(world, donate=False)
+    out = step(world.device_state(), jnp.float32(1 / 60))
+    assert int(out.frame) == 1
+    # serialization roundtrip keeps the new components
+    from lumixengine_tpu.engine import serialize as ser
+    blob = ser.serialize_world(world)
+    from lumixengine_tpu.models.demo_scenes import _add_demo_models
+    engine2 = app_mod.create_full_engine(model_instances=64)
+    renderer2 = engine2.system_manager.get_system("renderer_system")
+    _add_demo_models(renderer2)
+    renderer2.terrains.add(np.zeros((8, 8), np.float32))
+    w2 = ser.load_world(engine2, blob)
+    rm2 = w2.modules["renderer"]
+    assert t in rm2.terrains and d in rm2.decals
+    assert im in rm2.instanced_models
+    assert len(rm2.instanced_models[im]["pos"]) == 4
+
+
+def test_bone_attachment_follows_bone():
+    from lumixengine_tpu.models import demo_scenes
+
+    engine, world, renderer, anim = demo_scenes.skinned_crowd_world(num_characters=4)
+    amod = world.modules["animation"]
+    rmod = world.modules["renderer"]
+    # pick an animable character and attach a "sword" to bone 5
+    char = int(amod.animables.entity[amod.animables.entity >= 0][0])
+    sword = world.create_entity(name="sword")
+    world.create_component(sword, "bone_attachment", parent_entity=char, bone=5,
+                           offset_pos=(0.0, 0.2, 0.0))
+    assert world.get_parent(sword) == char
+    step = engine.build_step(world, donate=False)
+    state = world.device_state()
+    s1 = step(state, jnp.float32(1 / 30))
+    s2 = step(s1, jnp.float32(1 / 30))
+    # the attachment's local matches bone 5's model-space pose ∘ offset
+    ams = s2.modules["animation"]
+    col = amod.pool_col_animable(amod.animables.slot_of(char))
+    bp = np.asarray(ams.pose_pos[:, 5, col])
+    br = np.asarray(ams.pose_rot[:, 5, col])
+    from lumixengine_tpu.core import host_math as hm
+    expected = bp + hm.quat_rotate(br, np.array([0, 0.2, 0], np.float32))
+    np.testing.assert_allclose(np.asarray(s2.local.pos[:, world.slot(sword)]),
+                               expected, atol=1e-5)
+    # and it moves frame to frame (animation plays)
+    assert not np.allclose(np.asarray(s1.local.pos[:, world.slot(sword)]),
+                           np.asarray(s2.local.pos[:, world.slot(sword)]))
+
+
+def test_draw_stream_record_and_replay():
+    engine, world = build_world()
+    e = world.create_entity(position=(0, 0, 0))
+    world.create_component(e, "model_instance", model="cube")
+    rmod = world.modules["renderer"]
+    step = engine.build_step(world, extra=lambda ws, d: rmod.cull_pass(ws, d), donate=False)
+    state = step(world.device_state(), jnp.float32(1 / 60))
+    from lumixengine_tpu.renderer import pipeline as pipe
+    view = pipe.prepare_view(state, rmod)
+    stream = record_frame(view, state.modules["renderer"], rmod)
+
+    class Recorder:
+        def __init__(self):
+            self.ops = []
+        def __getattr__(self, name):
+            return lambda **kw: self.ops.append(name)
+
+    rec = Recorder()
+    n = stream.replay(rec)
+    assert n == len(rec.ops) >= 5
+    assert "set_pass" in rec.ops and "draw_instanced" in rec.ops
+
+    # substream determinism
+    s = DrawStream()
+    a = s.substream("a")
+    b = s.substream("b")
+    b.push("set_pass", name="B")
+    a.push("set_pass", name="A")
+    s.merge()
+    assert [c.args["name"] for c in s.commands] == ["A", "B"]
