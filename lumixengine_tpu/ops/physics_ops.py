@@ -123,13 +123,26 @@ def ground_contacts(pos, rot, shape, radius, half_extents, dyn_mask,
         [jnp.zeros_like(radius), radius, jnp.zeros_like(radius)], axis=AX
     )
     sph_dep = ground_y - sph_low[..., 1, :]
+    # capsule: both axis endpoints, dropped by radius
+    hh = half_extents[..., 1, :]
+    c0, c1 = capsule_segment(pos, rot, hh)
+    rdrop = jnp.stack([jnp.zeros_like(radius), radius, jnp.zeros_like(radius)], axis=AX)
+    cap0 = c0 - rdrop
+    cap1 = c1 - rdrop
+    cap_pts = jnp.stack([cap0, cap1], axis=-2)  # [..,3,2,NB]
+    cap_dep = jnp.stack([ground_y - cap0[..., 1, :], ground_y - cap1[..., 1, :]], axis=-2)
     is_box = (shape == SHAPE_BOX)
+    is_cap = (shape == SHAPE_CAPSULE)
+    sph_pts = jnp.concatenate([sph_low[..., :, None, :],
+                               jnp.zeros(sph_low.shape[:-1] + (k - 1, nb))], axis=-2)
+    sph_deps = jnp.concatenate([sph_dep[..., None, :],
+                                jnp.full(sph_dep.shape[:-1] + (k - 1, nb), -1.0)], axis=-2)
+    capk_pts = jnp.concatenate([cap_pts, jnp.zeros(cap_pts.shape[:-2] + (k - 2, nb))], axis=-2)
+    capk_dep = jnp.concatenate([cap_dep, jnp.full(cap_dep.shape[:-2] + (k - 2, nb), -1.0)], axis=-2)
     pts = jnp.where(is_box[..., None, None, :], box_pts,
-                    jnp.concatenate([sph_low[..., :, None, :],
-                                     jnp.zeros(sph_low.shape[:-1] + (k - 1, nb))], axis=-2))
+                    jnp.where(is_cap[..., None, None, :], capk_pts, sph_pts))
     dep = jnp.where(is_box[..., None, :], box_dep,
-                    jnp.concatenate([sph_dep[..., None, :],
-                                     jnp.full(sph_dep.shape[:-1] + (k - 1, nb), -1.0)], axis=-2))
+                    jnp.where(is_cap[..., None, :], capk_dep, sph_deps))
     c = k * nb
     point = pts.reshape(pts.shape[:-2] + (c,))
     depth = dep.reshape(dep.shape[:-2] + (c,))
@@ -146,6 +159,22 @@ def ground_contacts(pos, rot, shape, radius, half_extents, dyn_mask,
         depth=depth,
         active=active,
     )
+
+
+def capsule_segment(pos, rot, half_height):
+    """Capsule axis endpoints (local +Y axis): (pa, pb) each [.., 3, N]."""
+    up = lm.quat_rotate(rot, jnp.stack(
+        [jnp.zeros_like(half_height), half_height, jnp.zeros_like(half_height)], axis=AX
+    ), axis=AX)
+    return pos + up, pos - up
+
+
+def closest_point_on_segment(p, a, b):
+    """Closest point to p on segment ab, all [.., 3, N]."""
+    ab = b - a
+    t = jnp.sum((p - a) * ab, axis=AX) / jnp.maximum(jnp.sum(ab * ab, axis=AX), 1e-12)
+    t = jnp.clip(t, 0.0, 1.0)
+    return a + ab * t[..., None, :]
 
 
 def _sphere_sphere(pa, ra, pb, rb):
@@ -198,6 +227,27 @@ def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
     he_a, he_b = take(half_extents, pa_i), take(half_extents, pb_i)
     shape_a = shape[pair_a] if isinstance(shape, np.ndarray) else take(shape, pa_i)
     shape_b = shape[pair_b] if isinstance(shape, np.ndarray) else take(shape, pb_i)
+
+    # capsules participate as a moving sphere at the closest point of their
+    # axis segment to the other body (exact for capsule-sphere; tight
+    # approximation for capsule-box/capsule-capsule manifolds)
+    cap_a = shape_a == SHAPE_CAPSULE
+    cap_b = shape_b == SHAPE_CAPSULE
+    if np.any(np.asarray(cap_a)) or np.any(np.asarray(cap_b)):
+        hh_a = he_a[..., 1, :]  # half_extents.y doubles as capsule half-height
+        hh_b = he_b[..., 1, :]
+        a0, a1 = capsule_segment(pos_a, rot_a, hh_a)
+        b0, b1 = capsule_segment(pos_b, rot_b, hh_b)
+        # iterate closest-point refinement once each way (good segment-segment approx)
+        pb_ref = closest_point_on_segment(pos_a, b0, b1)
+        pa_eff = closest_point_on_segment(pb_ref, a0, a1)
+        pa_ref = closest_point_on_segment(pos_b, a0, a1)
+        pb_eff = closest_point_on_segment(pa_ref, b0, b1)
+        pos_a = jnp.where(cap_a[..., None, :], pa_eff, pos_a)
+        pos_b = jnp.where(cap_b[..., None, :], pb_eff, pos_b)
+        # a capsule behaves as a sphere from here on
+        shape_a = jnp.where(cap_a, SHAPE_SPHERE, shape_a) if not isinstance(shape_a, np.ndarray) else np.where(cap_a, SHAPE_SPHERE, shape_a)
+        shape_b = jnp.where(cap_b, SHAPE_SPHERE, shape_b) if not isinstance(shape_b, np.ndarray) else np.where(cap_b, SHAPE_SPHERE, shape_b)
 
     # --- sphere-sphere single contact
     ss_pt, ss_n, ss_d = _sphere_sphere(pos_a, rad_a, pos_b, rad_b)
@@ -508,3 +558,56 @@ def raycast_spheres(origin, direction, pos, radius, mask):
     idx = jnp.argmin(t, axis=-1)
     tmin = jnp.min(t, axis=-1)
     return jnp.isfinite(tmin), tmin, idx.astype(jnp.int32)
+
+
+def candidate_slot_mask(shape_np: np.ndarray, slots_per_body: int) -> np.ndarray:
+    """Structural mask of which ground-contact slots are real candidate points
+    per body: boxes use all slots (corners), capsules 2 (endpoints), spheres 1.
+    Static — shape membership is host data."""
+    nb = shape_np.shape[0]
+    n_cand = np.where(shape_np == SHAPE_BOX, slots_per_body,
+                      np.where(shape_np == SHAPE_CAPSULE, 2, 1))
+    slot_idx = np.repeat(np.arange(slots_per_body), nb)
+    return slot_idx < np.tile(n_cand, slots_per_body)
+
+
+def heightfield_contacts(pos, rot, shape, radius, half_extents, dyn_mask,
+                         terrain_bank, terrain_id: int, terrain_origin,
+                         slots_per_body: int = 4, shape_np: np.ndarray = None):
+    """Contacts of dynamic bodies vs a heightfield terrain (≙ PhysX
+    PxHeightField): per candidate point (box corners / sphere low / capsule
+    endpoints) sample the terrain height and use the terrain normal."""
+    from lumixengine_tpu.renderer import terrain as terr
+
+    gc = ground_contacts(pos, rot, shape, radius, half_extents, dyn_mask,
+                         ground_y=0.0, slots_per_body=slots_per_body)
+    ox, oz = float(terrain_origin[0]), float(terrain_origin[2])
+    px = gc.point[..., 0, :] - ox
+    pz = gc.point[..., 2, :] - oz
+    hy = terr.sample_height(terrain_bank, terrain_id, px, pz) + float(terrain_origin[1])
+    n = terr.sample_normal(terrain_bank, terrain_id, px, pz)
+    depth = hy - gc.point[..., 1, :]
+    if shape_np is None:
+        shape_np = np.asarray(shape)
+    valid = jnp.asarray(candidate_slot_mask(shape_np, slots_per_body))
+    active = (depth > 0.0) & dyn_mask[..., gc.body_a] & valid
+    return Contacts(body_a=gc.body_a, body_b=gc.body_b, point=gc.point,
+                    normal=-n, depth=depth, active=active)
+
+
+def raycast_boxes(origin, direction, pos, rot, half_extents, mask):
+    """Batched ray vs all OBBs → (hit any, t_min, body index)."""
+    inv_rot = lm.quat_conjugate(rot, axis=AX)
+    o_local = lm.quat_rotate(inv_rot, origin[..., :, None] - pos, axis=AX)
+    d_local = lm.quat_rotate(inv_rot, jnp.broadcast_to(direction[..., :, None], pos.shape), axis=AX)
+    eps = 1e-9
+    d_safe = jnp.where(jnp.abs(d_local) < eps, jnp.where(d_local >= 0, eps, -eps), d_local)
+    t0 = (-half_extents - o_local) / d_safe
+    t1 = (half_extents - o_local) / d_safe
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=AX)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=AX)
+    hit = (tmax >= jnp.maximum(tmin, 0.0)) & mask
+    t = jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf)
+    idx = jnp.argmin(t, axis=-1)
+    tm = jnp.min(t, axis=-1)
+    return jnp.isfinite(tm), tm, idx.astype(jnp.int32)

@@ -49,6 +49,11 @@ class PhysicsState:
     vel: jnp.ndarray        # f32 [3, NB]
     angvel: jnp.ndarray     # f32 [3, NB]
     sleep: jnp.ndarray      # int32 [NB] calm-frame counter
+    # character controllers (≙ physics_module.cpp updateControllers)
+    ctrl_pos: jnp.ndarray   # f32 [3, C] capsule foot positions
+    ctrl_vel_y: jnp.ndarray  # f32 [C] manual gravity integration
+    ctrl_disp: jnp.ndarray  # f32 [3, C] pending move() displacement
+    ctrl_grounded: jnp.ndarray  # bool [C]
     counters: Dict[str, jnp.ndarray]
 
 
@@ -124,17 +129,46 @@ class PhysStatics:
                       module.system.ground_restitution)
         self.restitution = np.maximum(ra, rb).astype(np.float32)
 
-        # distance joints: static endpoint list
+        # joints: static endpoint lists (by type)
         j = module.joints
         jo = j.entity >= 0
+        jt = np.asarray(j.data["jtype"], np.int32)[jo]
         self.joint_a = np.asarray(j.data["body_a"], np.int32)[jo]
         self.joint_b = np.asarray(j.data["body_b"], np.int32)[jo]
         self.joint_len = np.asarray(j.data["length"], np.float32)[jo]
+        self.joint_type = jt
+        self.joint_anchor_a = np.asarray(j.data["anchor_a"], np.float32)[jo].T.copy()
+        self.joint_anchor_b = np.asarray(j.data["anchor_b"], np.float32)[jo].T.copy()
+        self.joint_axis = np.asarray(j.data["axis"], np.float32)[jo].T.copy()
+
+        # controllers
+        c = module.controllers
+        co = c.entity >= 0
+        self.ctrl_mask = co
+        self.ctrl_entity_slots = w.to_slots(c.entity)
+        self.ctrl_radius = np.asarray(c.data["radius"], np.float32)
+        self.ctrl_height = np.asarray(c.data["height"], np.float32)
+        self.ctrl_gravity = np.asarray(c.data["gravity"], np.float32)
+
+        # heightfield (first one wins; terrain bank from the renderer system)
+        self.heightfield_terrain = -1
+        self.heightfield_origin = (0.0, 0.0, 0.0)
+        hf = module.heightfields
+        for slot in range(hf.capacity):
+            e = int(hf.entity[slot])
+            if e >= 0:
+                self.heightfield_terrain = int(hf.data["terrain"][slot])
+                self.heightfield_origin = tuple(
+                    float(x) for x in module.world.get_global_transform(e)[0]
+                )
+                break
 
 
 class PhysicsModule(IModule):
     name = "physics"
-    COMPONENT_STORES = {"rigid_actor": "actors", "distance_joint": "joints"}
+    COMPONENT_STORES = {"rigid_actor": "actors", "distance_joint": "joints",
+                        "physics_controller": "controllers",
+                        "heightfield": "heightfields"}
 
     def __init__(self, world: World, system: "PhysicsSystem",
                  max_actors: int = 256, max_joints: int = 64,
@@ -159,8 +193,21 @@ class PhysicsModule(IModule):
             {"body_a": ((), np.int32, -1), "body_b": ((), np.int32, -1),
              # entity ids kept alongside slots so serialization can remap
              "ent_a": ((), np.int32, -1), "ent_b": ((), np.int32, -1),
-             "length": ((), np.float32, 1.0)},
+             # 0=distance 1=spherical(ball) 2=hinge 3=d6 (≙ physics_module.h joints)
+             "jtype": ((), np.int32, 0),
+             "length": ((), np.float32, 1.0),
+             "anchor_a": ((3,), np.float32, 0.0),
+             "anchor_b": ((3,), np.float32, 0.0),
+             "axis": ((3,), np.float32, (0.0, 1.0, 0.0))},
         )
+        # capsule character controllers (custom gravity, ≙ Controller component)
+        self.controllers = DenseStore(
+            32,
+            {"radius": ((), np.float32, 0.4), "height": ((), np.float32, 1.8),
+             "gravity": ((), np.float32, -9.81)},
+        )
+        # heightfield terrain collision (≙ Heightfield component)
+        self.heightfields = DenseStore(4, {"terrain": ((), np.int32, -1)})
         self.points_per_pair = points_per_pair
         self.ground_slots_per_body = ground_slots_per_body
         self.solver_iterations = solver_iterations
@@ -170,7 +217,8 @@ class PhysicsModule(IModule):
     # -- components ---------------------------------------------------------
 
     def component_types(self):
-        return ["rigid_actor", "distance_joint"]
+        return ["rigid_actor", "distance_joint", "spherical_joint",
+                "hinge_joint", "d6_joint", "physics_controller", "heightfield"]
 
     def create_component(self, entity: int, ctype: str, **props):
         self.invalidate_statics()
@@ -192,13 +240,26 @@ class PhysicsModule(IModule):
                 restitution=np.float32(props.get("restitution", 0.0)),
                 layer=np.int32(props.get("layer", 0)),
             )
-        elif ctype == "distance_joint":
+        elif ctype in ("distance_joint", "spherical_joint", "hinge_joint", "d6_joint"):
+            jtype = {"distance_joint": 0, "spherical_joint": 1,
+                     "hinge_joint": 2, "d6_joint": 3}[ctype]
             ea, eb = int(props["body_a"]), int(props["body_b"])
             ba = self.actors.slot_of(ea)
             bb = self.actors.slot_of(eb)
             self.joints.add(entity, body_a=np.int32(ba), body_b=np.int32(bb),
                             ent_a=np.int32(ea), ent_b=np.int32(eb),
-                            length=np.float32(props.get("length", 1.0)))
+                            jtype=np.int32(jtype),
+                            length=np.float32(props.get("length", 1.0)),
+                            anchor_a=np.asarray(props.get("anchor_a", (0.0,) * 3), np.float32),
+                            anchor_b=np.asarray(props.get("anchor_b", (0.0,) * 3), np.float32),
+                            axis=np.asarray(props.get("axis", (0.0, 1.0, 0.0)), np.float32))
+        elif ctype == "physics_controller":
+            self.controllers.add(entity,
+                                 radius=np.float32(props.get("radius", 0.4)),
+                                 height=np.float32(props.get("height", 1.8)),
+                                 gravity=np.float32(props.get("gravity", -9.81)))
+        elif ctype == "heightfield":
+            self.heightfields.add(entity, terrain=np.int32(props.get("terrain", 0)))
         else:
             raise KeyError(ctype)
 
@@ -206,8 +267,12 @@ class PhysicsModule(IModule):
         self.invalidate_statics()
         if ctype == "rigid_actor":
             self.actors.remove(entity)
-        elif ctype == "distance_joint":
+        elif ctype in ("distance_joint", "spherical_joint", "hinge_joint", "d6_joint"):
             self.joints.remove(entity)
+        elif ctype == "physics_controller":
+            self.controllers.remove(entity)
+        elif ctype == "heightfield":
+            self.heightfields.remove(entity)
 
     def invalidate_statics(self):
         self._statics = None
@@ -238,12 +303,22 @@ class PhysicsModule(IModule):
                 p, r, _ = self.world.get_global_transform(e)
                 pos[:, slot] = p
                 rot[:, slot] = r
+        nc = self.controllers.capacity
+        cpos = np.zeros((3, nc), np.float32)
+        for slot in range(nc):
+            e = int(self.controllers.entity[slot])
+            if e >= 0:
+                cpos[:, slot] = self.world.get_global_transform(e)[0]
         return PhysicsState(
             pos=jnp.asarray(pos),
             rot=jnp.asarray(rot),
             vel=jnp.zeros((3, nb), jnp.float32),
             angvel=jnp.zeros((3, nb), jnp.float32),
             sleep=jnp.zeros(nb, jnp.int32),
+            ctrl_pos=jnp.asarray(cpos),
+            ctrl_vel_y=jnp.zeros(nc, jnp.float32),
+            ctrl_disp=jnp.zeros((3, nc), jnp.float32),
+            ctrl_grounded=jnp.zeros(nc, bool),
             counters={"active_contacts": jnp.int32(0)},
         )
 
@@ -271,10 +346,19 @@ class PhysicsModule(IModule):
         shape = jnp.asarray(st.shape)
         radius = jnp.asarray(st.radius)
         he = jnp.asarray(st.half_extents)
-        gc = P.ground_contacts(pos, rot, shape, radius, he, dyn,
-                               ground_y=sys.ground_y,
-                               slots_per_body=self.ground_slots_per_body) \
-            if sys.ground_plane else None
+        if st.heightfield_terrain >= 0:
+            bank = self._terrain_bank()
+            gc = P.heightfield_contacts(pos, rot, shape, radius, he, dyn,
+                                        bank, st.heightfield_terrain,
+                                        st.heightfield_origin,
+                                        slots_per_body=self.ground_slots_per_body,
+                                        shape_np=st.shape)
+        elif sys.ground_plane:
+            gc = P.ground_contacts(pos, rot, shape, radius, he, dyn,
+                                   ground_y=sys.ground_y,
+                                   slots_per_body=self.ground_slots_per_body)
+        else:
+            gc = None
         contacts = None
         if len(st.pair_a):
             contacts = P.pair_contacts(pos, rot, st.shape, radius, he,
@@ -297,9 +381,9 @@ class PhysicsModule(IModule):
         else:
             n_active = jnp.int32(0)
 
-        # distance joints: simple velocity-level constraint (≙ PxDistanceJoint)
+        # joints (≙ PxDistanceJoint / PxSphericalJoint / PxRevoluteJoint / PxD6Joint)
         if len(st.joint_a):
-            vel = self._solve_distance_joints(pos, vel, st, dt_c)
+            vel, angvel = self._solve_joints(pos, rot, vel, angvel, st, dt_c)
 
         pos, rot = P.integrate_positions(pos, rot, vel, angvel, dt_c, dyn)
         vel, angvel, sleep, _ = P.update_sleep(vel, angvel, ms.sleep, dyn)
@@ -308,40 +392,164 @@ class PhysicsModule(IModule):
                         counters={**ms.counters, "active_contacts": n_active})
         return state.replace(modules={**state.modules, self.name: ms})
 
-    def _solve_distance_joints(self, pos, vel, st: PhysStatics, dt):
+    def _solve_joints(self, pos, rot, vel, angvel, st: PhysStatics, dt):
+        """Velocity-level joint constraints with positional Baumgarte bias.
+
+        distance: scalar along the anchor line (≙ PxDistanceJoint)
+        spherical/d6: anchors coincide — 3-axis point constraint with angular
+        response via r x imp (≙ PxSphericalJoint; d6 uses its locked-linear part)
+        hinge: spherical + angular velocity projected onto the hinge axis
+        (≙ PxRevoluteJoint without drives/limits yet)
+        """
         ja = jnp.asarray(st.joint_a)
         jb = jnp.asarray(st.joint_b)
-        pa = jnp.take(pos, ja, axis=-1)
-        pb = jnp.take(pos, jb, axis=-1)
-        d = pb - pa
-        dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-2), 1e-12))
-        n = d / dist[..., None, :]
-        err = dist - jnp.asarray(st.joint_len)
+        jt = st.joint_type  # static np
         im_a = jnp.asarray(st.inv_mass)[ja]
         im_b = jnp.asarray(st.inv_mass)[jb]
-        va = jnp.take(vel, ja, axis=-1)
-        vb = jnp.take(vel, jb, axis=-1)
-        vrel = jnp.sum((vb - va) * n, axis=-2)
-        lam = -(vrel + 0.2 * err / dt) / jnp.maximum(im_a + im_b, 1e-9)
-        imp = n * lam[..., None, :]
-        # static incidence scatter
         nbod = pos.shape[-1]
-        inc_a = np.zeros((nbod, len(st.joint_a)), np.float32)
-        inc_a[st.joint_a, np.arange(len(st.joint_a))] = 1.0
-        inc_b = np.zeros((nbod, len(st.joint_b)), np.float32)
-        inc_b[st.joint_b, np.arange(len(st.joint_b))] = 1.0
-        dva = -jnp.einsum("nc,...kc->...kn", jnp.asarray(inc_a), imp)
-        dvb = jnp.einsum("nc,...kc->...kn", jnp.asarray(inc_b), imp)
-        return vel + (dva + dvb) * jnp.asarray(st.inv_mass)[None, :]
+        nj = len(st.joint_a)
+        inc_a = np.zeros((nbod, nj), np.float32)
+        inc_a[st.joint_a, np.arange(nj)] = 1.0
+        inc_b = np.zeros((nbod, nj), np.float32)
+        inc_b[st.joint_b, np.arange(nj)] = 1.0
+        inc_a = jnp.asarray(inc_a)
+        inc_b = jnp.asarray(inc_b)
+        inv_mass = jnp.asarray(st.inv_mass)
+        iiw = P.inv_inertia_world_diag(rot, jnp.asarray(st.inv_inertia_body))
+        II_a = jnp.take(iiw, ja, axis=-1)
+        II_b = jnp.take(iiw, jb, axis=-1)
+
+        from lumixengine_tpu.core import math as lm
+
+        rot_a = jnp.take(rot, ja, axis=-1)
+        rot_b = jnp.take(rot, jb, axis=-1)
+        r_a = lm.quat_rotate(rot_a, jnp.asarray(st.joint_anchor_a), axis=-2)
+        r_b = lm.quat_rotate(rot_b, jnp.asarray(st.joint_anchor_b), axis=-2)
+        pa = jnp.take(pos, ja, axis=-1) + r_a
+        pb = jnp.take(pos, jb, axis=-1) + r_b
+
+        err_vec = pb - pa
+        is_dist = jnp.asarray(jt == 0)
+
+        # proper per-axis effective masses k_i = 1/m_a + 1/m_b +
+        # e_i·((I⁻¹(r×e_i))×r) for both bodies (same formula as contacts)
+        def ang_term(r, d, II):
+            rxd = lm.cross(r, d, axis=-2)
+            return jnp.sum(lm.cross(II * rxd, r, axis=-2) * d, axis=-2)
+
+        basis = [jnp.zeros_like(err_vec).at[..., i, :].set(1.0) for i in range(3)]
+        k_axes = jnp.stack([
+            im_a + im_b + ang_term(r_a, e, II_a) + ang_term(r_b, e, II_b)
+            for e in basis
+        ], axis=-2)  # [..,3,NJ]
+
+        # distance direction/error (fixed over the mini-iterations)
+        dvec = err_vec
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, axis=-2), 1e-12))
+        n = dvec / dist[..., None, :]
+        err_d = dist - jnp.asarray(st.joint_len)
+        k_n = im_a + im_b + ang_term(r_a, n, II_a) + ang_term(r_b, n, II_b)
+
+        beta = 0.1
+        relax = 0.6
+        for _ in range(4):  # mini Gauss-Seidel over the joint set
+            va = jnp.take(vel, ja, axis=-1) + lm.cross(jnp.take(angvel, ja, axis=-1), r_a, axis=-2)
+            vb = jnp.take(vel, jb, axis=-1) + lm.cross(jnp.take(angvel, jb, axis=-1), r_b, axis=-2)
+            vrel = vb - va
+            vn = jnp.sum(vrel * n, axis=-2)
+            lam_d = -(vn + beta * err_d / dt) / jnp.maximum(k_n, 1e-9) * relax
+            imp_dist = n * lam_d[..., None, :]
+            imp_point = -(vrel + beta * err_vec / dt) / jnp.maximum(k_axes, 1e-9) * relax
+            imp = jnp.where(jnp.expand_dims(is_dist, -2), imp_dist, imp_point)
+            dva = -jnp.einsum("nc,...kc->...kn", inc_a, imp)
+            dvb = jnp.einsum("nc,...kc->...kn", inc_b, imp)
+            vel = vel + (dva + dvb) * inv_mass[None, :]
+            ta = -jnp.einsum("nc,...kc->...kn", inc_a, lm.cross(r_a, imp, axis=-2))
+            tb = jnp.einsum("nc,...kc->...kn", inc_b, lm.cross(r_b, imp, axis=-2))
+            angvel = angvel + (ta + tb) * iiw
+
+        # hinge: remove relative angular velocity off-axis (drives/limits later)
+        hinge = np.nonzero(jt == 2)[0]
+        if hinge.size:
+            hj = jnp.asarray(hinge.astype(np.int32))
+            axis_w = lm.quat_rotate(jnp.take(rot_a, hj, axis=-1),
+                                    jnp.asarray(st.joint_axis[:, hinge]), axis=-2)
+            wa = jnp.take(angvel, ja[hj], axis=-1)
+            wb = jnp.take(angvel, jb[hj], axis=-1)
+            wrel = wb - wa
+            off_axis = wrel - axis_w * jnp.sum(wrel * axis_w, axis=-2)[..., None, :]
+            imw_a = jnp.take(iiw, ja[hj], axis=-1)
+            imw_b = jnp.take(iiw, jb[hj], axis=-1)
+            tau = -off_axis / jnp.maximum(imw_a + imw_b, 1e-9)
+            inc_ah = inc_a[:, hinge]
+            inc_bh = inc_b[:, hinge]
+            ta2 = -jnp.einsum("nc,...kc->...kn", inc_ah, tau)
+            tb2 = jnp.einsum("nc,...kc->...kn", inc_bh, tau)
+            angvel = angvel + (ta2 + tb2) * iiw
+        return vel, angvel
+
+    def _terrain_bank(self):
+        rmod = self.world.modules.get("renderer")
+        return rmod.system.terrains.bank if rmod is not None else None
+
+    def move_controller(self, state: WorldState, entity: int, disp) -> WorldState:
+        """Queue a controller displacement (≙ PhysicsModule::moveController)."""
+        slot = self.controllers.slot_of(entity)
+        ms: PhysicsState = state.modules[self.name]
+        ms = ms.replace(ctrl_disp=ms.ctrl_disp.at[..., :, slot].add(jnp.asarray(disp, jnp.float32)))
+        return state.replace(modules={**state.modules, self.name: ms})
+
+    def _update_controllers(self, state: WorldState, ms: PhysicsState, dt):
+        """≙ physics_module.cpp updateControllers: manual gravity integration
+        + move + ground clamp."""
+        st = self.statics()
+        if not st.ctrl_mask.any():
+            return state, ms
+        mask = jnp.asarray(st.ctrl_mask)
+        vy = ms.ctrl_vel_y + jnp.asarray(st.ctrl_gravity) * dt
+        pos = ms.ctrl_pos + ms.ctrl_disp
+        pos = pos.at[..., 1, :].add(vy * dt)
+        # ground/terrain clamp at the capsule foot
+        if st.heightfield_terrain >= 0:
+            from lumixengine_tpu.renderer import terrain as terr
+
+            bank = self._terrain_bank()
+            ox, oy, oz = st.heightfield_origin
+            gy = terr.sample_height(bank, st.heightfield_terrain,
+                                    pos[..., 0, :] - ox, pos[..., 2, :] - oz) + oy
+        else:
+            gy = jnp.full(pos.shape[:-2] + pos.shape[-1:], self.system.ground_y)
+        below = pos[..., 1, :] <= gy
+        grounded = below & mask
+        pos = pos.at[..., 1, :].set(jnp.where(below, gy, pos[..., 1, :]))
+        vy = jnp.where(grounded, 0.0, vy)
+        ms = ms.replace(ctrl_pos=jnp.where(mask[None, :], pos, ms.ctrl_pos),
+                        ctrl_vel_y=jnp.where(mask, vy, ms.ctrl_vel_y),
+                        ctrl_disp=jnp.zeros_like(ms.ctrl_disp),
+                        ctrl_grounded=grounded)
+        # write controller entities' locals
+        act = np.nonzero(st.ctrl_mask)[0].astype(np.int32)
+        if act.size:
+            eslots = jnp.asarray(st.ctrl_entity_slots[act])
+            cols = jnp.asarray(act)
+            local = state.local.replace(
+                pos=state.local.pos.at[..., :, eslots].set(jnp.take(ms.ctrl_pos, cols, axis=-1))
+            )
+            state = state.replace(local=local)
+        return state, ms
 
     def update(self, state: WorldState, dt) -> WorldState:
         """≙ physics_module.cpp update → updateDynamicActors: write simulated
-        poses back into entity transforms (locals; propagation follows)."""
+        poses back into entity transforms (locals; propagation follows) +
+        step character controllers."""
         st = self.statics()
         ms: PhysicsState = state.modules[self.name]
+        state, ms = self._update_controllers(state, ms, jnp.asarray(dt, jnp.float32))
+        state = state.replace(modules={**state.modules, self.name: ms})
         dyn_cols = np.nonzero(st.dyn_mask)[0].astype(np.int32)  # static, unique
         if dyn_cols.size == 0:
             return state
+        ms = state.modules[self.name]
         eslots = jnp.asarray(st.entity_slots[dyn_cols])
         cols = jnp.asarray(dyn_cols)
         local = state.local.replace(

@@ -1,0 +1,155 @@
+"""Extended physics: capsules, character controllers, joints, heightfields."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.test_physics import build_world, step_n
+
+
+def test_capsule_rests_on_ground():
+    engine, world, phys = build_world()
+    e = world.create_entity(position=(0.0, 3.0, 0.0))
+    world.create_component(e, "rigid_actor", motion="dynamic", shape="capsule",
+                           radius=0.3, half_extents=(0.3, 0.5, 0.3))  # hh=0.5
+    state = world.device_state()
+    state = step_n(engine, world, state, 300)
+    ms = state.modules["physics"]
+    slot = world.modules["physics"].actors.slot_of(e)
+    # resting: capsule bottom endpoint at radius above ground → center ≈ hh + r
+    y = float(ms.pos[1, slot])
+    assert abs(y - 0.8) < 0.1, y
+
+
+def test_capsule_sphere_collision():
+    engine, world, phys = build_world(gravity=(0.0, 0.0, 0.0))
+    phys.ground_plane = False
+    phys.linear_damping = 0.0
+    a = world.create_entity(position=(-2.0, 0.0, 0.0))
+    b = world.create_entity(position=(1.0, 0.0, 0.0))
+    world.create_component(a, "rigid_actor", motion="dynamic", shape="sphere",
+                           radius=0.5, friction=0.0)
+    world.create_component(b, "rigid_actor", motion="dynamic", shape="capsule",
+                           radius=0.4, half_extents=(0.4, 0.6, 0.4), friction=0.0)
+    pm = world.modules["physics"]
+    state = world.device_state()
+    ms = state.modules["physics"]
+    sa = pm.actors.slot_of(a)
+    ms = ms.replace(vel=ms.vel.at[0, sa].set(3.0))
+    state = state.replace(modules={**state.modules, "physics": ms})
+    state = step_n(engine, world, state, 90)
+    ms = state.modules["physics"]
+    # capsule got pushed, sphere slowed
+    assert float(ms.vel[0, pm.actors.slot_of(b)]) > 0.5
+    assert float(ms.vel[0, sa]) < 3.0
+
+
+def test_spherical_joint_pendulum():
+    engine, world, phys = build_world()
+    phys.ground_plane = False
+    pivot = world.create_entity(position=(0.0, 5.0, 0.0))
+    bob = world.create_entity(position=(1.5, 5.0, 0.0))
+    world.create_component(pivot, "rigid_actor", motion="static", shape="sphere", radius=0.1)
+    world.create_component(bob, "rigid_actor", motion="dynamic", shape="sphere",
+                           radius=0.2, mass=1.0)
+    j = world.create_entity()
+    world.create_component(j, "spherical_joint", body_a=pivot, body_b=bob,
+                           anchor_a=(0.0, 0.0, 0.0), anchor_b=(-1.5, 0.0, 0.0))
+    state = world.device_state()
+    pm = world.modules["physics"]
+    sb = pm.actors.slot_of(bob)
+    ys = []
+    step = engine.build_step(world, donate=False)
+    for i in range(240):
+        state = step(state, jnp.float32(1 / 60))
+        ys.append(float(state.modules["physics"].pos[1, sb]))
+    # bob swings below the pivot while the anchor distance stays ~1.5
+    p = np.asarray(state.modules["physics"].pos[:, sb])
+    anchor_world = p + np.array([-1.5, 0.0, 0.0]) @ np.eye(3) * 0  # anchor offset rotates; check distance instead
+    dist = np.linalg.norm(p - np.array([0.0, 5.0, 0.0]))
+    assert 1.0 < dist < 2.0, dist
+    assert min(ys) < 4.6  # swung down
+
+
+def test_hinge_joint_constrains_off_axis_spin():
+    engine, world, phys = build_world(gravity=(0.0, 0.0, 0.0))
+    phys.ground_plane = False
+    phys.angular_damping = 0.0
+    a = world.create_entity(position=(0.0, 0.0, 0.0))
+    b = world.create_entity(position=(1.0, 0.0, 0.0))
+    world.create_component(a, "rigid_actor", motion="static", shape="box",
+                           half_extents=(0.2, 0.2, 0.2))
+    world.create_component(b, "rigid_actor", motion="dynamic", shape="box",
+                           half_extents=(0.3, 0.3, 0.3))
+    j = world.create_entity()
+    world.create_component(j, "hinge_joint", body_a=a, body_b=b, axis=(0, 1, 0),
+                           anchor_a=(0.5, 0, 0), anchor_b=(-0.5, 0, 0))
+    pm = world.modules["physics"]
+    state = world.device_state()
+    ms = state.modules["physics"]
+    sb = pm.actors.slot_of(b)
+    # spin around x (off-axis) and y (the hinge axis)
+    ms = ms.replace(angvel=ms.angvel.at[:, sb].set(jnp.asarray([3.0, 2.0, 0.0])))
+    state = state.replace(modules={**state.modules, "physics": ms})
+    state = step_n(engine, world, state, 60)
+    w = np.asarray(state.modules["physics"].angvel[:, sb])
+    assert abs(w[0]) < 0.1    # off-axis spin killed
+    # spin about the hinge axis survives (partly converted to orbiting the
+    # anchor by the point constraint — correct hinge behavior)
+    assert w[1] > 0.2
+
+
+def test_character_controller_walks_and_grounds():
+    engine, world, phys = build_world()
+    c = world.create_entity(position=(0.0, 3.0, 0.0), name="player")
+    world.create_component(c, "physics_controller", radius=0.4, height=1.8)
+    pm = world.modules["physics"]
+    step = engine.build_step(world, donate=False)
+    state = world.device_state()
+    # fall to the ground under manual gravity
+    for _ in range(120):
+        state = step(state, jnp.float32(1 / 60))
+    ms = state.modules["physics"]
+    slot = pm.controllers.slot_of(c)
+    assert bool(ms.ctrl_grounded[slot])
+    assert abs(float(ms.ctrl_pos[1, slot])) < 1e-3
+    # move laterally
+    for _ in range(30):
+        state = pm.move_controller(state, c, (0.1, 0.0, 0.0))
+        state = step(state, jnp.float32(1 / 60))
+    ms = state.modules["physics"]
+    assert float(ms.ctrl_pos[0, slot]) > 2.5
+    # entity followed
+    np.testing.assert_allclose(float(state.world.pos[0, world.slot(c)]),
+                               float(ms.ctrl_pos[0, slot]), atol=1e-4)
+
+
+def test_heightfield_contacts():
+    from lumixengine_tpu import app as app_mod
+
+    engine = app_mod.create_full_engine(actors=8)
+    renderer = engine.system_manager.get_system("renderer_system")
+    hm = np.zeros((16, 16), np.float32)
+    hm[:, :] = 2.0  # flat plateau at y=2
+    tid = renderer.terrains.add(hm)
+    world = engine.create_world(capacity=16)
+    hf = world.create_entity(position=(-8.0, 0.0, -8.0))
+    world.create_component(hf, "heightfield", terrain=tid)
+    ball = world.create_entity(position=(0.0, 6.0, 0.0))
+    world.create_component(ball, "rigid_actor", motion="dynamic", shape="sphere", radius=0.5)
+    pm = world.modules["physics"]
+    state = world.device_state()
+    state = step_n(engine, world, state, 300)
+    ms = state.modules["physics"]
+    y = float(ms.pos[1, pm.actors.slot_of(ball)])
+    assert abs(y - 2.5) < 0.1, y  # rests on the plateau, not the y=0 plane
+
+
+def test_box_raycast():
+    from lumixengine_tpu.ops import physics_ops as P
+
+    pos = jnp.asarray(np.array([[0.0, 3.0], [0.0, 0.0], [-5.0, -9.0]], np.float32))
+    rot = jnp.zeros((4, 2)).at[3].set(1.0)
+    he = jnp.full((3, 2), 1.0)
+    hit, t, idx = P.raycast_boxes(jnp.zeros(3), jnp.asarray([0.0, 0.0, -1.0]),
+                                  pos, rot, he, jnp.asarray([True, True]))
+    assert bool(hit) and abs(float(t) - 4.0) < 1e-5 and int(idx) == 0
