@@ -237,6 +237,78 @@ class Switch(PoseNode):
 
 
 @dataclass
+class Blend2D(PoseNode):
+    """≙ nodes.h BLEND2D: children at 2D points, blended by two inputs.
+
+    Weighting: gradient-band interpolation over the point set (the reference
+    precomputes editor-side triangles; gradient bands give equivalent smooth
+    barycentric-like weights without a triangulation step)."""
+
+    value_x: ValueNode
+    value_y: ValueNode
+    children: Sequence[Tuple[Tuple[float, float], PoseNode]]  # ((x, y), node)
+
+    def children_nodes(self):
+        return [c for _, c in self.children]
+
+    def setup(self, ctrl):
+        for _, c in self.children:
+            c.setup(ctrl)
+
+    def advance(self, ctx):
+        for _, c in self.children:
+            c.advance(ctx)
+
+    def emit(self, ctx, weight):
+        px = self.value_x.eval(ctx)
+        py = self.value_y.eval(ctx)
+        pts = np.asarray([p for p, _ in self.children], np.float32)  # [C,2]
+        # gradient band: w_i = min_j (1 - clamp(dot(p-pi, pj-pi)/|pj-pi|^2))
+        ws = []
+        for i in range(len(pts)):
+            wi = None
+            dx_i = px - pts[i, 0]
+            dy_i = py - pts[i, 1]
+            for j in range(len(pts)):
+                if i == j:
+                    continue
+                ex = pts[j, 0] - pts[i, 0]
+                ey = pts[j, 1] - pts[i, 1]
+                denom = max(ex * ex + ey * ey, 1e-9)
+                h = jnp.clip(1.0 - (dx_i * ex + dy_i * ey) / denom, 0.0, 1.0)
+                wi = h if wi is None else jnp.minimum(wi, h)
+            ws.append(wi if wi is not None else jnp.ones_like(px))
+        total = sum(ws) + 1e-9
+        for (pt, child), w in zip(self.children, ws):
+            child.emit(ctx, weight * w / total)
+
+
+@dataclass
+class IKNode(PoseNode):
+    """≙ nodes.h IK: FABRIK toward a target read from 3 controller inputs,
+    alpha-blended (controller.cpp). Wraps a child pose; emits the child's
+    slots and records an IK request the module applies post compute_absolute."""
+
+    child: PoseNode
+    chain: Sequence[int]          # bone indices, root → effector
+    target_inputs: Tuple[int, int, int]  # input rows for target x/y/z
+    alpha: object = 1.0           # float, or int = input row index
+
+    def children_nodes(self):
+        return [self.child]
+
+    def setup(self, ctrl):
+        self.child.setup(ctrl)
+        ctrl.ik_requests.append(self)
+
+    def advance(self, ctx):
+        self.child.advance(ctx)
+
+    def emit(self, ctx, weight):
+        self.child.emit(ctx, weight)
+
+
+@dataclass
 class Layers(PoseNode):
     """≙ nodes.h LAYERS: base layer blended over by masked layers.
 
@@ -289,6 +361,7 @@ class Controller:
         self.root = root
         self.input_names = list(inputs)
         self._num_clocks = 0
+        self.ik_requests: List[IKNode] = []  # filled by IKNode.setup
         root.setup(self)
 
     def alloc_clock(self) -> int:

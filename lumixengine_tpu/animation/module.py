@@ -50,6 +50,15 @@ class AnimState:
     counters: Dict[str, jnp.ndarray]
 
 
+# (component, property) → RenderState field + index kind for fused property
+# animation (≙ PropertyAnimator applying to reflected properties each frame)
+_DEVICE_PROP_TARGETS = {
+    ("point_light", "intensity"): ("pl_intensity", "point_lights"),
+    ("point_light", "range"): ("pl_range", "point_lights"),
+    ("camera", "fov"): ("cam_fov", "cameras"),
+}
+
+
 class AnimStatics:
     """Trace-time constants: group layouts, slots, plans, inverse binds."""
 
@@ -64,13 +73,20 @@ class AnimStatics:
             return int(rmod.model_instances.get(entity, "model"))
 
         def skeleton_data(mid: int):
+            """Bone data padded to the clip bank's bone count (identity pads)."""
+            b = module.system.max_bones
+            parent = np.full(b, -1, np.int32)
+            ibp = np.zeros((3, b), np.float32)
+            ibr = np.tile(np.array([[0.0], [0.0], [0.0], [1.0]], np.float32), (1, b))
             mdl = models.get(mid) if models else None
             sk = mdl.skeleton if (mdl and mdl.skeleton) else None
-            if sk is None:
-                return (np.full(1, -1, np.int32), np.zeros((3, 1), np.float32),
-                        np.tile(np.array([[0.0], [0.0], [0.0], [1.0]], np.float32), 1))
-            ibp, ibr = sk.inverse_bind()
-            return sk.bone_parent, ibp.T.copy(), ibr.T.copy()
+            if sk is not None:
+                nb = min(sk.bone_count, b)
+                parent[:nb] = sk.bone_parent[:nb]
+                p, r = sk.inverse_bind()
+                ibp[:, :nb] = p[:nb].T
+                ibr[:, :nb] = r[:nb].T
+            return parent, ibp, ibr
 
         # animable groups by model
         self.an_groups = []
@@ -134,6 +150,7 @@ class AnimationModule(IModule):
             {"controller": ((), np.int32, -1)},
         )
         self.default_inputs = np.zeros((max_controller_inputs, max_animators), np.float32)
+        self.property_animators: Dict[int, list] = {}
         self.build_palettes = build_palettes
         self._statics: Optional[AnimStatics] = None
         self._statics_version = -1
@@ -161,9 +178,24 @@ class AnimationModule(IModule):
                 c = self.system.controllers[int(ctrl)]
                 self.default_inputs[c.input_index(name), slot] = np.float32(v)
         elif ctype == "property_animator":
-            # host-evaluated curve → reflected property (engine/reflection.py);
-            # registered via the property_anim module extension (round 2)
-            raise NotImplementedError("property_animator lands with reflection-driven curves")
+            # ≙ animation_module.cpp PropertyAnimators: keyframe curves driving
+            # reflected properties. Device-visible rows (point_light intensity/
+            # range, camera fov) are animated INSIDE the fused step via baked
+            # static curves + jnp.interp; other reflected props can be driven
+            # host-side through reflection.set_property.
+            curves = []
+            for cur in props.get("curves", []):
+                curves.append({
+                    "component": cur["component"],
+                    "property": cur["property"],
+                    "times": np.asarray(cur["times"], np.float32),
+                    "values": np.asarray(cur["values"], np.float32),
+                })
+                if (cur["component"], cur["property"]) not in _DEVICE_PROP_TARGETS:
+                    raise KeyError(
+                        f"property_animator target {cur['component']}.{cur['property']}"
+                        " has no device row (host-side reflection animation instead)")
+            self.property_animators[entity] = curves
         else:
             raise KeyError(ctype)
 
@@ -173,6 +205,8 @@ class AnimationModule(IModule):
             self.animables.remove(entity)
         elif ctype == "animator":
             self.animators.remove(entity)
+        elif ctype == "property_animator":
+            self.property_animators.pop(entity, None)
 
     def set_animator_input(self, entity: int, name: str, value: float) -> None:
         """Host-side default; runtime writes go through AnimState.ctrl_inputs."""
@@ -318,6 +352,29 @@ class AnimationModule(IModule):
             if acc_pos is None:
                 continue
             apos, arot = pose_ops.compute_absolute(acc_pos, acc_rot, g["plan"])
+
+            # IK passes (≙ controller.cpp IK in the blend stack): FABRIK on the
+            # chain joints in model space, alpha-blended, rotations re-aligned
+            for ik_node in ctrl.ik_requests:
+                from lumixengine_tpu.ops import ik as ik_ops
+
+                chain = np.asarray(ik_node.chain, np.int32)
+                tx = inputs_g[ik_node.target_inputs[0]]
+                ty = inputs_g[ik_node.target_inputs[1]]
+                tz = inputs_g[ik_node.target_inputs[2]]
+                target = jnp.stack([tx, ty, tz], axis=-2)
+                if isinstance(ik_node.alpha, int) and not isinstance(ik_node.alpha, bool):
+                    alpha = inputs_g[ik_node.alpha]
+                else:
+                    alpha = float(ik_node.alpha)
+                joints = apos[..., :, chain, :]
+                solved = ik_ops.apply_ik(joints, target, alpha)
+                deltas = ik_ops.chain_rotation_deltas(joints, solved)
+                apos = apos.at[..., :, chain, :].set(solved)
+                arot = arot.at[..., :, chain[:-1], :].set(
+                    lm.quat_mul(deltas, arot[..., :, chain[:-1], :], axis=-3)
+                )
+
             pool_cols = jnp.asarray(a1 + g["cols"])
             pose_pos = pose_pos.at[..., :, pool_cols].set(apos)
             pose_rot = pose_rot.at[..., :, pool_cols].set(arot)
@@ -382,7 +439,25 @@ class AnimationModule(IModule):
             an_time=an_time, pose_pos=pose_pos, pose_rot=pose_rot, palette=palette,
             counters={**ms.counters, "animated": total},
         )
-        return state.replace(modules={**state.modules, self.name: ms})
+        state = state.replace(modules={**state.modules, self.name: ms})
+
+        # property animators (≙ updatePropertyAnimators, serial in reference)
+        if self.property_animators and "renderer" in state.modules:
+            rmod = self.world.modules.get("renderer")
+            rs = state.modules["renderer"]
+            for e, curves in self.property_animators.items():
+                for cur in curves:
+                    field, store_name = _DEVICE_PROP_TARGETS[(cur["component"], cur["property"])]
+                    slot = getattr(rmod, store_name).slot_of(e)
+                    if slot < 0:
+                        continue
+                    times = cur["times"]
+                    dur = float(times[-1]) if len(times) else 1.0
+                    t = jnp.mod(state.time, jnp.float32(max(dur, 1e-6)))
+                    v = jnp.interp(t, jnp.asarray(times), jnp.asarray(cur["values"]))
+                    rs = rs.replace(**{field: getattr(rs, field).at[..., slot].set(v)})
+            state = state.replace(modules={**state.modules, "renderer": rs})
+        return state
 
 
 class AnimationSystem(ISystem):
