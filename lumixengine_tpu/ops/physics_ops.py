@@ -464,8 +464,15 @@ def solve_contacts(
     rest = jnp.asarray(restitution)
 
     def rel_vel(v, w):
-        va = jnp.take(v, ba, axis=-1) + lm.cross(jnp.take(w, ba, axis=-1), r_a, axis=AX)
-        vb = (jnp.take(v, bb, axis=-1) + lm.cross(jnp.take(w, bb, axis=-1), r_b, axis=AX)) * has_b[..., None, :]
+        # one fused take per side: [v|w] stacked to [6, NB]
+        vw = jnp.concatenate([v, w], axis=AX)
+        a6 = jnp.take(vw, ba, axis=-1)
+        b6 = jnp.take(vw, bb, axis=-1)
+        comp = a6.ndim + AX
+        va = jax.lax.slice_in_dim(a6, 0, 3, axis=comp) + lm.cross(
+            jax.lax.slice_in_dim(a6, 3, 6, axis=comp), r_a, axis=AX)
+        vb = (jax.lax.slice_in_dim(b6, 0, 3, axis=comp) + lm.cross(
+            jax.lax.slice_in_dim(b6, 3, 6, axis=comp), r_b, axis=AX)) * has_b[..., None, :]
         return vb - va
 
     # restitution target from pre-solve velocities
@@ -473,15 +480,17 @@ def solve_contacts(
     v_target = bias + jnp.where(vn0 < -0.5, -rest * vn0, 0.0)
 
     def apply_impulse(v, w, imp):
-        """imp [..,3,C] applied +imp to b, -imp to a via incidence matmuls."""
-        dva = -jnp.einsum("nc,...kc->...kn", inc_a, imp, preferred_element_type=jnp.float32)
-        dvb = jnp.einsum("nc,...kc->...kn", inc_b, imp, preferred_element_type=jnp.float32)
-        v = v + (dva + dvb) * jnp.asarray(inv_mass)[None, :]
-        ta = -jnp.einsum("nc,...kc->...kn", inc_a, lm.cross(r_a, imp, axis=AX),
-                         preferred_element_type=jnp.float32)
-        tb = jnp.einsum("nc,...kc->...kn", inc_b, lm.cross(r_b, imp, axis=AX),
-                        preferred_element_type=jnp.float32)
-        w = w + (ta + tb) * inv_inertia_world
+        """imp [..,3,C] applied +imp to b, -imp to a. One [impulse|torque]
+        6-row incidence matmul per side instead of four 3-row ones."""
+        six_a = jnp.concatenate([imp, lm.cross(r_a, imp, axis=AX)], axis=AX)
+        six_b = jnp.concatenate([imp, lm.cross(r_b, imp, axis=AX)], axis=AX)
+        acc = (
+            jnp.einsum("nc,...kc->...kn", inc_b, six_b, preferred_element_type=jnp.float32)
+            - jnp.einsum("nc,...kc->...kn", inc_a, six_a, preferred_element_type=jnp.float32)
+        )
+        comp = acc.ndim - 2
+        v = v + jax.lax.slice_in_dim(acc, 0, 3, axis=comp) * jnp.asarray(inv_mass)[None, :]
+        w = w + jax.lax.slice_in_dim(acc, 3, 6, axis=comp) * inv_inertia_world
         return v, w
 
     def body_fn(_, carry):

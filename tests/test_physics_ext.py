@@ -153,3 +153,38 @@ def test_box_raycast():
     hit, t, idx = P.raycast_boxes(jnp.zeros(3), jnp.asarray([0.0, 0.0, -1.0]),
                                   pos, rot, he, jnp.asarray([True, True]))
     assert bool(hit) and abs(float(t) - 4.0) < 1e-5 and int(idx) == 0
+
+
+def test_fused_pallas_solver_parity():
+    """solver_pallas is parity-exact with the jnp solver (interpret mode)."""
+    import jax
+    from lumixengine_tpu.ops import physics_ops as P
+    from lumixengine_tpu.ops.solver_pallas import solve_contacts_fused
+
+    engine, world, phys = build_world(actors=8)
+    for i in range(4):
+        e = world.create_entity(position=(i * 0.9, 1.0 + 0.4 * i, 0.0))
+        world.create_component(e, "rigid_actor", motion="dynamic",
+                               shape=["box", "sphere"][i % 2],
+                               half_extents=(0.5, 0.5, 0.5), radius=0.45)
+    pm = world.modules["physics"]
+    st = pm.statics()
+    ms = world.device_state().modules["physics"]
+    key = jax.random.PRNGKey(3)
+    vel = jax.random.normal(key, ms.vel.shape) * 0.5
+    ang = jax.random.normal(jax.random.fold_in(key, 1), ms.angvel.shape) * 0.2
+    shape = jnp.asarray(st.shape)
+    radius = jnp.asarray(st.radius)
+    he = jnp.asarray(st.half_extents)
+    dyn = jnp.asarray(st.dyn_mask)
+    gc = P.ground_contacts(ms.pos, ms.rot, shape, radius, he, dyn)
+    pc = P.pair_contacts(ms.pos, ms.rot, st.shape, radius, he, st.pair_a, st.pair_b)
+    c = P.concat_contacts(gc, pc)
+    iiw = P.inv_inertia_world_diag(ms.rot, jnp.asarray(st.inv_inertia_body))
+    args = (ms.pos, ms.rot, vel, ang, c, st.inv_mass, iiw,
+            st.incidence_a, st.incidence_b, 1 / 60, st.friction, st.restitution)
+    v1, w1 = P.solve_contacts(*args, iterations=8)
+    v2, w2 = solve_contacts_fused(*args, iterations=8, interpret=True)
+    # summation order differs (6-row fused accumulators) → fp-level tolerance
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=5e-3)

@@ -158,3 +158,21 @@ def test_draw_stream_record_and_replay():
     a.push("set_pass", name="A")
     s.merge()
     assert [c.args["name"] for c in s.commands] == ["A", "B"]
+
+
+def test_voxelizer_and_ao():
+    from lumixengine_tpu.renderer import voxels
+
+    # a unit quad in the xz plane at y=0
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 0, 1], [0, 0, 1]], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.int32)
+    grid, mins, cell = voxels.voxelize_triangles(verts, idx, resolution=8)
+    assert grid.any()
+    occ_y = np.nonzero(grid)[1]
+    assert occ_y.max() - occ_y.min() <= 1  # flat surface fills one y-slab
+    ao = voxels.occupancy_ao(grid, max_dist=2)
+    assert ao.shape == grid.shape
+    # cells adjacent to the surface slab see more occlusion than far corners
+    slab_y = int(np.nonzero(grid)[1][0])
+    probe_y = slab_y + 1 if slab_y + 1 < 8 else slab_y - 1
+    assert ao[4, probe_y, 4] > ao[7, 7, 7]
