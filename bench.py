@@ -92,10 +92,67 @@ def build(args):
     return run_steps, state_b
 
 
+def main_boxes(args):
+    """BASELINE config 3: 10k-box drop, single world, dynamic-pair pipeline."""
+    import numpy as np
+    from lumixengine_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from lumixengine_tpu.ops import physics_big as PB
+    from lumixengine_tpu.ops import physics_ops as P
+
+    nb = args.bodies if args.bodies != 64 else 10_000
+    rng = np.random.default_rng(0)
+    shape = np.full(nb, P.SHAPE_BOX, np.int32)
+    radius = np.full(nb, 0.5, np.float32)
+    he = np.full((3, nb), 0.5, np.float32)
+    dyn = np.ones(nb, bool)
+    inv_mass = np.ones(nb, np.float32)
+    iib = np.tile(np.full((1, nb), 1.0 / (1.0 / 12 * 2.0), np.float32), (3, 1))
+    fric = np.full(nb, 0.6, np.float32)
+    rest = np.zeros(nb, np.float32)
+    step = PB.make_big_world_step(shape, radius, he, dyn, inv_mass, iib, fric, rest,
+                                  neighbors=24)
+    side = int(np.ceil(nb ** (1 / 3)))
+    grid = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1).reshape(-1, 3)[:nb]
+    pos = jnp.asarray((grid * 1.1 + rng.uniform(0, 0.05, (nb, 3)) + [0.0, 2.0, 0.0]).T.astype(np.float32))
+    rot = jnp.zeros((4, nb)).at[3].set(1.0)
+    vel = jnp.zeros((3, nb))
+    ang = jnp.zeros((3, nb))
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run(carry, steps):
+        def body(i, c):
+            pos, rot, vel, ang, _ = step(c[0], c[1], c[2], c[3], jnp.float32(args.dt))
+            return (pos, rot, vel, ang, c[4])
+        pos, rot, vel, ang, _ = jax.lax.fori_loop(0, steps, body, carry)
+        return (pos, rot, vel, ang, jnp.int32(0)), jnp.sum(pos) + jnp.sum(vel)
+
+    carry = (pos, rot, vel, ang, jnp.int32(0))
+    carry, probe = run(carry, args.steps)
+    _ = float(probe)
+    best = float("inf")
+    for _ in range(max(args.trials, 1)):
+        t0 = time.perf_counter()
+        carry, probe = run(carry, args.steps)
+        _ = float(probe)
+        best = min(best, time.perf_counter() - t0)
+    value = nb * args.steps / best
+    print(json.dumps({
+        "metric": "body_steps_per_sec_per_chip",
+        "value": value,
+        "unit": "body-steps/s",
+        "vs_baseline": value / 1e8,
+        "config": {"config": "boxes", "bodies": nb, "steps": args.steps,
+                   "elapsed_s": round(best, 4), "backend": jax.default_backend()},
+    }))
+    return 0
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="full",
-                   choices=["full", "demo", "crowd", "particles"])
+                   choices=["full", "demo", "crowd", "particles", "boxes"])
     # 1024 worlds x 10240 entities saturates the chip while staying well clear
     # of HBM limits with all subsystems on; raise with --worlds on big-HBM parts
     p.add_argument("--worlds", type=int, default=1024)
@@ -111,6 +168,8 @@ def main():
         args.worlds = 1
         if args.particles == 2048:
             args.particles = 1_000_000
+    if args.config == "boxes":
+        return main_boxes(args)
 
     run_steps, state_b = build(args)
     dt = jnp.float32(args.dt)

@@ -233,7 +233,14 @@ def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
     # approximation for capsule-box/capsule-capsule manifolds)
     cap_a = shape_a == SHAPE_CAPSULE
     cap_b = shape_b == SHAPE_CAPSULE
-    if np.any(np.asarray(cap_a)) or np.any(np.asarray(cap_b)):
+    # static membership check when the pair list is static; with traced pair
+    # indices (physics_big.py) capsule handling is compiled unconditionally
+    if isinstance(shape, np.ndarray) and isinstance(pair_a, np.ndarray):
+        any_caps = bool(np.any(shape[pair_a] == SHAPE_CAPSULE)
+                        or np.any(shape[pair_b] == SHAPE_CAPSULE))
+    else:
+        any_caps = True
+    if any_caps:
         hh_a = he_a[..., 1, :]  # half_extents.y doubles as capsule half-height
         hh_b = he_b[..., 1, :]
         a0, a1 = capsule_segment(pos_a, rot_a, hh_a)
@@ -370,8 +377,12 @@ def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
     point = pts.reshape(pts.shape[:-2] + (c,))
     normal = ns.reshape(ns.shape[:-2] + (c,))
     depth = ds.reshape(ds.shape[:-2] + (c,))
-    body_a = np.tile(np.asarray(pair_a, np.int32), k)
-    body_b = np.tile(np.asarray(pair_b, np.int32), k)
+    if isinstance(pair_a, np.ndarray):
+        body_a = np.tile(np.asarray(pair_a, np.int32), k)
+        body_b = np.tile(np.asarray(pair_b, np.int32), k)
+    else:  # traced pair lists (dynamic broadphase)
+        body_a = jnp.tile(pair_a, k)
+        body_b = jnp.tile(pair_b, k)
     # slot layout: [k, P] flattened row-major → tile matches reshape order
     active = depth > 0.0
     nlen = jnp.sum(normal * normal, axis=AX)
