@@ -279,3 +279,50 @@ def instantiate_prefab(world, prefab: bytes, position=None, rotation=None) -> Li
             if world.get_parent(e) == -1:
                 world.set_local_transform(e, position=position, rotation=rotation)
     return created
+
+
+# -- device-state checkpoints (≙ SURVEY.md §5: "world state is a pytree of
+# arrays — checkpoint via orbax-style save of the SoA state + schema version")
+
+
+def save_checkpoint(state, path: str) -> None:
+    """Save a WorldState (or any engine pytree, incl. a vmapped world batch)
+    to disk: npz leaves + the treedef — exact sim-state resume."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    manifest = {"version": WORLD_VERSION, "treedef": str(treedef),
+                "n_leaves": len(leaves)}
+    payload = _pack_payload(manifest, arrays)
+    codec, compressed = _compress(payload)
+    header = b"LXTPUC" + pystruct.pack("<I", WORLD_VERSION) + codec + pystruct.pack(
+        "<II", len(payload), len(compressed))
+    with open(path, "wb") as f:
+        f.write(header + compressed)
+
+
+def load_checkpoint(path: str, like) -> "object":
+    """Restore a checkpoint into the structure of `like` (a template pytree
+    from World.device_state() — the treedef carrier; shapes must match)."""
+    import jax
+    import jax.numpy as jnp
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[:6] != b"LXTPUC":
+        raise ValueError("not a lumixengine_tpu checkpoint")
+    codec = blob[10:14]
+    raw_size, comp_size = pystruct.unpack_from("<II", blob, 14)
+    payload = _decompress(codec, blob[22 : 22 + comp_size], raw_size)
+    manifest, arrays = _unpack_payload(payload)
+    leaves_t, treedef = jax.tree_util.tree_flatten(like)
+    if manifest["n_leaves"] != len(leaves_t):
+        raise ValueError("checkpoint structure mismatch")
+    leaves = []
+    for i, tmpl in enumerate(leaves_t):
+        arr = arrays[f"leaf_{i}"]
+        if hasattr(tmpl, "shape") and tuple(tmpl.shape) != tuple(arr.shape):
+            raise ValueError(f"leaf {i} shape mismatch: {arr.shape} vs {tmpl.shape}")
+        leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -47,8 +47,9 @@ MAX_COMPONENT_TYPES = 64
 class WorldState:
     """Device-side world snapshot — everything one frame of simulation touches.
 
-    Leading axis of every array is the entity slot (static capacity). Under
-    ``vmap`` an extra leading world-batch axis is added to every leaf.
+    All arrays use the TPU SoA layout (core/math.py): component axis -2,
+    entity/lane axis MINOR, entity slots in topo-sorted order (static
+    capacity). Under ``vmap`` a leading world-batch axis is added per leaf.
     """
 
     alive: jnp.ndarray          # bool [N]

@@ -1,0 +1,91 @@
+"""Dynamic-pair (SAP) pipeline for large single worlds — BASELINE config 3."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lumixengine_tpu.ops import physics_big as PB
+from lumixengine_tpu.ops import physics_ops as P
+
+
+def make_scene(nb, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = np.full(nb, P.SHAPE_BOX, np.int32)
+    radius = np.full(nb, 0.5, np.float32)
+    he = np.full((3, nb), 0.5, np.float32)
+    dyn = np.ones(nb, bool)
+    inv_mass = np.ones(nb, np.float32)
+    iib = np.tile(np.full((1, nb), 6.0, np.float32), (3, 1))
+    fric = np.full(nb, 0.6, np.float32)
+    rest = np.zeros(nb, np.float32)
+    step = PB.make_big_world_step(shape, radius, he, dyn, inv_mass, iib,
+                                  fric, rest, neighbors=8)
+    pos = jnp.asarray(np.stack([
+        rng.uniform(-4, 4, nb), rng.uniform(1, 8, nb), rng.uniform(-4, 4, nb)
+    ]).astype(np.float32))
+    rot = jnp.zeros((4, nb)).at[3].set(1.0)
+    return jax.jit(step), pos, rot, jnp.zeros((3, nb)), jnp.zeros((3, nb))
+
+
+def test_sap_pairs_find_neighbors():
+    # three boxes: two overlapping, one far away
+    pos = jnp.asarray(np.array([[0.0, 0.6, 9.0], [0, 0, 0], [0, 0, 0]], np.float32))
+    rot = jnp.zeros((4, 3)).at[3].set(1.0)
+    he = jnp.full((3, 3), 0.5)
+    shape = jnp.full(3, P.SHAPE_BOX, jnp.int32)
+    radius = jnp.full(3, 0.5)
+    mn, mx = P.world_aabb(pos, rot, shape, radius, he)
+    pa, pb, ok = PB.sap_pairs(pos, mn, mx, neighbors=2)
+    pairs = {tuple(sorted((int(a), int(b)))) for a, b, o in
+             zip(np.asarray(pa), np.asarray(pb), np.asarray(ok)) if o}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_box_drop_settles_above_ground():
+    step, pos, rot, vel, ang = make_scene(32)
+    nact = None
+    for _ in range(300):
+        pos, rot, vel, ang, nact = step(pos, rot, vel, ang, jnp.float32(1 / 60))
+    ys = np.asarray(pos[1])
+    assert (ys > 0.3).all(), ys.min()          # nothing tunnels through
+    assert ys.max() < 8.0                       # everything fell
+    assert int(nact) > 0                        # resting contacts persist
+
+
+def test_dynamic_solver_matches_static_solver():
+    """Same contact set solved by both PGS variants → same velocities."""
+    from tests.test_physics import build_world
+
+    engine, world, phys = build_world(actors=8)
+    for i in range(5):
+        e = world.create_entity(position=(i * 0.9, 0.6 + 0.5 * i, 0.0))
+        world.create_component(e, "rigid_actor", motion="dynamic", shape="box",
+                               half_extents=(0.5, 0.5, 0.5), friction=0.5)
+    pm = world.modules["physics"]
+    st = pm.statics()
+    ms = world.device_state().modules["physics"]
+    key = jax.random.PRNGKey(5)
+    vel = jax.random.normal(key, ms.vel.shape) * 0.4
+    ang = jax.random.normal(jax.random.fold_in(key, 1), ms.angvel.shape) * 0.2
+    shape = jnp.asarray(st.shape)
+    radius = jnp.asarray(st.radius)
+    he = jnp.asarray(st.half_extents)
+    dyn = jnp.asarray(st.dyn_mask)
+    gc = P.ground_contacts(ms.pos, ms.rot, shape, radius, he, dyn)
+    pc = P.pair_contacts(ms.pos, ms.rot, st.shape, radius, he, st.pair_a, st.pair_b)
+    c = P.concat_contacts(gc, pc)
+    iiw = P.inv_inertia_world_diag(ms.rot, jnp.asarray(st.inv_inertia_body))
+    dt = 1 / 60
+    v1, w1 = P.solve_contacts(ms.pos, ms.rot, vel, ang, c, st.inv_mass, iiw,
+                              st.incidence_a, st.incidence_b, dt,
+                              st.friction, st.restitution, iterations=2)
+    has_b = jnp.asarray((c.body_b >= 0).astype(np.float32))
+    v2, w2 = PB.solve_contacts_dynamic(
+        ms.pos, vel, ang, jnp.asarray(st.inv_mass), iiw,
+        c.point, c.normal, c.depth, c.active,
+        jnp.asarray(np.maximum(c.body_a, 0)), jnp.asarray(np.maximum(c.body_b, 0)),
+        has_b, jnp.asarray(st.friction), jnp.asarray(st.restitution), dt,
+        iterations=2,
+    )
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=5e-3)

@@ -138,3 +138,19 @@ def test_not_a_blob():
     engine, world = build_small()
     with pytest.raises(ValueError):
         ser.deserialize_into(world, b"garbage")
+
+
+def test_device_state_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    engine, world = build_small()
+    step = engine.build_step(world, donate=False)
+    state = step(world.device_state(), jnp.float32(1 / 60))
+    path = str(tmp_path / "sim.ckpt")
+    ser.save_checkpoint(state, path)
+    restored = ser.load_checkpoint(path, world.device_state())
+    assert int(restored.frame) == 1
+    np.testing.assert_allclose(np.asarray(restored.world.pos),
+                               np.asarray(state.world.pos), atol=0)
+    # resume stepping from the checkpoint
+    out = step(restored, jnp.float32(1 / 60))
+    assert int(out.frame) == 2
