@@ -121,7 +121,10 @@ class DestroyEntitiesCommand(Command):
             frontier.extend(world.children_of(e))
         self._blob = serialize.serialize_world(world, entities=sorted(all_ids))
         self._ids = sorted(all_ids)
-        for e in self.entities:
+        # delete the whole subtree, children first (World.destroy_entity
+        # reparents children to root per reference semantics — an editor
+        # delete removes the hierarchy it captured)
+        for e in sorted(all_ids, key=lambda x: -world._level[x]):
             world.destroy_entity(e)
 
     def undo(self, world: World) -> None:
