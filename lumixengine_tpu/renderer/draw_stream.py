@@ -88,6 +88,16 @@ def record_frame(view, rs, module, stream: Optional[DrawStream] = None) -> DrawS
     anim = getattr(module.world.modules.get("animation"), "name", None)
     if anim:
         s.push(OP_BIND_PALETTES, source="animation.palette")
+    # instanced-model chunks that survived culling (≙ encodeInstancedModels)
+    st = module.statics()
+    if st.im_slots.size:
+        import numpy as _np
+
+        vis = _np.asarray(view.instanced_visible)
+        for i, e_slot in enumerate(st.im_slots):
+            if vis[i]:
+                s.push(OP_DRAW_INSTANCED, model=int(st.im_models[i]),
+                       chunk=i, source="instanced_model")
     s.push(OP_SET_PASS, name="transparent")
     for key, (entity, ps) in getattr(module, "particle_emitters", {}).items():
         s.push(OP_DRAW_PARTICLES, emitter=key)

@@ -54,6 +54,7 @@ class View:
     instance_model: jnp.ndarray  # int32 [K] model id in draw order
     visible_count: jnp.ndarray   # int32 scalar
     lights_visible: jnp.ndarray  # bool [L]
+    instanced_visible: jnp.ndarray  # bool [IM] — per instanced-model chunk
 
 
 class ViewStatics:
@@ -73,6 +74,25 @@ class ViewStatics:
         self.cam_slots = w.to_slots(module.cameras.entity)              # [C]
         self.pl_slots = w.to_slots(module.point_lights.entity)          # [L]
         self.pl_mask = self.pl_slots >= 0
+        # instanced-model chunks (≙ pipeline.cpp encodeInstancedModels):
+        # one bounding sphere per component over its instance blob
+        im_entities, im_models, im_centers, im_radii = [], [], [], []
+        for e, im in module.instanced_models.items():
+            pos = im["pos"]
+            if len(pos) == 0:
+                continue
+            center = pos.mean(axis=0)
+            mdl_r = float(np.asarray(bank.bounding_radius)[im["model"]])
+            r = float(np.linalg.norm(pos - center, axis=-1).max()) + mdl_r
+            im_entities.append(w.slot(e))
+            im_models.append(im["model"])
+            im_centers.append(center)
+            im_radii.append(r)
+        self.im_slots = np.asarray(im_entities, np.int32)
+        self.im_models = np.asarray(im_models, np.int32)
+        self.im_centers = (np.asarray(im_centers, np.float32).T.copy()
+                           if im_centers else np.zeros((3, 0), np.float32))
+        self.im_radii = np.asarray(im_radii, np.float32)
 
 
 def camera_frustum(ws: WorldState, rs, statics: ViewStatics, cam_slot: int) -> geom.Frustum:
@@ -159,7 +179,19 @@ def prepare_view(
         instance_model=jnp.take(model_ids, order),
         visible_count=jnp.sum(visible).astype(jnp.int32),
         lights_visible=_cull_lights(ws, rs, statics, frustum),
+        instanced_visible=_cull_instanced(ws, statics, frustum),
     )
+
+
+def _cull_instanced(ws: WorldState, statics: ViewStatics, frustum: geom.Frustum) -> jnp.ndarray:
+    """Chunk-sphere culling for InstancedModel components (the instance blob
+    is culled as one sphere in the owner entity's space)."""
+    if statics.im_slots.size == 0:
+        return jnp.zeros(0, bool)
+    eidx = jnp.asarray(np.maximum(statics.im_slots, 0))
+    owner = jnp.take(ws.world.pos, eidx, axis=-1)           # [..,3,IM]
+    centers = owner + jnp.asarray(statics.im_centers)
+    return geom.frustum_sphere_visible(frustum, centers, jnp.asarray(statics.im_radii))
 
 
 def _cull_lights(ws: WorldState, rs, statics: ViewStatics, frustum: geom.Frustum) -> jnp.ndarray:

@@ -176,3 +176,31 @@ def test_voxelizer_and_ao():
     slab_y = int(np.nonzero(grid)[1][0])
     probe_y = slab_y + 1 if slab_y + 1 < 8 else slab_y - 1
     assert ao[4, probe_y, 4] > ao[7, 7, 7]
+
+
+def test_instanced_model_chunk_culling():
+    engine, world = build_world()
+    rmod = world.modules["renderer"]
+    # chunk in front of the camera (cam at (0,2,10) looking -Z)
+    front = world.create_entity(position=(0, 0, -20))
+    world.create_component(front, "instanced_model", model="cube", count=3,
+                           positions=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32))
+    # chunk far behind the camera
+    behind = world.create_entity(position=(0, 0, 500))
+    world.create_component(behind, "instanced_model", model="cube", count=2,
+                           positions=np.zeros((2, 3), np.float32))
+    step = engine.build_step(world, extra=lambda ws, d: rmod.cull_pass(ws, d), donate=False)
+    state = step(world.device_state(), jnp.float32(1 / 60))
+    from lumixengine_tpu.renderer import pipeline as pipe
+    view = pipe.prepare_view(state, rmod)
+    vis = np.asarray(view.instanced_visible)
+    assert vis.shape == (2,)
+    st = rmod.statics()
+    by_slot = {int(s): i for i, s in enumerate(st.im_slots)}
+    assert vis[by_slot[world.slot(front)]]
+    assert not vis[by_slot[world.slot(behind)]]
+    # draw stream emits exactly the visible chunk
+    from lumixengine_tpu.renderer.draw_stream import record_frame
+    stream = record_frame(view, state.modules["renderer"], rmod)
+    im_draws = [c for c in stream.commands if c.args.get("source") == "instanced_model"]
+    assert len(im_draws) == 1
