@@ -15,10 +15,12 @@ by the module as one batched two-hot sampling matmul + sequential nlerp.
 Per-node clock state lives in the module state as rows of [T, A].
 
 Node semantics notes vs reference:
-  * Select/Switch here are hard switches (weight 1 winner); the reference
-    cross-fades over a transition time — planned (needs per-edge fade state).
-  * Inactive Animation nodes keep advancing their clocks (looping clips);
-    the reference resets a node's clock on enter().
+  * Select/Switch cross-fade over `blend_length` seconds (≙ the reference's
+    transition blending), tracking (current, previous, fade-elapsed) in state
+    rows; the newly entered subtree's Animation clocks reset on entry
+    (≙ PoseNode::enter()). blend_length=0 gives a hard switch.
+  * Inactive Animation nodes keep advancing their clocks while not selected
+    (the reference skips them; both are valid for looping clips).
 """
 from __future__ import annotations
 
@@ -187,12 +189,30 @@ class Blend1D(PoseNode):
             child.emit(ctx, weight * w)
 
 
+def _collect_clocks(node) -> List[int]:
+    out = []
+    if isinstance(node, AnimationNode) and node._clock >= 0:
+        out.append(node._clock)
+    for c in getattr(node, "children_nodes", lambda: [])():
+        out.extend(_collect_clocks(c))
+    return out
+
+
 @dataclass
 class Select(PoseNode):
-    """≙ nodes.h SELECT: integer-valued hard select among children."""
+    """≙ nodes.h SELECT: integer-valued select with cross-fade transitions.
+
+    State rows: current selection, previous selection, fade-elapsed seconds.
+    On selection change the fade restarts and the entered child subtree's
+    Animation clocks reset (≙ enter())."""
 
     value: ValueNode
     children: Sequence[PoseNode]
+    blend_length: float = 0.3
+    _cur: int = field(default=-1, init=False)
+    _prev: int = field(default=-1, init=False)
+    _fade: int = field(default=-1, init=False)
+    _child_clocks: list = field(default_factory=list, init=False)
 
     def children_nodes(self):
         return list(self.children)
@@ -200,40 +220,63 @@ class Select(PoseNode):
     def setup(self, ctrl):
         for c in self.children:
             c.setup(ctrl)
+        self._cur = ctrl.alloc_clock()
+        self._prev = ctrl.alloc_clock()
+        self._fade = ctrl.alloc_clock()
+        self._child_clocks = [_collect_clocks(c) for c in self.children]
 
     def advance(self, ctx):
         for c in self.children:
             c.advance(ctx)
+        v = jnp.round(self.value.eval(ctx)).astype(jnp.float32)
+        v = jnp.clip(v, 0, len(self.children) - 1)
+        cur = ctx.clocks[self._cur]
+        changed = v != cur
+        ctx.new_clocks[self._prev] = jnp.where(changed, cur, ctx.clocks[self._prev])
+        ctx.new_clocks[self._cur] = v
+        ctx.new_clocks[self._fade] = jnp.where(changed, 0.0, ctx.clocks[self._fade] + ctx.dt)
+        # enter(): reset entered subtree clocks where it just became current
+        for i, clocks in enumerate(self._child_clocks):
+            entered = changed & (v == i)
+            for ci in clocks:
+                ctx.new_clocks[ci] = jnp.where(entered, 0.0, ctx.new_clocks[ci])
 
     def emit(self, ctx, weight):
-        v = jnp.round(self.value.eval(ctx)).astype(jnp.int32)
+        cur = ctx.new_clocks[self._cur]
+        prev = ctx.new_clocks[self._prev]
+        if self.blend_length > 0:
+            f = jnp.clip(ctx.new_clocks[self._fade] / self.blend_length, 0.0, 1.0)
+        else:
+            f = jnp.ones(ctx.num_animators, jnp.float32)
         for i, c in enumerate(self.children):
-            c.emit(ctx, weight * (v == i).astype(jnp.float32))
+            w = (cur == i).astype(jnp.float32) * f + (prev == i).astype(jnp.float32) * (1.0 - f)
+            c.emit(ctx, weight * w)
 
 
 @dataclass
 class Switch(PoseNode):
-    """≙ nodes.h SWITCH: boolean hard switch."""
+    """≙ nodes.h SWITCH: boolean switch with the same cross-fade machinery."""
 
     cond: ValueNode
     on_true: PoseNode
     on_false: PoseNode
+    blend_length: float = 0.3
+    _sel: object = field(default=None, init=False)
 
     def children_nodes(self):
         return [self.on_true, self.on_false]
 
     def setup(self, ctrl):
-        self.on_true.setup(ctrl)
-        self.on_false.setup(ctrl)
+        self._sel = Select(Math("neq", self.cond, Const(0.0)),
+                           [self.on_false, self.on_true],
+                           blend_length=self.blend_length)
+        self._sel.setup(ctrl)
 
     def advance(self, ctx):
-        self.on_true.advance(ctx)
-        self.on_false.advance(ctx)
+        self._sel.advance(ctx)
 
     def emit(self, ctx, weight):
-        c = (self.cond.eval(ctx) != 0).astype(jnp.float32)
-        self.on_true.emit(ctx, weight * c)
-        self.on_false.emit(ctx, weight * (1.0 - c))
+        self._sel.emit(ctx, weight)
 
 
 @dataclass

@@ -123,3 +123,60 @@ def test_property_animator_drives_light_intensity():
     assert max(vals) > 8.0
     assert vals[10] < vals[29]
     assert vals[-1] < max(vals)
+
+
+def test_select_cross_fades_and_resets_clocks():
+    from lumixengine_tpu.animation.controller import Const, Select
+
+    engine = Engine()
+    engine.module_capacities = {"model_instances": 8, "animables": 4, "animators": 4}
+    renderer = RendererSystem(engine)
+    sk = make_humanoid_skeleton(8, seed=9)
+    renderer.add_model(Model(name="character", bounding_radius=1.0, skeleton=sk))
+    engine.add_system(renderer)
+    anim = AnimationSystem(engine, renderer=renderer)
+    anim.add_clip(make_walk_clip(sk, "a", frames=31, amplitude=0.2, seed=1))
+    anim.add_clip(make_walk_clip(sk, "b", frames=31, amplitude=0.6, seed=2))
+    ctrl = Controller("sel", anim.bank_statics,
+                      Select(Input(0), [AnimationNode(0), AnimationNode(1)],
+                             blend_length=0.2),
+                      inputs=["which"])
+    anim.add_controller(ctrl)
+    engine.add_system(anim)
+    world = engine.create_world(capacity=8)
+    e = world.create_entity()
+    world.create_component(e, "model_instance", model="character")
+    world.create_component(e, "animator", controller="sel", inputs={"which": 0.0})
+    step = engine.build_step(world, donate=False)
+    state = world.device_state()
+    amod = world.modules["animation"]
+    slot = amod.animators.slot_of(e)
+    col = amod.pool_col_animator(slot)
+    # settle on clip a for a few frames
+    for _ in range(10):
+        state = step(state, jnp.float32(1 / 30))
+    pose_a = np.asarray(state.modules["animation"].pose_rot[:, :, col])
+    clock_b_before = float(state.modules["animation"].ctrl_clocks[1, slot])
+    assert clock_b_before > 0.2  # b's clock has been free-running
+    # switch to clip b: mid-fade pose differs from both endpoints
+    ms = state.modules["animation"]
+    state = state.replace(modules={**state.modules, "animation": ms.replace(
+        ctrl_inputs=ms.ctrl_inputs.at[0, slot].set(1.0))})
+    state = step(state, jnp.float32(1 / 30))
+    # entered child's clock was reset (enter() semantics)
+    clock_b = float(state.modules["animation"].ctrl_clocks[1, slot])
+    assert clock_b < 0.05, clock_b
+    mid = np.asarray(state.modules["animation"].pose_rot[:, :, col])
+    assert not np.allclose(mid, pose_a, atol=1e-4)
+    # after the fade completes, selection is fully on b
+    for _ in range(12):
+        state = step(state, jnp.float32(1 / 30))
+    from lumixengine_tpu.ops import pose as pose_ops, sampling
+    t = float(state.modules["animation"].ctrl_clocks[1, slot])
+    p, r = sampling.sample_clips(anim.bank.table, jnp.asarray([t]), jnp.asarray([1]),
+                                 anim.bank_statics)
+    st = amod.statics()
+    apos, arot = pose_ops.compute_absolute(p, r, st.at_groups[0]["plan"])
+    final = np.asarray(state.modules["animation"].pose_rot[:, :, col])
+    dots = np.abs(np.sum(final * np.asarray(arot[:, :, 0]), axis=0))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-3)
