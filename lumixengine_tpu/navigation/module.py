@@ -94,6 +94,18 @@ class NavZone:
             return None
         if s == g:
             return np.asarray([self.to_world(*g)], np.float32)
+        # native A* core when built (≙ the reference's native Detour);
+        # Python fallback below is semantically identical
+        try:
+            from lumixengine_tpu.utils import native
+
+            if native.available():
+                cells = native.nav_astar(self.walkable, s[0], s[1], g[0], g[1])
+                if cells is None:
+                    return None
+                return self._prune_cells([tuple(c) for c in cells], max_waypoints)
+        except Exception:
+            pass
         open_q = [(0.0, s)]
         came: Dict[Tuple[int, int], Tuple[int, int]] = {}
         cost = {s: 0.0}
@@ -121,11 +133,16 @@ class NavZone:
                     came[(nx, nz)] = cur
         if not found:
             return None
-        # reconstruct + string-pull-lite (drop collinear)
         path = [g]
         while path[-1] != s:
             path.append(came[path[-1]])
         path.reverse()
+        return self._prune_cells(path, max_waypoints)
+
+    def _prune_cells(self, path, max_waypoints: int) -> np.ndarray:
+        """String-pull-lite: drop collinear cells, resample long paths."""
+        if len(path) == 1:
+            return np.asarray([self.to_world(*path[0])], np.float32)
         pruned = [path[0]]
         for i in range(1, len(path) - 1):
             a, b, c = pruned[-1], path[i], path[i + 1]

@@ -21,7 +21,8 @@ _lib = None
 _tried = False
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_ROOT, "csrc", "lz4_codec.cpp")
+_SRCS = [os.path.join(_ROOT, "csrc", "lz4_codec.cpp"),
+         os.path.join(_ROOT, "csrc", "nav_astar.cpp")]
 _OUT_DIR = os.path.join(_ROOT, ".native_cache")
 _OUT = os.path.join(_OUT_DIR, "liblxt_native.so")
 
@@ -29,9 +30,11 @@ _OUT = os.path.join(_OUT_DIR, "liblxt_native.so")
 def _build() -> bool:
     try:
         os.makedirs(_OUT_DIR, exist_ok=True)
-        if os.path.exists(_OUT) and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC):
+        srcs = [s for s in _SRCS if os.path.exists(s)]
+        newest = max(os.path.getmtime(s) for s in srcs)
+        if os.path.exists(_OUT) and os.path.getmtime(_OUT) >= newest:
             return True
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _OUT]
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *srcs, "-o", _OUT]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -57,6 +60,12 @@ def _load():
             lib.lxt_lz4_decompress.restype = ctypes.c_int
             lib.lxt_lz4_decompress.argtypes = [
                 ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int
+            ]
+            lib.lxt_nav_astar.restype = ctypes.c_int
+            lib.lxt_nav_astar.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ]
             _lib = lib
         except Exception:
@@ -89,3 +98,21 @@ def lz4_decompress(data: bytes, raw_size: int) -> bytes:
     if n != raw_size:
         raise RuntimeError(f"lz4 decompress failed ({n} != {raw_size})")
     return out.raw
+
+
+def nav_astar(walkable, sx: int, sz: int, gx: int, gz: int, max_cells: int = 65536):
+    """Native grid A* (≙ Detour findPath). walkable: bool [H, W].
+    Returns int32 [L, 2] (x, z) cells start→goal, or None."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native pathfinder unavailable")
+    w8 = np.ascontiguousarray(walkable, dtype=np.uint8)
+    h, w = w8.shape
+    out = (ctypes.c_int32 * (2 * max_cells))()
+    n = lib.lxt_nav_astar(w8.tobytes(), w, h, int(sx), int(sz), int(gx), int(gz),
+                          out, max_cells)
+    if n < 0:
+        return None
+    return np.ctypeslib.as_array(out)[: 2 * n].reshape(n, 2).copy()
