@@ -14,7 +14,10 @@ from typing import Callable, Optional, Sequence
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 WORLD_AXIS = "worlds"
 
@@ -68,7 +71,7 @@ def build_sharded_step(
         mesh=mesh,
         in_specs=(spec_in, P()),
         out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )
     if donate:
         return jax.jit(fn, donate_argnums=0)
