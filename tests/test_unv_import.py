@@ -1,0 +1,62 @@
+"""`.unv` world importer: every demo map must parse byte-exact (the parser
+raises on trailing bytes, so a pass means full-format coverage).
+≙ reference world.cpp serialize format + each module's serialize."""
+import glob
+import os
+
+import pytest
+
+from lumixengine_tpu.importers import unv
+
+MAPS = sorted(glob.glob("/root/reference/demo/maps/*/*.unv"))
+
+pytestmark = pytest.mark.skipif(not MAPS, reason="reference demo maps not present")
+
+
+@pytest.mark.parametrize("path", MAPS, ids=[os.path.basename(p) for p in MAPS])
+def test_map_parses_byte_exact(path):
+    scene = unv.load_unv(path)
+    assert len(scene["entities"]) > 0
+    ids = {e["entity"] for e in scene["entities"]}
+    for h in scene["hierarchy"]:
+        assert h["entity"] in ids
+        if h["parent"] != -1:
+            assert h["parent"] in ids
+
+
+def test_anim_stress_contents():
+    s = unv.load_unv("/root/reference/demo/maps/anim_stress_test/anim_stress_test.unv")
+    assert len(s["entities"]) == 5627
+    mi = s["renderer"]["model_instances"]
+    assert sum(1 for m in mi if m["model"] == "models/ybot/ybot.fbx") == 5625
+    assert len(s["animation"]["animables"]) == 5625
+    # every animable references a .fbx-embedded clip
+    assert all(a["animation"].startswith(".ani:") for a in s["animation"]["animables"])
+
+
+def test_physics_stress_contents():
+    s = unv.load_unv("/root/reference/demo/maps/physics_stress_test/physics_stress_test.unv")
+    actors = s["physics"]["actors"]
+    assert len(actors) == 5881
+    dyn = [a for a in actors if a["dynamic_type"] == 1]
+    assert len(dyn) > 5000
+    # every dynamic actor carries a box geom with half extents
+    g = dyn[0]["geoms"][0]
+    assert g["type"] == 3 and len(g["half_extents"]) == 3
+
+
+def test_demo_contents():
+    s = unv.load_unv("/root/reference/demo/maps/demo/demo.unv")
+    kinds = {j["kind"] for j in s["physics"]["joints"]}
+    assert kinds == {"spherical", "hinge"}
+    assert len(s["gui"]["rects"]) > 0
+    assert len(s["lua_script"]["scripts"]) > 0
+    assert s["names"]  # entities have names
+
+
+def test_particles_map_scripts():
+    s = unv.load_unv("/root/reference/demo/maps/particles/particles.unv")
+    res = {p["resource"] for p in s["renderer"]["particle_emitters"]}
+    assert "maps/particles/fireworks.pat" in res
+    assert "maps/particles/ribbons.pat" in res
+    assert "maps/particles/mesh_particle.pat" in res
