@@ -1,0 +1,664 @@
+"""Instantiate a parsed `.unv` scene dict (importers/unv.py) into an Engine +
+World — the analog of the reference's World::deserialize + per-module
+deserialize (world.cpp:899, each module's deserialize) driven by the Runner's
+loadWorld (app/main.cpp:118).
+
+Asset references (.fbx models, .ani clips, .act controllers, .pat particle
+scripts, heightmaps) resolve through ``SceneAssets``: real data when an
+importer for the format exists and the file is found under ``data_dirs``,
+placeholder resources otherwise (counted in the report, so tests can assert
+exactly what loaded for real).
+
+Entity ids are remapped via an EntityMap like the reference's additive load
+(world.h:35-44): scene entity id -> our World entity id.
+"""
+from __future__ import annotations
+
+import os
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from lumixengine_tpu.core import host_math as hm
+
+
+def _u32_color(c: int) -> Tuple[float, float, float, float]:
+    """ABGR u32 (imgui convention used by the reference) -> rgba floats."""
+    return ((c & 0xFF) / 255.0, ((c >> 8) & 0xFF) / 255.0,
+            ((c >> 16) & 0xFF) / 255.0, ((c >> 24) & 0xFF) / 255.0)
+
+
+class SceneAssets:
+    """Resolves the scene's asset paths against real importers + search dirs;
+    falls back to procedural placeholders (reported)."""
+
+    def __init__(self, renderer, anim=None, audio_system=None,
+                 data_dirs: Tuple[str, ...] = (), report: Optional[Counter] = None):
+        self.renderer = renderer
+        self.anim = anim
+        self.audio_system = audio_system
+        self.data_dirs = tuple(data_dirs)
+        self.report = report if report is not None else Counter()
+        self._model_ids: Dict[str, int] = {}
+        self._clip_ids: Dict[str, int] = {}
+        self._ctrl_ids: Dict[str, int] = {}
+        self._audio_ids: Dict[str, int] = {}
+        self._skinned_paths: set = set()
+        self._fbx_cache: Dict[str, Any] = {}
+
+    def find_file(self, path: str) -> Optional[str]:
+        for d in self.data_dirs:
+            p = os.path.join(d, path)
+            if os.path.isfile(p):
+                return p
+        return None
+
+    def mark_skinned(self, path: str) -> None:
+        self._skinned_paths.add(path)
+
+    # -- models ---------------------------------------------------------------
+
+    def _load_fbx(self, path: str):
+        """Parsed FBX document cache (None if unavailable/unparseable)."""
+        if path in self._fbx_cache:
+            return self._fbx_cache[path]
+        doc = None
+        real = self.find_file(path)
+        if real is not None:
+            try:
+                from lumixengine_tpu.importers import fbx
+
+                doc = fbx.load_fbx(real)
+            except Exception:
+                doc = None
+        self._fbx_cache[path] = doc
+        return doc
+
+    def model_id(self, path: str) -> int:
+        if path in self._model_ids:
+            return self._model_ids[path]
+        from lumixengine_tpu.renderer.model import Model, make_humanoid_skeleton
+
+        model = None
+        doc = self._load_fbx(path)
+        if doc is not None:
+            try:
+                from lumixengine_tpu.importers import fbx
+
+                model = fbx.to_model(doc, name=path)
+                self.report["model_fbx"] += 1
+            except Exception:
+                model = None
+        if model is None:
+            skeleton = None
+            if path in self._skinned_paths:
+                skeleton = make_humanoid_skeleton(32, seed=abs(hash(path)) % 2**31)
+            base = os.path.basename(path).lower()
+            radius = {"cube.fbx": 0.87, "plane.fbx": 100.0, "sphere.fbx": 0.5}.get(base, 1.2)
+            model = Model(name=path, bounding_radius=radius, skeleton=skeleton)
+            self.report["model_placeholder"] += 1
+        self._model_ids[path] = self.renderer.add_model(model)
+        return self._model_ids[path]
+
+    def model_skeleton(self, path: str):
+        mid = self.model_id(path)
+        return self.renderer.models.get(mid).skeleton
+
+    # -- animation clips -------------------------------------------------------
+
+    def clip_id(self, anim_path: str, model_path: str) -> int:
+        """Resolve `.ani:models/x.fbx`-style animation refs (FBX-embedded
+        takes) or bare paths into the clip bank."""
+        key = anim_path
+        if key in self._clip_ids:
+            return self._clip_ids[key]
+        sk = self.model_skeleton(model_path)
+        if sk is None:
+            from lumixengine_tpu.renderer.model import make_humanoid_skeleton
+
+            sk = make_humanoid_skeleton(32, seed=3)
+        fbx_path = anim_path.split(":", 1)[1] if ":" in anim_path else anim_path
+        clip = None
+        doc = self._load_fbx(fbx_path)
+        if doc is not None:
+            try:
+                from lumixengine_tpu.importers import fbx
+
+                clip = fbx.to_clip(doc, sk, name=anim_path)
+                self.report["clip_fbx"] += 1
+            except Exception:
+                clip = None
+        if clip is None:
+            from lumixengine_tpu.animation.animation import make_walk_clip
+
+            clip = make_walk_clip(sk, anim_path, frames=25, fps=30.0,
+                                  amplitude=0.3, seed=abs(hash(anim_path)) % 2**31)
+            self.report["clip_placeholder"] += 1
+        self._clip_ids[key] = self.anim.add_clip(clip)
+        return self._clip_ids[key]
+
+    # -- controllers (.act) ----------------------------------------------------
+
+    def controller_id(self, path: str, model_path: str) -> int:
+        if path in self._ctrl_ids:
+            return self._ctrl_ids[path]
+        cid = None
+        real = self.find_file(path)
+        if real is not None:
+            try:
+                from lumixengine_tpu.importers import act
+
+                cid = act.load_controller(real, self, model_path)
+                self.report["controller_act"] += 1
+            except Exception:
+                cid = None
+        if cid is None:
+            from lumixengine_tpu.animation.controller import AnimationNode, Controller
+
+            clip0 = self.clip_id(f".ani:{model_path}", model_path)
+            ctrl = Controller(path, self.anim.bank_statics, AnimationNode(clip0))
+            cid = self.anim.add_controller(ctrl)
+            self.report["controller_placeholder"] += 1
+        self._ctrl_ids[path] = cid
+        return cid
+
+    # -- particle scripts -------------------------------------------------------
+
+    def particle_script(self, path: str) -> Optional[str]:
+        """Register the .pat source under its path name; None if unusable."""
+        if path in self.renderer.particle_scripts:
+            return path
+        real = self.find_file(path)
+        if real is None:
+            self.report["particle_missing"] += 1
+            return None
+        try:
+            with open(real, "r", errors="replace") as f:
+                src = f.read()
+            imports = {}
+            base = os.path.dirname(real)
+            for fn in os.listdir(base):
+                if fn.endswith(".pih"):
+                    with open(os.path.join(base, fn), "r", errors="replace") as g:
+                        imports[fn] = g.read()
+            self.renderer.add_particle_script(path, src, imports=imports)
+            # compile now so failures are counted here, not at component create
+            self.renderer.particle_system(path)
+            self.report["particle_ok"] += 1
+            return path
+        except Exception:
+            self.renderer.particle_scripts.pop(path, None)
+            self.report["particle_failed"] += 1
+            return None
+
+    # -- audio clips -------------------------------------------------------------
+
+    def audio_clip_id(self, path: str) -> int:
+        if path in self._audio_ids:
+            return self._audio_ids[path]
+        from lumixengine_tpu.audio.module import AudioClip
+
+        rate = 44100
+        data = np.zeros(rate // 10, np.float32)  # placeholder (wav importer later)
+        self.report["audio_placeholder"] += 1
+        self._audio_ids[path] = self.audio_system.add_clip(
+            AudioClip(name=path, samples=data, rate=rate))
+        return self._audio_ids[path]
+
+
+@dataclass
+class InstantiatedScene:
+    engine: Any
+    world: Any
+    emap: Dict[int, int]
+    report: Counter
+    assets: SceneAssets
+    skipped: List[str] = field(default_factory=list)
+
+
+DEFAULT_DATA_DIRS = ("/root/reference/demo", "/root/reference/data")
+
+
+def build_engine_for_scene(scene: Dict[str, Any],
+                           data_dirs: Tuple[str, ...] = DEFAULT_DATA_DIRS):
+    """Create an Engine with every system the scene's module list needs,
+    capacities sized from the scene (≙ createAllStatic + project systems)."""
+    from lumixengine_tpu.animation.module import AnimationSystem
+    from lumixengine_tpu.audio.module import AudioSystem
+    from lumixengine_tpu.engine.core_module import CoreSystem
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.gui.module import GuiSystem
+    from lumixengine_tpu.navigation.module import NavigationSystem
+    from lumixengine_tpu.physics.module import PhysicsSystem
+    from lumixengine_tpu.renderer.render_module import RendererSystem
+    from lumixengine_tpu.script.module import ScriptSystem
+
+    engine = Engine()
+    r = scene.get("renderer", {})
+    a = scene.get("animation", {})
+    p = scene.get("physics", {})
+    n_ents = max(len(scene["entities"]), 1)
+    engine.module_capacities = {
+        "model_instances": max(len(r.get("model_instances", [])) + 8, 16),
+        "cameras": max(len(r.get("cameras", [])) + 1, 4),
+        "point_lights": max(len(r.get("point_lights", [])) + 4, 8),
+        "actors": max(len(p.get("actors", [])) + 4, 8),
+        "joints": max(len(p.get("joints", [])) + 4, 8),
+        "animables": max(len(a.get("animables", [])) + 4, 8),
+        "animators": max(len(a.get("animators", [])) + 4, 8),
+        "nav_agents": max(len(scene.get("navigation", {}).get("agents", [])) + 4, 8),
+        "gui_rects": max(len(scene.get("gui", {}).get("rects", [])) + 4, 8),
+        "sounds": max(len(scene.get("audio", {}).get("ambient_sounds", [])) + 4, 8),
+    }
+    renderer = RendererSystem(engine)
+    engine.add_system(renderer)
+    anim = AnimationSystem(engine, renderer=renderer)
+    engine.add_system(anim)
+    engine.add_system(PhysicsSystem(engine))
+    engine.add_system(NavigationSystem(engine))
+    engine.add_system(GuiSystem(engine))
+    audio = AudioSystem(engine)
+    engine.add_system(audio)
+    engine.add_system(ScriptSystem(engine))
+    engine.add_system(CoreSystem(engine))
+    report: Counter = Counter()
+    assets = SceneAssets(renderer, anim=anim, audio_system=audio,
+                         data_dirs=data_dirs, report=report)
+    return engine, assets, n_ents
+
+
+def instantiate_scene(scene: Dict[str, Any],
+                      data_dirs: Tuple[str, ...] = DEFAULT_DATA_DIRS,
+                      ) -> InstantiatedScene:
+    engine, assets, n_ents = build_engine_for_scene(scene, data_dirs)
+    report = assets.report
+    world = engine.create_world(capacity=n_ents + 16)
+
+    # pre-pass: entities that animate need their model path marked skinned so
+    # placeholder models get skeletons
+    ent_model: Dict[int, str] = {}
+    r = scene.get("renderer", {})
+    for mi in r.get("model_instances", []):
+        if mi["model"]:
+            ent_model[mi["entity"]] = mi["model"]
+    a = scene.get("animation", {})
+    for rec in a.get("animables", []) + a.get("animators", []):
+        mp = ent_model.get(rec["entity"])
+        if mp:
+            assets.mark_skinned(mp)
+
+    # -- entities / names / hierarchy (≙ world.cpp deserialize) ----------------
+    emap: Dict[int, int] = {}
+    for ent in scene["entities"]:
+        e = world.create_entity(
+            position=np.asarray(ent["pos"], np.float32),
+            rotation=np.asarray(ent["rot"], np.float32),
+            scale=np.asarray(ent["scale"], np.float32),
+        )
+        emap[ent["entity"]] = e
+        report["entities"] += 1
+    for sid, name in scene["names"].items():
+        if sid in emap:
+            world.names[emap[sid]] = name
+    for h in scene["hierarchy"]:
+        c = emap.get(h["entity"])
+        p = emap.get(h["parent"])
+        if c is None or p is None:
+            continue
+        world.parent[c] = p
+        world.local_pos[c] = np.asarray(h["local_pos"], np.float32)
+        world.local_rot[c] = hm.quat_normalize(np.asarray(h["local_rot"], np.float32))
+        world.local_scale[c] = np.asarray(h["local_scale"], np.float32)
+        world._levels_dirty = True
+        report["hierarchy"] += 1
+
+    def ent(sid: int) -> Optional[int]:
+        return emap.get(sid)
+
+    # -- renderer ---------------------------------------------------------------
+    for c in r.get("cameras", []):
+        e = ent(c["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "camera", fov=c["fov"], near=c["near"],
+                               far=c["far"])
+        report["camera"] += 1
+    for mi in r.get("model_instances", []):
+        e = ent(mi["entity"])
+        if e is None or not mi["model"]:
+            continue
+        world.create_component(e, "model_instance",
+                               model=assets.model_id(mi["model"]))
+        report["model_instance"] += 1
+    for pl in r.get("point_lights", []):
+        e = ent(pl["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "point_light", color=np.asarray(pl["color"], np.float32),
+                               intensity=pl["intensity"], range=pl["range"])
+        report["point_light"] += 1
+    for env in r.get("environments", []):
+        e = ent(env["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "environment",
+                               color=np.asarray(env["light_color"], np.float32),
+                               intensity=env["direct_intensity"])
+        report["environment"] += 1
+    for t in r.get("terrains", []):
+        e = ent(t["entity"])
+        if e is None:
+            continue
+        heights = None
+        # the heightmap lives in the terrain material's texture; a .raw next
+        # to the material is the common layout
+        if heights is None:
+            heights = np.zeros((64, 64), np.float32)
+            report["terrain_placeholder_heightmap"] += 1
+        tid = assets.renderer.terrains.add(heights, xz_scale=t["xz_scale"],
+                                           y_scale=t["y_scale"])
+        world.create_component(e, "terrain", terrain=tid)
+        report["terrain"] += 1
+    for pe in r.get("particle_emitters", []):
+        e = ent(pe["entity"])
+        if e is None:
+            continue
+        script = assets.particle_script(pe["resource"]) if pe["resource"] else None
+        if script is None:
+            report["particle_emitter_skipped"] += 1
+            continue
+        world.create_component(e, "particle_emitter", script=script)
+        report["particle_emitter"] += 1
+    for ba in r.get("bone_attachments", []):
+        e = ent(ba["entity"])
+        pe_ = ent(ba.get("parent_entity", -1))
+        if e is None or pe_ is None:
+            continue
+        rel = ba["relative_transform"]
+        world.create_component(e, "bone_attachment", parent_entity=pe_,
+                               bone=ba.get("bone_index", 0),
+                               offset_pos=np.asarray(rel["pos"], np.float32),
+                               offset_rot=np.asarray(rel["rot"], np.float32))
+        report["bone_attachment"] += 1
+    for epr in r.get("environment_probes", []):
+        e = ent(epr["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "environment_probe",
+                               inner=np.asarray(epr["inner_range"], np.float32),
+                               outer=np.asarray(epr["outer_range"], np.float32))
+        report["environment_probe"] += 1
+    for rp in r.get("reflection_probes", []):
+        e = ent(rp["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "reflection_probe", size=rp["size"],
+                               half_extents=np.asarray(rp["half_extents"], np.float32))
+        report["reflection_probe"] += 1
+    for d in r.get("decals", []):
+        e = ent(d["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "decal",
+                               half_extents=np.asarray(d["half_extents"], np.float32),
+                               uv_scale=np.asarray(d.get("uv_scale", (1.0, 1.0)), np.float32))
+        report["decal"] += 1
+    for cd in r.get("curve_decals", []):
+        e = ent(cd["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "curve_decal",
+                               uv_scale=np.asarray(cd["uv_scale"], np.float32),
+                               bezier_p0=np.asarray(cd["bezier_p0"], np.float32),
+                               bezier_p2=np.asarray(cd["bezier_p2"], np.float32))
+        report["curve_decal"] += 1
+    for im in r.get("instanced_models", []):
+        e = ent(im["entity"])
+        if e is None or not im["model"]:
+            continue
+        inst = im["instances"]  # [N,8]: quat xyz (w derived), lod, pos, scale
+        qxyz = inst[:, 0:3]
+        w2 = np.maximum(1.0 - np.sum(qxyz * qxyz, axis=1), 0.0)
+        rot = np.concatenate([qxyz, np.sqrt(w2)[:, None]], axis=1)
+        world.create_component(
+            e, "instanced_model", model=assets.model_id(im["model"]),
+            count=inst.shape[0], positions=inst[:, 4:7], rotations=rot,
+            scales=np.repeat(inst[:, 7:8], 3, axis=1))
+        report["instanced_model"] += 1
+    for pg in r.get("procedural_geometries", []):
+        e = ent(pg["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "procedural_geometry")
+        report["procedural_geometry"] += 1
+
+    # -- physics ------------------------------------------------------------------
+    p = scene.get("physics", {})
+    pmod = world.modules.get("physics")
+    for act_ in p.get("actors", []):
+        e = ent(act_["entity"])
+        if e is None or not act_["geoms"]:
+            if e is not None:
+                report["actor_no_geom"] += 1
+            continue
+        g = act_["geoms"][0]
+        if len(act_["geoms"]) > 1:
+            report["actor_extra_geoms"] += len(act_["geoms"]) - 1
+        motion = {0: "static", 1: "dynamic", 2: "kinematic"}[act_["dynamic_type"]]
+        if g["type"] == 0:
+            world.create_component(e, "rigid_actor", motion=motion, shape="sphere",
+                                   radius=g["radius"], layer=act_["layer"])
+        elif g["type"] == 3:
+            world.create_component(e, "rigid_actor", motion=motion, shape="box",
+                                   half_extents=np.asarray(g["half_extents"], np.float32),
+                                   layer=act_["layer"])
+        else:
+            # convex(4)/trimesh(5) — approximated by the model's bounding box
+            # until mesh cooking lands (report tracks the approximation)
+            mp = ent_model.get(act_["entity"], "")
+            radius = 1.0
+            if mp:
+                radius = assets.renderer.models.get(assets.model_id(mp)).bounding_radius
+            he = radius / np.sqrt(3.0)
+            world.create_component(e, "rigid_actor", motion=motion, shape="box",
+                                   half_extents=(he, he, he), layer=act_["layer"])
+            report["actor_mesh_approx"] += 1
+        report["rigid_actor"] += 1
+    for c in p.get("controllers", []):
+        e = ent(c["entity"])
+        if e is None:
+            continue
+        grav = -9.81
+        if c.get("custom_gravity"):
+            grav = -abs(c.get("custom_gravity_acceleration", 9.81))
+        world.create_component(e, "physics_controller", radius=c["radius"],
+                               height=c["height"], gravity=grav)
+        report["physics_controller"] += 1
+    for hf in p.get("heightfields", []):
+        e = ent(hf["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "heightfield", terrain=0)
+        report["heightfield"] += 1
+    for j in p.get("joints", []):
+        e = ent(j["entity"])
+        ce = ent(j["connected_body"])
+        if e is None or ce is None:
+            report["joint_skipped"] += 1
+            continue
+        if pmod is None or pmod.actors.slot_of(e) < 0 or pmod.actors.slot_of(ce) < 0:
+            report["joint_skipped"] += 1
+            continue
+        kind = {"spherical": "spherical_joint", "hinge": "hinge_joint",
+                "distance": "distance_joint", "d6": "d6_joint"}[j["kind"]]
+        f0 = j["local_frame0"]
+        # anchor_b: connected body's local point coinciding with the anchor now
+        pa_, ra_, _ = world.get_global_transform(e)
+        pb_, rb_, _ = world.get_global_transform(ce)
+        world_anchor = pa_ + hm.quat_rotate(ra_, np.asarray(f0["pos"], np.float32))
+        anchor_b = hm.quat_rotate(hm.quat_conjugate(rb_), world_anchor - pb_)
+        length = float(np.linalg.norm(world_anchor - pb_))
+        axis = hm.quat_rotate(np.asarray(f0["rot"], np.float32),
+                                  np.asarray((1.0, 0.0, 0.0), np.float32))
+        world.create_component(world.create_entity(name=f"joint{e}"), kind,
+                               body_a=e, body_b=ce,
+                               anchor_a=np.asarray(f0["pos"], np.float32),
+                               anchor_b=anchor_b, axis=axis,
+                               length=max(length, 1e-3))
+        report["joint"] += 1
+    report["vehicle_todo"] += len(p.get("vehicles", []))
+    report["wheel_todo"] += len(p.get("wheels", []))
+    for ic in p.get("instanced_cubes", []):
+        report["instanced_cube_todo"] += 1
+    for imh in p.get("instanced_meshes", []):
+        report["instanced_mesh_todo"] += 1
+
+    # -- animation ------------------------------------------------------------------
+    for an in a.get("animables", []):
+        e = ent(an["entity"])
+        mp = ent_model.get(an["entity"])
+        if e is None or mp is None or not an["animation"]:
+            report["animable_skipped"] += 1
+            continue
+        world.create_component(e, "animable",
+                               clip=assets.clip_id(an["animation"], mp))
+        report["animable"] += 1
+    for an in a.get("animators", []):
+        e = ent(an["entity"])
+        mp = ent_model.get(an["entity"])
+        if e is None or mp is None or not an["controller"]:
+            report["animator_skipped"] += 1
+            continue
+        world.create_component(e, "animator",
+                               controller=assets.controller_id(an["controller"], mp))
+        report["animator"] += 1
+    report["property_animator_todo"] += len(a.get("property_animators", []))
+
+    # -- navigation --------------------------------------------------------------
+    nav = scene.get("navigation", {})
+    for z in nav.get("zones", []):
+        e = ent(z["entity"])
+        if e is None:
+            continue
+        ex = np.asarray(z["extents"], np.float32)
+        pos, _, _ = world.get_global_transform(e)
+        cell = max(float(z.get("cell_size", 0.3)) * 2.0, 0.5)
+        world.create_component(e, "nav_zone",
+                               origin=(pos[0] - ex[0], pos[2] - ex[2]),
+                               size=(2 * ex[0], 2 * ex[2]), cell=cell)
+        report["nav_zone"] += 1
+    for ag in nav.get("agents", []):
+        e = ent(ag["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "nav_agent", radius=ag["radius"])
+        report["nav_agent"] += 1
+
+    # -- gui ------------------------------------------------------------------------
+    g = scene.get("gui", {})
+    for rect in g.get("rects", []):
+        e = ent(rect["entity"])
+        if e is None:
+            continue
+        world.create_component(
+            e, "gui_rect",
+            anchor=(rect["left"]["relative"], rect["top"]["relative"],
+                    rect["right"]["relative"], rect["bottom"]["relative"]),
+            offset=(rect["left"]["points"], rect["top"]["points"],
+                    rect["right"]["points"], rect["bottom"]["points"]),
+            enabled=bool(rect["flags"] & 1))
+        report["gui_rect"] += 1
+        if "image" in rect:
+            world.create_component(e, "gui_image",
+                                   color=_u32_color(rect["image"]["color"]))
+            report["gui_image"] += 1
+        if "text" in rect:
+            world.create_component(e, "gui_text", text=rect["text"]["text"],
+                                   font_size=rect["text"]["font_size"],
+                                   color=_u32_color(rect["text"]["color"]))
+            report["gui_text"] += 1
+        if rect.get("input_field"):
+            world.create_component(e, "gui_input_field")
+            report["gui_input_field"] += 1
+    for b in g.get("buttons", []):
+        e = ent(b["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "gui_button",
+                               hovered_color=_u32_color(b["hovered_color"]))
+        report["gui_button"] += 1
+    report["gui_canvas"] += len(g.get("canvases", []))
+
+    # -- audio -------------------------------------------------------------------
+    au = scene.get("audio", {})
+    if au:
+        le = ent(au.get("listener", -1))
+        if le is not None:
+            world.create_component(le, "listener")
+            report["listener"] += 1
+        for snd in au.get("ambient_sounds", []):
+            e = ent(snd["entity"])
+            if e is None:
+                continue
+            world.create_component(e, "ambient_sound",
+                                   clip=assets.audio_clip_id(snd["clip"]),
+                                   is_3d=snd["is_3d"])
+            report["ambient_sound"] += 1
+        for z in au.get("echo_zones", []):
+            e = ent(z["entity"])
+            if e is None:
+                continue
+            world.create_component(e, "echo_zone", radius=z["radius"])
+            report["echo_zone"] += 1
+        for z in au.get("chorus_zones", []):
+            e = ent(z["entity"])
+            if e is None:
+                continue
+            world.create_component(e, "chorus_zone", radius=z["radius"])
+            report["chorus_zone"] += 1
+
+    # -- scripts (Luau sources attach as inert records; the reference parity is
+    # the component + its reflected properties, not executing Luau) ------------
+    lua = scene.get("lua_script", {})
+    for holder in lua.get("scripts", []):
+        e = ent(holder["entity"])
+        if e is None:
+            continue
+        for s in holder["scripts"]:
+            props = {pp["name"] or hex(pp["name_hash"]): pp.get("value")
+                     for pp in s["properties"]}
+            env = world.create_component(e, "script", source="",
+                                         name=s["path"] or "inline")
+            env.globals["lua_path"] = s["path"]
+            env.globals["properties"] = props
+            report["script"] += 1
+    for isc in lua.get("inline_scripts", []):
+        e = ent(isc["entity"])
+        if e is None:
+            continue
+        env = world.create_component(e, "inline_script", source="", name="inline")
+        env.globals["lua_source"] = isc["source"]
+        report["inline_script"] += 1
+
+    # -- core ----------------------------------------------------------------------
+    core = scene.get("core", {})
+    for sp in core.get("splines", []):
+        e = ent(sp["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "spline", points=sp["points"])
+        report["spline"] += 1
+    report["signal_todo"] += len(core.get("signals", []))
+
+    return InstantiatedScene(engine=engine, world=world, emap=emap,
+                             report=report, assets=assets)
+
+
+def load_world(path: str, data_dirs: Tuple[str, ...] = DEFAULT_DATA_DIRS
+               ) -> InstantiatedScene:
+    """One-call load: parse the .unv and instantiate (≙ Runner::loadWorld)."""
+    from lumixengine_tpu.importers.unv import load_unv
+
+    return instantiate_scene(load_unv(path), data_dirs=data_dirs)

@@ -30,9 +30,15 @@ from lumixengine_tpu.ops import physics_ops as P
 AX = -2
 
 
-def sap_pairs(pos, aabb_min, aabb_max, neighbors: int = 24):
+def sap_pairs(pos, aabb_min, aabb_max, neighbors: int = 24,
+              return_miss_count: bool = False):
     """Sweep-and-prune candidate pairs: sort by AABB min-x, window of K
-    successors → (pair_a [N*K], pair_b [N*K], overlap mask)."""
+    successors → (pair_a [N*K], pair_b [N*K], overlap mask[, window_miss]).
+
+    window_miss counts bodies whose x-extent still overlaps the (K+1)-th
+    successor's min-x — i.e. bodies that MAY have candidate pairs pruned by
+    the bounded window. Zero misses proves the window was wide enough this
+    step (x-overlap is necessary for AABB overlap)."""
     n = pos.shape[-1]
     order = jnp.argsort(aabb_min[..., 0, :], axis=-1).astype(jnp.int32)
     offs = jnp.tile(jnp.arange(1, neighbors + 1), n)
@@ -48,7 +54,16 @@ def sap_pairs(pos, aabb_min, aabb_max, neighbors: int = 24):
     mn_b = jnp.take(aabb_min, pb, axis=-1)
     mx_b = jnp.take(aabb_max, pb, axis=-1)
     overlap = jnp.all((mn_a <= mx_b) & (mn_b <= mx_a), axis=-2)
-    return pa, pb, overlap & valid
+    ok = overlap & valid
+    if not return_miss_count:
+        return pa, pb, ok
+    mx_sorted = jnp.take(aabb_max[..., 0, :], order)
+    mn_sorted = jnp.take(aabb_min[..., 0, :], order)
+    beyond = jnp.arange(n) + neighbors + 1
+    in_range = beyond < n
+    mn_beyond = jnp.take(mn_sorted, jnp.minimum(beyond, n - 1))
+    miss = jnp.sum((mx_sorted >= mn_beyond) & in_range).astype(jnp.int32)
+    return pa, pb, ok, miss
 
 
 def solve_contacts_dynamic(
@@ -129,6 +144,7 @@ def make_big_world_step(
     gravity=(0.0, -9.81, 0.0), neighbors: int = 24, points_per_pair: int = 4,
     iterations: int = 8, ground_y: float = 0.0,
     lin_damping: float = 0.05, ang_damping: float = 0.05,
+    ground_friction: float = 0.6,
 ):
     """Build a jittable single-world step(pos, rot, vel, angvel, dt) for NB
     up to tens of thousands of bodies."""
@@ -147,9 +163,10 @@ def make_big_world_step(
     def step(pos, rot, vel, angvel, dt):
         vel, angvel = P.integrate_velocities(vel, angvel, dt, gravity,
                                              lin_damping, ang_damping, dyn)
-        # broadphase
+        # broadphase (window_miss>0 ⇒ raise `neighbors`; see sap_pairs)
         mn, mx = P.world_aabb(pos, rot, shape, radius, he)
-        pa, pb, ok = sap_pairs(pos, mn, mx, neighbors)
+        pa, pb, ok, miss = sap_pairs(pos, mn, mx, neighbors,
+                                     return_miss_count=True)
         # narrowphase on dynamic pairs (reuses the static-path math with
         # dynamically gathered per-pair data)
         c = P.pair_contacts(pos, rot, shape, radius, he, pa, pb,
@@ -161,7 +178,7 @@ def make_big_world_step(
                                 jnp.take(rest, jnp.asarray(c.body_b)))
         g = P.ground_contacts(pos, rot, shape, radius, he, dyn,
                               ground_y=ground_y, slots_per_body=gslots)
-        gnd_fric = jnp.sqrt(jnp.take(fric, jnp.asarray(g.body_a)) * 0.6)
+        gnd_fric = jnp.sqrt(jnp.take(fric, jnp.asarray(g.body_a)) * ground_friction)
         gnd_rest = jnp.take(rest, jnp.asarray(g.body_a))
         point = jnp.concatenate([g.point, c.point], axis=-1)
         normal = jnp.concatenate([g.normal, c.normal], axis=-1)
@@ -179,8 +196,9 @@ def make_big_world_step(
             body_a, body_b, has_b, cfric, crest, dt, iterations=iterations,
         )
         pos, rot = P.integrate_positions(pos, rot, vel, angvel, dt, dyn)
-        n_active = jnp.sum(active).astype(jnp.int32)
-        return pos, rot, vel, angvel, n_active
+        counters = {"active_contacts": jnp.sum(active).astype(jnp.int32),
+                    "sap_window_miss": miss}
+        return pos, rot, vel, angvel, counters
 
     return step
 

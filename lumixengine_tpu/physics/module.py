@@ -75,9 +75,13 @@ class PhysStatics:
         restitution = np.asarray(st.data["restitution"], np.float32)
         mass = np.asarray(st.data["mass"], np.float32)
 
+        self.occupied = occupied
         self.dyn_mask = occupied & (motion == MOTION_DYNAMIC)
         self.kin_mask = occupied & (motion != MOTION_DYNAMIC)
         self.inv_mass = np.where(self.dyn_mask, 1.0 / np.maximum(mass, 1e-6), 0.0).astype(np.float32)
+        # per-body materials (SAP mode combines per-contact on device)
+        self.friction_body = friction.copy()
+        self.restitution_body = restitution.copy()
 
         # body-space inverse inertia (diagonal): sphere 2/5·m·r²; box m/12·(e²+e²)
         he = self.half_extents
@@ -90,44 +94,52 @@ class PhysStatics:
             ib[a] = np.where(self.dyn_mask, 1.0 / np.maximum(ii, 1e-9), 0.0)
         self.inv_inertia_body = ib
 
-        # static pair list: occupied, not both non-dynamic, layer matrix allows
-        lm_ = module.system.layer_matrix
-        ii, jj = np.triu_indices(nb, k=1)
-        keep = occupied[ii] & occupied[jj]
-        keep &= (motion[ii] == MOTION_DYNAMIC) | (motion[jj] == MOTION_DYNAMIC)
-        keep &= lm_[self.layer[ii], self.layer[jj]]
-        self.pair_a = ii[keep].astype(np.int32)
-        self.pair_b = jj[keep].astype(np.int32)
-
-        # contact slot structure → incidence matrices (static)
         self.ground_plane = bool(module.system.ground_plane)
-        ppp = module.points_per_pair
-        gnd = module.ground_slots_per_body if self.ground_plane else 0
-        pair_ba = np.tile(self.pair_a, ppp)
-        pair_bb = np.tile(self.pair_b, ppp)
-        gnd_ba = np.tile(np.arange(nb, dtype=np.int32), gnd)
-        self.contact_body_a = np.concatenate([gnd_ba, pair_ba])
-        self.contact_body_b = np.concatenate([np.full(gnd * nb, -1, np.int32), pair_bb])
-        c = self.contact_body_a.shape[0]
-        inc_a = np.zeros((nb, c), np.float32)
-        inc_a[self.contact_body_a, np.arange(c)] = 1.0
-        inc_b = np.zeros((nb, c), np.float32)
-        valid_b = self.contact_body_b >= 0
-        inc_b[np.maximum(self.contact_body_b, 0)[valid_b], np.nonzero(valid_b)[0]] = 1.0
-        self.incidence_a = inc_a
-        self.incidence_b = inc_b
+        self.sap = module.sap_active()
+        if self.sap:
+            # dynamic broadphase (ops/physics_big.sap_pairs) — no static pair
+            # list; incidence/per-contact materials are computed on device
+            self.pair_a = np.zeros(0, np.int32)
+            self.pair_b = np.zeros(0, np.int32)
+        else:
+            # static pair list: occupied, not both non-dynamic, layer matrix allows
+            lm_ = module.system.layer_matrix
+            ii, jj = np.triu_indices(nb, k=1)
+            keep = occupied[ii] & occupied[jj]
+            keep &= (motion[ii] == MOTION_DYNAMIC) | (motion[jj] == MOTION_DYNAMIC)
+            keep &= lm_[self.layer[ii], self.layer[jj]]
+            self.pair_a = ii[keep].astype(np.int32)
+            self.pair_b = jj[keep].astype(np.int32)
 
-        # per-contact combined materials (geometric mean friction, max restitution
-        # — PhysX default combine modes are multiply/average; we use sqrt-product
-        # for friction like PhysX's eCOMBINE_AVERAGE≈, documented)
-        fa = friction[self.contact_body_a]
-        fb = np.where(valid_b, friction[np.maximum(self.contact_body_b, 0)],
-                      module.system.ground_friction)
-        self.friction = np.sqrt(np.maximum(fa * fb, 0.0)).astype(np.float32)
-        ra = restitution[self.contact_body_a]
-        rb = np.where(valid_b, restitution[np.maximum(self.contact_body_b, 0)],
-                      module.system.ground_restitution)
-        self.restitution = np.maximum(ra, rb).astype(np.float32)
+        if not self.sap:
+            # contact slot structure → incidence matrices (static)
+            ppp = module.points_per_pair
+            gnd = module.ground_slots_per_body if self.ground_plane else 0
+            pair_ba = np.tile(self.pair_a, ppp)
+            pair_bb = np.tile(self.pair_b, ppp)
+            gnd_ba = np.tile(np.arange(nb, dtype=np.int32), gnd)
+            self.contact_body_a = np.concatenate([gnd_ba, pair_ba])
+            self.contact_body_b = np.concatenate([np.full(gnd * nb, -1, np.int32), pair_bb])
+            c = self.contact_body_a.shape[0]
+            inc_a = np.zeros((nb, c), np.float32)
+            inc_a[self.contact_body_a, np.arange(c)] = 1.0
+            inc_b = np.zeros((nb, c), np.float32)
+            valid_b = self.contact_body_b >= 0
+            inc_b[np.maximum(self.contact_body_b, 0)[valid_b], np.nonzero(valid_b)[0]] = 1.0
+            self.incidence_a = inc_a
+            self.incidence_b = inc_b
+
+            # per-contact combined materials (geometric mean friction, max
+            # restitution — PhysX default combine modes are multiply/average;
+            # we use sqrt-product for friction like PhysX's eCOMBINE_AVERAGE≈)
+            fa = friction[self.contact_body_a]
+            fb = np.where(valid_b, friction[np.maximum(self.contact_body_b, 0)],
+                          module.system.ground_friction)
+            self.friction = np.sqrt(np.maximum(fa * fb, 0.0)).astype(np.float32)
+            ra = restitution[self.contact_body_a]
+            rb = np.where(valid_b, restitution[np.maximum(self.contact_body_b, 0)],
+                          module.system.ground_restitution)
+            self.restitution = np.maximum(ra, rb).astype(np.float32)
 
         # joints: static endpoint lists (by type)
         j = module.joints
@@ -173,8 +185,15 @@ class PhysicsModule(IModule):
     def __init__(self, world: World, system: "PhysicsSystem",
                  max_actors: int = 256, max_joints: int = 64,
                  points_per_pair: int = 4, ground_slots_per_body: int = 4,
-                 solver_iterations: int = 12):
+                 solver_iterations: int = 12, broadphase: str = "auto",
+                 sap_neighbors: int = 16, sap_threshold: int = 256):
         super().__init__(world, system)
+        # broadphase: "allpairs" (static pair list + incidence matmuls — the
+        # small-NB fast path), "sap" (sweep-and-prune window, scales to 10k+
+        # actors, ≙ PhysX SAP), or "auto" (sap above sap_threshold actors)
+        self.broadphase = broadphase
+        self.sap_neighbors = sap_neighbors
+        self.sap_threshold = sap_threshold
         self.actors = DenseStore(
             max_actors,
             {
@@ -274,6 +293,11 @@ class PhysicsModule(IModule):
         elif ctype == "heightfield":
             self.heightfields.remove(entity)
 
+    def sap_active(self) -> bool:
+        if self.broadphase == "auto":
+            return self.actors.capacity > self.sap_threshold
+        return self.broadphase == "sap"
+
     def invalidate_statics(self):
         self._statics = None
 
@@ -319,7 +343,8 @@ class PhysicsModule(IModule):
             ctrl_vel_y=jnp.zeros(nc, jnp.float32),
             ctrl_disp=jnp.zeros((3, nc), jnp.float32),
             ctrl_grounded=jnp.zeros(nc, bool),
-            counters={"active_contacts": jnp.int32(0)},
+            counters={"active_contacts": jnp.int32(0),
+                      "sap_window_miss": jnp.int32(0)},
         )
 
     # -- phases -----------------------------------------------------------------
@@ -359,27 +384,32 @@ class PhysicsModule(IModule):
                                    slots_per_body=self.ground_slots_per_body)
         else:
             gc = None
-        contacts = None
-        if len(st.pair_a):
-            contacts = P.pair_contacts(pos, rot, st.shape, radius, he,
-                                       st.pair_a, st.pair_b,
-                                       points_per_pair=self.points_per_pair)
-        if gc is not None and contacts is not None:
-            contacts = P.concat_contacts(gc, contacts)
-        elif contacts is None:
-            contacts = gc
-
-        if contacts is not None:
-            iiw = P.inv_inertia_world_diag(rot, jnp.asarray(st.inv_inertia_body))
-            vel, angvel = P.solve_contacts(
-                pos, rot, vel, angvel, contacts,
-                st.inv_mass, iiw, st.incidence_a, st.incidence_b, dt_c,
-                st.friction, st.restitution,
-                iterations=self.solver_iterations,
-            )
-            n_active = jnp.sum(contacts.active).astype(jnp.int32)
+        miss = jnp.int32(0)
+        if st.sap:
+            vel, angvel, n_active, miss = self._sap_solve(
+                st, pos, rot, vel, angvel, shape, radius, he, dyn, gc, dt_c)
         else:
-            n_active = jnp.int32(0)
+            contacts = None
+            if len(st.pair_a):
+                contacts = P.pair_contacts(pos, rot, st.shape, radius, he,
+                                           st.pair_a, st.pair_b,
+                                           points_per_pair=self.points_per_pair)
+            if gc is not None and contacts is not None:
+                contacts = P.concat_contacts(gc, contacts)
+            elif contacts is None:
+                contacts = gc
+
+            if contacts is not None:
+                iiw = P.inv_inertia_world_diag(rot, jnp.asarray(st.inv_inertia_body))
+                vel, angvel = P.solve_contacts(
+                    pos, rot, vel, angvel, contacts,
+                    st.inv_mass, iiw, st.incidence_a, st.incidence_b, dt_c,
+                    st.friction, st.restitution,
+                    iterations=self.solver_iterations,
+                )
+                n_active = jnp.sum(contacts.active).astype(jnp.int32)
+            else:
+                n_active = jnp.int32(0)
 
         # joints (≙ PxDistanceJoint / PxSphericalJoint / PxRevoluteJoint / PxD6Joint)
         if len(st.joint_a):
@@ -389,8 +419,65 @@ class PhysicsModule(IModule):
         vel, angvel, sleep, _ = P.update_sleep(vel, angvel, ms.sleep, dyn)
 
         ms = ms.replace(pos=pos, rot=rot, vel=vel, angvel=angvel, sleep=sleep,
-                        counters={**ms.counters, "active_contacts": n_active})
+                        counters={**ms.counters, "active_contacts": n_active,
+                                  "sap_window_miss": miss})
         return state.replace(modules={**state.modules, self.name: ms})
+
+    def _sap_solve(self, st: PhysStatics, pos, rot, vel, angvel,
+                   shape, radius, he, dyn, gc, dt_c):
+        """Dynamic-pair contact pipeline (≙ PhysX SAP broadphase): sort-window
+        candidate pairs + segment-sum PGS — scales to 10k+ actors where the
+        static all-pairs incidence path cannot (see ops/physics_big.py)."""
+        from lumixengine_tpu.ops import physics_big as PB
+
+        k = self.points_per_pair
+        occ = jnp.asarray(st.occupied)
+        mn, mx = P.world_aabb(pos, rot, shape, radius, he)
+        far = jnp.where(occ, 0.0, 1e9)  # unoccupied slots can never overlap
+        mn = mn + far[None, :]
+        mx = mx + far[None, :]
+        pa, pb, ok, miss = PB.sap_pairs(pos, mn, mx, self.sap_neighbors,
+                                        return_miss_count=True)
+        layer = jnp.asarray(st.layer)
+        lmx = jnp.asarray(self.system.layer_matrix)
+        ok &= lmx[layer[pa], layer[pb]]
+        ok &= dyn[pa] | dyn[pb]
+        c = P.pair_contacts(pos, rot, shape, radius, he, pa, pb,
+                            points_per_pair=k)
+        fricb = jnp.asarray(st.friction_body)
+        restb = jnp.asarray(st.restitution_body)
+        cba = jnp.asarray(c.body_a)
+        cbb = jnp.asarray(c.body_b)
+        pair_active = c.active & jnp.tile(ok, k)
+        pair_fric = jnp.sqrt(jnp.maximum(fricb[cba] * fricb[cbb], 0.0))
+        pair_rest = jnp.maximum(restb[cba], restb[cbb])
+        if gc is not None:
+            gba = jnp.asarray(gc.body_a)
+            gnd_fric = jnp.sqrt(jnp.maximum(
+                fricb[gba] * self.system.ground_friction, 0.0))
+            gnd_rest = jnp.maximum(restb[gba], self.system.ground_restitution)
+            point = jnp.concatenate([gc.point, c.point], axis=-1)
+            normal = jnp.concatenate([gc.normal, c.normal], axis=-1)
+            depth = jnp.concatenate([gc.depth, c.depth], axis=-1)
+            active = jnp.concatenate([gc.active & occ[gba], pair_active], axis=-1)
+            body_a = jnp.concatenate([gba, cba])
+            body_b = jnp.concatenate([jnp.zeros_like(gba), cbb])
+            has_b = jnp.concatenate([jnp.zeros(gba.shape[-1], jnp.float32),
+                                     jnp.ones(cba.shape[-1], jnp.float32)])
+            cfric = jnp.concatenate([gnd_fric, pair_fric])
+            crest = jnp.concatenate([gnd_rest, pair_rest])
+        else:
+            point, normal, depth, active = c.point, c.normal, c.depth, pair_active
+            body_a, body_b = cba, cbb
+            has_b = jnp.ones(cba.shape[-1], jnp.float32)
+            cfric, crest = pair_fric, pair_rest
+        iiw = P.inv_inertia_world_diag(rot, jnp.asarray(st.inv_inertia_body))
+        vel, angvel = PB.solve_contacts_dynamic(
+            pos, vel, angvel, jnp.asarray(st.inv_mass), iiw,
+            point, normal, depth, active, body_a, body_b, has_b,
+            cfric, crest, dt_c, iterations=self.solver_iterations,
+        )
+        return vel, angvel, jnp.sum(active).astype(jnp.int32), miss
 
     def _solve_joints(self, pos, rot, vel, angvel, st: PhysStatics, dt):
         """Velocity-level joint constraints with positional Baumgarte bias.

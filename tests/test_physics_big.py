@@ -49,7 +49,8 @@ def test_box_drop_settles_above_ground():
     ys = np.asarray(pos[1])
     assert (ys > 0.3).all(), ys.min()          # nothing tunnels through
     assert ys.max() < 8.0                       # everything fell
-    assert int(nact) > 0                        # resting contacts persist
+    assert int(nact["active_contacts"]) > 0     # resting contacts persist
+    assert int(nact["sap_window_miss"]) == 0    # window was wide enough
 
 
 def test_dynamic_solver_matches_static_solver():
