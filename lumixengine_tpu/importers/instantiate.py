@@ -49,10 +49,15 @@ class SceneAssets:
         self._fbx_cache: Dict[str, Any] = {}
 
     def find_file(self, path: str) -> Optional[str]:
+        # "engine/" is a mount onto the engine data dir (≙ FileSystem mounts)
+        cands = [path]
+        if path.startswith("engine/"):
+            cands.append(path[len("engine/"):])
         for d in self.data_dirs:
-            p = os.path.join(d, path)
-            if os.path.isfile(p):
-                return p
+            for c in cands:
+                p = os.path.join(d, c)
+                if os.path.isfile(p):
+                    return p
         return None
 
     def mark_skinned(self, path: str) -> None:
