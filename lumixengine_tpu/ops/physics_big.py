@@ -74,12 +74,24 @@ def solve_contacts_dynamic(
     relaxation: float = 0.75,
 ):
     """PGS with DATA body indices: per-contact gathers via jnp.take, impulse
-    accumulation via segment_sum (num_segments = NB)."""
+    accumulation via segment_sum (num_segments = NB).
+
+    Jacobi stability: with constant relaxation, bodies with many concurrent
+    contacts over-apply impulses and dense piles explode (Jacobi diverges
+    when relaxation > 2/degree). Relaxation is therefore scaled per contact
+    by the larger of the two bodies' active-contact degrees — the standard
+    mass-splitting/averaged-projection scheme."""
     nb = pos.shape[-1]
     ba = body_a
     bb = body_b
     im_a = jnp.take(inv_mass_arr, ba)
     im_b = jnp.take(inv_mass_arr, bb) * has_b
+
+    act_f = active.astype(jnp.float32)
+    deg = jax.ops.segment_sum(act_f, ba, num_segments=nb) + \
+        jax.ops.segment_sum(act_f * has_b, bb, num_segments=nb)
+    deg_c = jnp.maximum(jnp.maximum(jnp.take(deg, ba), jnp.take(deg, bb) * has_b), 1.0)
+    relaxation = jnp.minimum(relaxation, 1.6 / deg_c)
 
     n = normal
     t1, t2 = P._orthonormal_tangents(n)
@@ -106,7 +118,8 @@ def solve_contacts_dynamic(
         return vb - va
 
     vn0 = jnp.sum(rel_vel(vel, angvel) * n, axis=AX)
-    v_target = bias + jnp.where(vn0 < -0.5, -restitution * vn0, 0.0)
+    # restitution and Baumgarte bias do not stack (PhysX: max, not sum)
+    v_target = jnp.maximum(bias, jnp.where(vn0 < -0.5, -restitution * vn0, 0.0))
 
     def seg(x, idx):  # [6,C] accumulated per body → [6,NB]
         return jax.ops.segment_sum(x.T, idx, num_segments=nb).T
@@ -138,11 +151,54 @@ def solve_contacts_dynamic(
     return v, w
 
 
+def project_positions_dynamic(
+    pos, normal, depth, active, body_a, body_b, has_b, inv_mass_arr,
+    iterations: int = 3, slop: float = 0.005, relaxation: float = 0.8,
+):
+    """Split-impulse position projection with DATA body indices
+    (segment_sum scatter) — the dynamic-pair counterpart of
+    physics_ops.project_positions."""
+    nb = pos.shape[-1]
+    im_a = jnp.take(inv_mass_arr, body_a)
+    im_b = jnp.take(inv_mass_arr, body_b) * has_b
+    k_lin = jnp.maximum(im_a + im_b, 1e-9)
+    e0 = jnp.where(active, jnp.maximum(depth - slop, 0.0), 0.0)
+
+    act_f = active.astype(jnp.float32)
+    deg = jax.ops.segment_sum(act_f, body_a, num_segments=nb) + \
+        jax.ops.segment_sum(act_f * has_b, body_b, num_segments=nb)
+    deg_c = jnp.maximum(jnp.maximum(jnp.take(deg, body_a),
+                                    jnp.take(deg, body_b) * has_b), 1.0)
+    relax_c = jnp.minimum(relaxation, 1.6 / deg_c)
+
+    def seg(x, idx):
+        return jax.ops.segment_sum(x.T, idx, num_segments=nb).T
+
+    def body(_, carry):
+        dpos, lam = carry
+        da = jnp.take(dpos, body_a, axis=-1)
+        db = jnp.take(dpos, body_b, axis=-1) * has_b[None, :]
+        sep = jnp.sum((db - da) * normal, axis=AX)
+        dlam = (e0 - sep) / k_lin * relax_c
+        new_lam = jnp.maximum(lam + dlam, 0.0)
+        # mask AFTER the max: inactive slots can carry NaN normals
+        # (degenerate narrowphase on pruned self-pairs) — never let them in
+        dlam = jnp.where(active, new_lam - lam, 0.0)
+        step_vec = normal * dlam[None, :]
+        dpos = dpos + (seg(step_vec * has_b[None, :], body_b)
+                       - seg(step_vec, body_a)) * inv_mass_arr[None, :]
+        return dpos, new_lam
+
+    dpos, _ = jax.lax.fori_loop(
+        0, iterations, body, (jnp.zeros_like(pos), jnp.zeros_like(e0)))
+    return pos + dpos
+
+
 def make_big_world_step(
     shape_np: np.ndarray, radius_np, half_extents_np, dyn_mask_np,
     inv_mass_np, inv_inertia_body_np, friction_np, restitution_np,
     gravity=(0.0, -9.81, 0.0), neighbors: int = 24, points_per_pair: int = 4,
-    iterations: int = 8, ground_y: float = 0.0,
+    iterations: int = 8, position_iterations: int = 3, ground_y: float = 0.0,
     lin_damping: float = 0.05, ang_damping: float = 0.05,
     ground_friction: float = 0.6,
 ):
@@ -194,8 +250,12 @@ def make_big_world_step(
         vel, angvel = solve_contacts_dynamic(
             pos, vel, angvel, inv_mass, iiw, point, normal, depth, active,
             body_a, body_b, has_b, cfric, crest, dt, iterations=iterations,
+            baumgarte=0.0,  # position projection below owns depth correction
         )
         pos, rot = P.integrate_positions(pos, rot, vel, angvel, dt, dyn)
+        pos = project_positions_dynamic(pos, normal, depth, active,
+                                        body_a, body_b, has_b, inv_mass,
+                                        iterations=position_iterations)
         counters = {"active_contacts": jnp.sum(active).astype(jnp.int32),
                     "sap_window_miss": miss}
         return pos, rot, vel, angvel, counters

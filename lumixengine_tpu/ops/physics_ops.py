@@ -111,12 +111,12 @@ def ground_contacts(pos, rot, shape, radius, half_extents, dyn_mask,
     corners = box_corners(pos, rot, half_extents)         # [..,3,8,NB]
     c_depth = ground_y - corners[..., 1, :, :]            # [..,8,NB] penetration per corner
     top_d, top_i = jax.lax.top_k(jnp.moveaxis(c_depth, -2, -1), k)  # [..,NB,k]
-    # gather corner positions for the top-k corners
+    # top-k corner positions via one-hot contraction over the 8-corner axis
+    # (take_along_axis = minor-axis gather = TPU pathology; see pair_contacts)
     ci = jnp.moveaxis(top_i, -1, -2)                      # [..,k,NB]
-    cx = jnp.take_along_axis(corners[..., 0, :, :], ci, axis=-2)
-    cy = jnp.take_along_axis(corners[..., 1, :, :], ci, axis=-2)
-    cz = jnp.take_along_axis(corners[..., 2, :, :], ci, axis=-2)
-    box_pts = jnp.stack([cx, cy, cz], axis=-3)            # [..,3,k,NB]
+    oh = (ci[..., :, None, :] == jnp.arange(8)[:, None]).astype(jnp.float32)
+    box_pts = jnp.einsum("...kjn,...cjn->...ckn", oh, corners,
+                         preferred_element_type=jnp.float32)  # [..,3,k,NB]
     box_dep = jnp.moveaxis(top_d, -1, -2)                 # [..,k,NB]
 
     sph_low = pos - jnp.stack(
@@ -133,12 +133,18 @@ def ground_contacts(pos, rot, shape, radius, half_extents, dyn_mask,
     cap_dep = jnp.stack([ground_y - cap0[..., 1, :], ground_y - cap1[..., 1, :]], axis=-2)
     is_box = (shape == SHAPE_BOX)
     is_cap = (shape == SHAPE_CAPSULE)
-    sph_pts = jnp.concatenate([sph_low[..., :, None, :],
-                               jnp.zeros(sph_low.shape[:-1] + (k - 1, nb))], axis=-2)
-    sph_deps = jnp.concatenate([sph_dep[..., None, :],
-                                jnp.full(sph_dep.shape[:-1] + (k - 1, nb), -1.0)], axis=-2)
-    capk_pts = jnp.concatenate([cap_pts, jnp.zeros(cap_pts.shape[:-2] + (k - 2, nb))], axis=-2)
-    capk_dep = jnp.concatenate([cap_dep, jnp.full(cap_dep.shape[:-2] + (k - 2, nb), -1.0)], axis=-2)
+    # slot expansion via masked broadcast, not concatenate (layout pathology —
+    # see pair_contacts single_to_slots)
+    slot0 = (jnp.arange(k) == 0).astype(jnp.float32)
+    slot01 = (jnp.arange(k) < 2).astype(jnp.float32)
+    sph_pts = sph_low[..., :, None, :] * slot0[:, None]
+    sph_deps = sph_dep[..., None, :] * slot0[:, None] - (1.0 - slot0[:, None])
+    cap0e = cap_pts[..., 0:1, :] * (jnp.arange(k) == 0).astype(jnp.float32)[:, None]
+    cap1e = cap_pts[..., 1:2, :] * (jnp.arange(k) == 1).astype(jnp.float32)[:, None]
+    capk_pts = cap0e + cap1e
+    capd0 = cap_dep[..., 0:1, :] * (jnp.arange(k) == 0).astype(jnp.float32)[:, None]
+    capd1 = cap_dep[..., 1:2, :] * (jnp.arange(k) == 1).astype(jnp.float32)[:, None]
+    capk_dep = capd0 + capd1 - (1.0 - slot01[:, None])
     pts = jnp.where(is_box[..., None, None, :], box_pts,
                     jnp.where(is_cap[..., None, None, :], capk_pts, sph_pts))
     dep = jnp.where(is_box[..., None, :], box_dep,
@@ -338,10 +344,13 @@ def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
     top_d, top_i = jax.lax.top_k(jnp.moveaxis(all_dep, -2, -1), k)  # [..,P,k]
     ti = jnp.moveaxis(top_i, -1, -2)  # [..,k,P]
 
-    def gath(c):
-        return jnp.take_along_axis(c, ti, axis=-2)
-
-    bb_pts = jnp.stack([gath(all_pts[..., i, :, :]) for i in range(3)], axis=-3)
+    # one-hot contraction over the 8-corner axis instead of take_along_axis:
+    # a vmapped minor-axis gather compiles to a catastrophic kCustom gather on
+    # TPU (~93 ms/call at the bench config — 70% of the whole frame); the
+    # masked sum is a fused multiply-reduce over 8 elements (<1 ms)
+    oh = (ti[..., :, None, :] == jnp.arange(8)[:, None]).astype(jnp.float32)
+    bb_pts = jnp.einsum("...kjp,...cjp->...ckp", oh, all_pts,
+                        preferred_element_type=jnp.float32)
     bb_n = jnp.broadcast_to(n_bb[..., :, None, :], bb_pts.shape)
     bb_d = jnp.moveaxis(top_d, -1, -2)
 
@@ -352,10 +361,15 @@ def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
     a_sph_b_box = (~a_box) & b_box
     a_box_b_sph = a_box & (~b_box)
 
+    # slot expansion via masked broadcast, NOT concatenate: concat would
+    # materialize the [..,3,1,P] operand, and XLA picks a layout that pads
+    # the size-1 axis to a full 128 lane tile (170x HBM expansion — OOM)
+    slot0 = (jnp.arange(k) == 0).astype(jnp.float32)
+
     def single_to_slots(pt, n, d):
-        pts = jnp.concatenate([pt[..., :, None, :], jnp.zeros(pt.shape[:-1] + (k - 1, P))], axis=-2)
-        nn = jnp.concatenate([n[..., :, None, :], jnp.zeros(n.shape[:-1] + (k - 1, P))], axis=-2)
-        dd = jnp.concatenate([d[..., None, :], jnp.full(d.shape[:-1] + (k - 1, P), -1.0)], axis=-2)
+        pts = pt[..., :, None, :] * slot0[:, None]
+        nn = n[..., :, None, :] * slot0[:, None]
+        dd = d[..., None, :] * slot0[:, None] - (1.0 - slot0[:, None])
         return pts, nn, dd
 
     ss_pts, ss_ns, ss_ds = single_to_slots(ss_pt, ss_n, ss_d)
@@ -430,26 +444,45 @@ def solve_contacts(
     baumgarte: float = 0.2,
     slop: float = 0.005,
     relaxation: float = 0.75,
+    warm_lambdas=None,       # optional ([..,C],)*3 accumulated impulses from the previous frame
+    return_lambdas: bool = False,
 ):
-    """Projected Jacobi PGS. Returns (vel', angvel').
+    """Projected Jacobi PGS. Returns (vel', angvel'[, lambdas]).
+
+    WARM STARTING (≙ PhysX): Jacobi convergence on constraint CHAINS (stacks)
+    is O(relaxation/n²) per iteration — far too slow to find the full support
+    impulse within one frame's iterations. PhysX solves this by carrying each
+    contact's accumulated impulse across frames and applying it up front;
+    the per-frame iterations then only compute the small correction. Pass
+    last frame's lambdas via `warm_lambdas` and persist the returned ones.
 
     The reference's PhysX PGS is sequential Gauss-Seidel; Jacobi with
     under-relaxation + accumulated-impulse projection is the parallel
     equivalent (contact impulses all computed against the same iterate, then
-    scatter-added via one incidence matmul)."""
-    ba = jnp.asarray(np.maximum(contacts.body_a, 0))
-    bb = jnp.asarray(np.maximum(contacts.body_b, 0))
-    has_b = jnp.asarray((contacts.body_b >= 0).astype(np.float32))
-    im_a = jnp.asarray(inv_mass)[ba]
-    im_b = jnp.asarray(inv_mass)[bb] * has_b
+    scatter-added via one incidence matmul).
+
+    PERF NOTE (TPU): every per-contact gather here is expressed as an
+    incidence MATMUL ([..,K,NB] @ [NB,C]) rather than jnp.take — minor-axis
+    gathers with thousands of indices lower catastrophically on TPU (measured
+    ~12x on the full-frame bench), while the equivalent one-hot contraction
+    rides the MXU. inc_b's zeroed columns double as the has_b mask."""
+    inc_a = jnp.asarray(incidence_a)
+    inc_b = jnp.asarray(incidence_b)
+
+    def gath(x, inc):  # [..,K,NB] → [..,K,C] one-hot gather on the MXU
+        return jnp.einsum("...kn,nc->...kc", x, inc,
+                          preferred_element_type=jnp.float32)
+
+    im_a = jnp.asarray(inv_mass) @ inc_a
+    im_b = jnp.asarray(inv_mass) @ inc_b
 
     n = contacts.normal
     t1, t2 = _orthonormal_tangents(n)
     pt = contacts.point
     active = contacts.active
 
-    r_a = pt - jnp.take(pos, ba, axis=-1)
-    r_b = pt - jnp.take(pos, bb, axis=-1)
+    r_a = pt - gath(pos, inc_a)
+    r_b = pt - gath(pos, inc_b)
 
     def ang_term(r, d, II_diag):
         """n · ((I⁻¹ (r × d)) × r) with diagonal world inertia approx [..,3,C]."""
@@ -457,8 +490,8 @@ def solve_contacts(
         tmp = II_diag * rxd
         return jnp.sum(lm.cross(tmp, r, axis=AX) * d, axis=AX)
 
-    II_a = jnp.take(inv_inertia_world, ba, axis=-1)  # [..,3,C] diag
-    II_b = jnp.take(inv_inertia_world, bb, axis=-1) * has_b[..., None, :]
+    II_a = gath(inv_inertia_world, inc_a)  # [..,3,C] diag
+    II_b = gath(inv_inertia_world, inc_b)  # zero cols where no body_b
 
     k_n = im_a + im_b + ang_term(r_a, n, II_a) + ang_term(r_b, n, II_b)
     k_t1 = im_a + im_b + ang_term(r_a, t1, II_a) + ang_term(r_b, t1, II_b)
@@ -469,26 +502,41 @@ def solve_contacts(
 
     bias = (baumgarte / dt) * jnp.maximum(contacts.depth - slop, 0.0)
 
-    inc_a = jnp.asarray(incidence_a)
-    inc_b = jnp.asarray(incidence_b)
     fr = jnp.asarray(friction)
     rest = jnp.asarray(restitution)
 
+    # Jacobi stability: scale relaxation per contact by the larger touching
+    # body's active-contact degree (mass-splitting; constant relaxation
+    # diverges in dense piles when relax > 2/degree)
+    act_f = active.astype(jnp.float32)
+    deg = (jnp.einsum("...c,nc->...n", act_f, inc_a,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("...c,nc->...n", act_f, inc_b,
+                        preferred_element_type=jnp.float32))
+    deg_c = jnp.maximum(jnp.maximum(
+        jnp.einsum("...n,nc->...c", deg, inc_a,
+                   preferred_element_type=jnp.float32),
+        jnp.einsum("...n,nc->...c", deg, inc_b,
+                   preferred_element_type=jnp.float32)), 1.0)
+    relaxation = jnp.minimum(relaxation, 1.6 / deg_c)
+
     def rel_vel(v, w):
-        # one fused take per side: [v|w] stacked to [6, NB]
+        # one fused incidence matmul per side: [v|w] stacked to [6, NB]
         vw = jnp.concatenate([v, w], axis=AX)
-        a6 = jnp.take(vw, ba, axis=-1)
-        b6 = jnp.take(vw, bb, axis=-1)
+        a6 = gath(vw, inc_a)
+        b6 = gath(vw, inc_b)  # zero cols where no body_b (ground)
         comp = a6.ndim + AX
         va = jax.lax.slice_in_dim(a6, 0, 3, axis=comp) + lm.cross(
             jax.lax.slice_in_dim(a6, 3, 6, axis=comp), r_a, axis=AX)
-        vb = (jax.lax.slice_in_dim(b6, 0, 3, axis=comp) + lm.cross(
-            jax.lax.slice_in_dim(b6, 3, 6, axis=comp), r_b, axis=AX)) * has_b[..., None, :]
+        # b6 is already zero in no-body columns, so vb needs no has_b mask
+        vb = jax.lax.slice_in_dim(b6, 0, 3, axis=comp) + lm.cross(
+            jax.lax.slice_in_dim(b6, 3, 6, axis=comp), r_b, axis=AX)
         return vb - va
 
     # restitution target from pre-solve velocities
     vn0 = jnp.sum(rel_vel(vel, angvel) * n, axis=AX)
-    v_target = bias + jnp.where(vn0 < -0.5, -rest * vn0, 0.0)
+    # restitution and Baumgarte bias do not stack (PhysX: max, not sum)
+    v_target = jnp.maximum(bias, jnp.where(vn0 < -0.5, -rest * vn0, 0.0))
 
     def apply_impulse(v, w, imp):
         """imp [..,3,C] applied +imp to b, -imp to a. One [impulse|torque]
@@ -528,10 +576,84 @@ def solve_contacts(
         return v, w, lam_n + dln, lam_t1 + dlt1, lam_t2 + dlt2
 
     zeros = jnp.zeros(contacts.depth.shape)
-    v, w, *_ = jax.lax.fori_loop(
-        0, iterations, body_fn, (vel, angvel, zeros, zeros, zeros)
-    )
+    if warm_lambdas is None:
+        carry0 = (vel, angvel, zeros, zeros, zeros)
+    else:
+        ln0, lt10, lt20 = warm_lambdas
+        act_f2 = active.astype(jnp.float32)
+        ln0 = jnp.maximum(ln0, 0.0) * act_f2
+        lt10 = lt10 * act_f2
+        lt20 = lt20 * act_f2
+        warm_imp = (n * ln0[..., None, :] + t1 * lt10[..., None, :]
+                    + t2 * lt20[..., None, :])
+        # inactive slots can carry NaN geometry (0·NaN = NaN): hard-mask
+        warm_imp = jnp.where(active[..., None, :], warm_imp, 0.0)
+        v0, w0 = apply_impulse(vel, angvel, warm_imp)
+        carry0 = (v0, w0, ln0, lt10, lt20)
+    v, w, ln, lt1, lt2 = jax.lax.fori_loop(0, iterations, body_fn, carry0)
+    if return_lambdas:
+        return v, w, (ln, lt1, lt2)
     return v, w
+
+
+def project_positions(
+    pos, contacts: "Contacts",
+    inv_mass,
+    incidence_a, incidence_b,
+    iterations: int = 3,
+    slop: float = 0.005,
+    relaxation: float = 0.8,
+):
+    """Split-impulse position projection (≙ Box2D NGS / PhysX TGS position
+    iterations): pushes penetrating contacts out at the POSITION level with a
+    frozen-Jacobian linear-only correction, so resting depth converges to the
+    slop regardless of velocity-solve convergence and no energy is injected
+    into velocities. Returns corrected pos."""
+    inc_a = jnp.asarray(incidence_a)
+    inc_b = jnp.asarray(incidence_b)
+
+    def gath(x, inc):
+        return jnp.einsum("...kn,nc->...kc", x, inc,
+                          preferred_element_type=jnp.float32)
+
+    def scat(x, inc):
+        return jnp.einsum("nc,...kc->...kn", inc, x,
+                          preferred_element_type=jnp.float32)
+
+    im = jnp.asarray(inv_mass)
+    im_a = im @ inc_a
+    im_b = im @ inc_b
+    k_lin = jnp.maximum(im_a + im_b, 1e-9)
+    n = contacts.normal
+    e0 = jnp.where(contacts.active,
+                   jnp.maximum(contacts.depth - slop, 0.0), 0.0)
+
+    # degree-scaled relaxation (same Jacobi-stability rule as the solvers)
+    act_f = contacts.active.astype(jnp.float32)
+    deg = (jnp.einsum("...c,nc->...n", act_f, inc_a,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("...c,nc->...n", act_f, inc_b,
+                        preferred_element_type=jnp.float32))
+    deg_c = jnp.maximum(jnp.maximum(gath(deg[..., None, :], inc_a),
+                                    gath(deg[..., None, :], inc_b))[..., 0, :], 1.0)
+    relax_c = jnp.minimum(relaxation, 1.6 / deg_c)
+
+    def body(_, carry):
+        dpos, lam = carry
+        # separation achieved so far along each contact normal (b − a)
+        sep = jnp.sum((gath(dpos, inc_b) - gath(dpos, inc_a)) * n, axis=AX)
+        dlam = (e0 - sep) / k_lin * relax_c
+        new_lam = jnp.maximum(lam + dlam, 0.0)   # never pull together
+        # mask AFTER the max: inactive slots can carry NaN contact geometry
+        dlam = jnp.where(contacts.active, new_lam - lam, 0.0)
+        step_vec = n * dlam[..., None, :]
+        dpos = dpos + (scat(step_vec, inc_b) - scat(step_vec, inc_a)) * im[None, :]
+        return dpos, new_lam
+
+    dpos0 = jnp.zeros_like(pos)
+    lam0 = jnp.zeros_like(e0)
+    dpos, _ = jax.lax.fori_loop(0, iterations, body, (dpos0, lam0))
+    return pos + dpos
 
 
 def inv_inertia_world_diag(rot, inv_inertia_body):

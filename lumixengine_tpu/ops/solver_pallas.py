@@ -42,10 +42,10 @@ def _cross3(a, b, axis=1):
     ], axis=axis)
 
 
-def _make_kernel(iterations: int, relaxation: float, wt: int, nb: int, c: int):
+def _make_kernel(iterations: int, wt: int, nb: int, c: int):
     def kernel(inc_a, inc_b, inv_mass, II,
                vel, angvel, r_a, r_b, n, t1, t2,
-               k_n, k_t1, k_t2, v_target, mu, act,
+               k_n, k_t1, k_t2, v_target, mu, act, relax,
                vel_out, ang_out):
         dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
         ia = inc_a[:]            # [NB, C]
@@ -63,6 +63,7 @@ def _make_kernel(iterations: int, relaxation: float, wt: int, nb: int, c: int):
         vt = v_target[:]
         a = act[:]
         muc = mu[:]              # [1, C]
+        rlx = relax[:]           # [WT, 1, C] degree-scaled relaxation
 
         def gather(x, inc):  # [WT,K,NB] → [WT,K,C]
             k = x.shape[1]
@@ -87,14 +88,14 @@ def _make_kernel(iterations: int, relaxation: float, wt: int, nb: int, c: int):
             v, w, ln, lt1, lt2 = carry
             vr = rel_vel(v, w)
             vn = dot_rows(vr, nn)
-            dln = (vt - vn) / kn * relaxation
+            dln = (vt - vn) / kn * rlx
             new_ln = jnp.maximum(ln + dln, 0.0)
             dln = (new_ln - ln) * a
             vt1 = dot_rows(vr, tt1)
             vt2 = dot_rows(vr, tt2)
             max_f = muc[None] * (ln + dln)  # [1,1,C] ⊙ [WT,1,C]
-            new_lt1 = jnp.clip(lt1 + (-vt1 / kt1) * relaxation, -max_f, max_f)
-            new_lt2 = jnp.clip(lt2 + (-vt2 / kt2) * relaxation, -max_f, max_f)
+            new_lt1 = jnp.clip(lt1 + (-vt1 / kt1) * rlx, -max_f, max_f)
+            new_lt2 = jnp.clip(lt2 + (-vt2 / kt2) * rlx, -max_f, max_f)
             dlt1 = (new_lt1 - lt1) * a
             dlt2 = (new_lt2 - lt2) * a
             imp = nn * dln + tt1 * dlt1 + tt2 * dlt2       # [WT,3,C]
@@ -160,8 +161,23 @@ def solve_contacts_fused(
     vb = (jnp.take(vel, bb, axis=-1) + lm.cross(jnp.take(angvel, bb, axis=-1), r_b, axis=AX)) \
         * has_b[..., None, :]
     vn0 = jnp.sum((vb - va) * n, axis=AX)
-    v_target = bias + jnp.where(vn0 < -0.5, -jnp.asarray(restitution) * vn0, 0.0)
+    # restitution and Baumgarte bias do not stack (PhysX: max, not sum)
+    v_target = jnp.maximum(bias, jnp.where(vn0 < -0.5, -jnp.asarray(restitution) * vn0, 0.0))
     act = contacts.active.astype(jnp.float32)
+
+    # degree-scaled relaxation (must match physics_ops.solve_contacts)
+    inc_a_j = jnp.asarray(incidence_a)
+    inc_b_j = jnp.asarray(incidence_b)
+    deg = (jnp.einsum("...c,nc->...n", act, inc_a_j,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("...c,nc->...n", act, inc_b_j,
+                        preferred_element_type=jnp.float32))
+    deg_c = jnp.maximum(jnp.maximum(
+        jnp.einsum("...n,nc->...c", deg, inc_a_j,
+                   preferred_element_type=jnp.float32),
+        jnp.einsum("...n,nc->...c", deg, inc_b_j,
+                   preferred_element_type=jnp.float32)), 1.0)
+    relax_c = jnp.minimum(relaxation, 1.6 / deg_c)
 
     up = (lambda x: x) if batched else (lambda x: x[None])
 
@@ -178,7 +194,7 @@ def solve_contacts_fused(
 
     arrs3 = [jnp.broadcast_to(up(x), (w, 3, c)) for x in (r_a, r_b, n, t1, t2)]
     rows1 = [jnp.broadcast_to(row(x), (w, 1, c))
-             for x in (k_n, k_t1, k_t2, v_target, act)]
+             for x in (k_n, k_t1, k_t2, v_target, act, relax_c)]
     II_w = jnp.broadcast_to(up(inv_inertia_world), (w, 3, nb))
     im2 = im_arr[None, :]
     mu2 = jnp.asarray(friction, jnp.float32)[None, :]
@@ -191,7 +207,7 @@ def solve_contacts_fused(
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    kernel = _make_kernel(iterations, relaxation, wt, nb, c)
+    kernel = _make_kernel(iterations, wt, nb, c)
     vel_o, ang_o = pl.pallas_call(
         kernel,
         grid=grid,
@@ -200,7 +216,7 @@ def solve_contacts_fused(
             pw((3, nb)), pw((3, nb)), pw((3, nb)),
             pw((3, c)), pw((3, c)), pw((3, c)), pw((3, c)), pw((3, c)),
             pw((1, c)), pw((1, c)), pw((1, c)), pw((1, c)),
-            bc((1, c)), pw((1, c)),
+            bc((1, c)), pw((1, c)), pw((1, c)),
         ],
         out_specs=(pw((3, nb)), pw((3, nb))),
         out_shape=(
@@ -209,7 +225,7 @@ def solve_contacts_fused(
         ),
         interpret=interpret,
     )(jnp.asarray(incidence_a), jnp.asarray(incidence_b), im2,
-      II_w, vel_b, ang_b, *arrs3, *rows1[:4], mu2, rows1[4])
+      II_w, vel_b, ang_b, *arrs3, *rows1[:4], mu2, rows1[4], rows1[5])
     if not batched:
         return vel_o[0], ang_o[0]
     return vel_o, ang_o

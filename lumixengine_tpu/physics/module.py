@@ -54,6 +54,12 @@ class PhysicsState:
     ctrl_vel_y: jnp.ndarray  # f32 [C] manual gravity integration
     ctrl_disp: jnp.ndarray  # f32 [3, C] pending move() displacement
     ctrl_grounded: jnp.ndarray  # bool [C]
+    # accumulated contact impulses carried across frames (PhysX warm starting;
+    # see ops/physics_ops.solve_contacts). Shape [C] in allpairs mode, [0] in
+    # SAP mode (contact slots change identity every frame there).
+    lam_n: jnp.ndarray
+    lam_t1: jnp.ndarray
+    lam_t2: jnp.ndarray
     counters: Dict[str, jnp.ndarray]
 
 
@@ -185,7 +191,8 @@ class PhysicsModule(IModule):
     def __init__(self, world: World, system: "PhysicsSystem",
                  max_actors: int = 256, max_joints: int = 64,
                  points_per_pair: int = 4, ground_slots_per_body: int = 4,
-                 solver_iterations: int = 12, broadphase: str = "auto",
+                 solver_iterations: int = 12, position_iterations: int = 3,
+                 broadphase: str = "auto",
                  sap_neighbors: int = 16, sap_threshold: int = 256):
         super().__init__(world, system)
         # broadphase: "allpairs" (static pair list + incidence matmuls — the
@@ -230,6 +237,8 @@ class PhysicsModule(IModule):
         self.points_per_pair = points_per_pair
         self.ground_slots_per_body = ground_slots_per_body
         self.solver_iterations = solver_iterations
+        # split-impulse position projection (≙ PhysX TGS position iterations)
+        self.position_iterations = position_iterations
         self._statics: Optional[PhysStatics] = None
         self._statics_version = -1
 
@@ -333,6 +342,7 @@ class PhysicsModule(IModule):
             e = int(self.controllers.entity[slot])
             if e >= 0:
                 cpos[:, slot] = self.world.get_global_transform(e)[0]
+        n_lam = 0 if st.sap else st.contact_body_a.shape[0]
         return PhysicsState(
             pos=jnp.asarray(pos),
             rot=jnp.asarray(rot),
@@ -343,6 +353,9 @@ class PhysicsModule(IModule):
             ctrl_vel_y=jnp.zeros(nc, jnp.float32),
             ctrl_disp=jnp.zeros((3, nc), jnp.float32),
             ctrl_grounded=jnp.zeros(nc, bool),
+            lam_n=jnp.zeros(n_lam, jnp.float32),
+            lam_t1=jnp.zeros(n_lam, jnp.float32),
+            lam_t2=jnp.zeros(n_lam, jnp.float32),
             counters={"active_contacts": jnp.int32(0),
                       "sap_window_miss": jnp.int32(0)},
         )
@@ -385,8 +398,9 @@ class PhysicsModule(IModule):
         else:
             gc = None
         miss = jnp.int32(0)
+        proj = None  # position-projection closure, applied after integration
         if st.sap:
-            vel, angvel, n_active, miss = self._sap_solve(
+            vel, angvel, n_active, miss, proj = self._sap_solve(
                 st, pos, rot, vel, angvel, shape, radius, he, dyn, gc, dt_c)
         else:
             contacts = None
@@ -401,13 +415,23 @@ class PhysicsModule(IModule):
 
             if contacts is not None:
                 iiw = P.inv_inertia_world_diag(rot, jnp.asarray(st.inv_inertia_body))
-                vel, angvel = P.solve_contacts(
+                vel, angvel, lams = P.solve_contacts(
                     pos, rot, vel, angvel, contacts,
                     st.inv_mass, iiw, st.incidence_a, st.incidence_b, dt_c,
                     st.friction, st.restitution,
                     iterations=self.solver_iterations,
+                    # position projection owns depth correction — a velocity
+                    # bias on top makes resting stacks bounce (split impulse)
+                    baumgarte=0.0 if self.position_iterations > 0 else 0.2,
+                    warm_lambdas=(ms.lam_n, ms.lam_t1, ms.lam_t2),
+                    return_lambdas=True,
                 )
+                ms = ms.replace(lam_n=lams[0], lam_t1=lams[1], lam_t2=lams[2])
                 n_active = jnp.sum(contacts.active).astype(jnp.int32)
+                cts = contacts
+                proj = lambda p: P.project_positions(  # noqa: E731
+                    p, cts, st.inv_mass, st.incidence_a, st.incidence_b,
+                    iterations=self.position_iterations)
             else:
                 n_active = jnp.int32(0)
 
@@ -416,6 +440,8 @@ class PhysicsModule(IModule):
             vel, angvel = self._solve_joints(pos, rot, vel, angvel, st, dt_c)
 
         pos, rot = P.integrate_positions(pos, rot, vel, angvel, dt_c, dyn)
+        if proj is not None and self.position_iterations > 0:
+            pos = proj(pos)
         vel, angvel, sleep, _ = P.update_sleep(vel, angvel, ms.sleep, dyn)
 
         ms = ms.replace(pos=pos, rot=rot, vel=vel, angvel=angvel, sleep=sleep,
@@ -472,12 +498,17 @@ class PhysicsModule(IModule):
             has_b = jnp.ones(cba.shape[-1], jnp.float32)
             cfric, crest = pair_fric, pair_rest
         iiw = P.inv_inertia_world_diag(rot, jnp.asarray(st.inv_inertia_body))
+        im = jnp.asarray(st.inv_mass)
         vel, angvel = PB.solve_contacts_dynamic(
-            pos, vel, angvel, jnp.asarray(st.inv_mass), iiw,
+            pos, vel, angvel, im, iiw,
             point, normal, depth, active, body_a, body_b, has_b,
             cfric, crest, dt_c, iterations=self.solver_iterations,
+            baumgarte=0.0 if self.position_iterations > 0 else 0.2,
         )
-        return vel, angvel, jnp.sum(active).astype(jnp.int32), miss
+        proj = lambda p: PB.project_positions_dynamic(  # noqa: E731
+            p, normal, depth, active, body_a, body_b, has_b, im,
+            iterations=self.position_iterations)
+        return vel, angvel, jnp.sum(active).astype(jnp.int32), miss, proj
 
     def _solve_joints(self, pos, rot, vel, angvel, st: PhysStatics, dt):
         """Velocity-level joint constraints with positional Baumgarte bias.
