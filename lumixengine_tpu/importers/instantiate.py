@@ -183,11 +183,15 @@ class SceneAssets:
             with open(real, "r", errors="replace") as f:
                 src = f.read()
             imports = {}
-            base = os.path.dirname(real)
-            for fn in os.listdir(base):
-                if fn.endswith(".pih"):
-                    with open(os.path.join(base, fn), "r", errors="replace") as g:
-                        imports[fn] = g.read()
+            dirs = [os.path.dirname(real)]
+            dirs += [os.path.join(d, "particles") for d in self.data_dirs]
+            for base in dirs:
+                if not os.path.isdir(base):
+                    continue
+                for fn in os.listdir(base):
+                    if fn.endswith((".pih", ".pai")):
+                        with open(os.path.join(base, fn), "r", errors="replace") as g:
+                            imports.setdefault(fn, g.read())
             self.renderer.add_particle_script(path, src, imports=imports)
             # compile now so failures are counted here, not at component create
             self.renderer.particle_system(path)

@@ -116,7 +116,8 @@ def ground_contacts(pos, rot, shape, radius, half_extents, dyn_mask,
     ci = jnp.moveaxis(top_i, -1, -2)                      # [..,k,NB]
     oh = (ci[..., :, None, :] == jnp.arange(8)[:, None]).astype(jnp.float32)
     box_pts = jnp.einsum("...kjn,...cjn->...ckn", oh, corners,
-                         preferred_element_type=jnp.float32)  # [..,3,k,NB]
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # [..,3,k,NB]
     box_dep = jnp.moveaxis(top_d, -1, -2)                 # [..,k,NB]
 
     sph_low = pos - jnp.stack(
@@ -349,8 +350,11 @@ def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
     # TPU (~93 ms/call at the bench config — 70% of the whole frame); the
     # masked sum is a fused multiply-reduce over 8 elements (<1 ms)
     oh = (ti[..., :, None, :] == jnp.arange(8)[:, None]).astype(jnp.float32)
+    # HIGHEST precision: contact geometry must stay exact f32 — the default
+    # lets XLA round the positions to bf16 for the MXU
     bb_pts = jnp.einsum("...kjp,...cjp->...ckp", oh, all_pts,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     bb_n = jnp.broadcast_to(n_bb[..., :, None, :], bb_pts.shape)
     bb_d = jnp.moveaxis(top_d, -1, -2)
 
@@ -376,21 +380,26 @@ def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
     sb_pts, sb_ns, sb_ds = single_to_slots(sb_pt, sb_n, sb_d)
     bs_pts, bs_ns, bs_ds = single_to_slots(bs_pt, bs_n, bs_d)
 
-    m_bb = both_box[..., None, :]
-    m_sb = a_sph_b_box[..., None, :]
-    m_bs = a_box_b_sph[..., None, :]
-    pts = jnp.where(m_bb[..., None, :, :], bb_pts,
-                    jnp.where(m_sb[..., None, :, :], sb_pts,
-                              jnp.where(m_bs[..., None, :, :], bs_pts, ss_pts)))
-    ns = jnp.where(m_bb[..., None, :, :], bb_n,
-                   jnp.where(m_sb[..., None, :, :], sb_ns,
-                             jnp.where(m_bs[..., None, :, :], bs_ns, ss_ns)))
-    ds = jnp.where(m_bb, bb_d, jnp.where(m_sb, sb_ds, jnp.where(m_bs, bs_ds, ss_ds)))
-
+    # select per pair type in FLATTENED [.., C] space: selecting on the 4-dim
+    # [.., 3, k, P] arrays makes XLA pick a tiled layout that pads the k axis
+    # (measured 31 ms/step of pure copy traffic at the bench config)
     c = P * k
-    point = pts.reshape(pts.shape[:-2] + (c,))
-    normal = ns.reshape(ns.shape[:-2] + (c,))
-    depth = ds.reshape(ds.shape[:-2] + (c,))
+
+    def flat(x):  # [.., k, P] / [.., 3, k, P] → [.., C] k-major (= body tile order)
+        return x.reshape(x.shape[:-2] + (c,))
+
+    m_bb_c = jnp.tile(both_box, k)
+    m_sb_c = jnp.tile(a_sph_b_box, k)
+    m_bs_c = jnp.tile(a_box_b_sph, k)
+    point = jnp.where(m_bb_c, flat(bb_pts),
+                      jnp.where(m_sb_c, flat(sb_pts),
+                                jnp.where(m_bs_c, flat(bs_pts), flat(ss_pts))))
+    normal = jnp.where(m_bb_c, flat(bb_n),
+                       jnp.where(m_sb_c, flat(sb_ns),
+                                 jnp.where(m_bs_c, flat(bs_ns), flat(ss_ns))))
+    depth = jnp.where(m_bb_c, flat(bb_d),
+                      jnp.where(m_sb_c, flat(sb_ds),
+                                jnp.where(m_bs_c, flat(bs_ds), flat(ss_ds))))
     if isinstance(pair_a, np.ndarray):
         body_a = np.tile(np.asarray(pair_a, np.int32), k)
         body_b = np.tile(np.asarray(pair_b, np.int32), k)
@@ -470,8 +479,11 @@ def solve_contacts(
     inc_b = jnp.asarray(incidence_b)
 
     def gath(x, inc):  # [..,K,NB] → [..,K,C] one-hot gather on the MXU
+        # HIGH precision (bf16x3): default bf16 would round velocities/
+        # positions to 8 mantissa bits inside every solver iteration
         return jnp.einsum("...kn,nc->...kc", x, inc,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
 
     im_a = jnp.asarray(inv_mass) @ inc_a
     im_b = jnp.asarray(inv_mass) @ inc_b
@@ -544,8 +556,12 @@ def solve_contacts(
         six_a = jnp.concatenate([imp, lm.cross(r_a, imp, axis=AX)], axis=AX)
         six_b = jnp.concatenate([imp, lm.cross(r_b, imp, axis=AX)], axis=AX)
         acc = (
-            jnp.einsum("nc,...kc->...kn", inc_b, six_b, preferred_element_type=jnp.float32)
-            - jnp.einsum("nc,...kc->...kn", inc_a, six_a, preferred_element_type=jnp.float32)
+            jnp.einsum("nc,...kc->...kn", inc_b, six_b,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGH)
+            - jnp.einsum("nc,...kc->...kn", inc_a, six_a,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGH)
         )
         comp = acc.ndim - 2
         v = v + jax.lax.slice_in_dim(acc, 0, 3, axis=comp) * jnp.asarray(inv_mass)[None, :]
@@ -614,11 +630,13 @@ def project_positions(
 
     def gath(x, inc):
         return jnp.einsum("...kn,nc->...kc", x, inc,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
 
     def scat(x, inc):
         return jnp.einsum("nc,...kc->...kn", inc, x,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
 
     im = jnp.asarray(inv_mass)
     im_a = im @ inc_a

@@ -139,6 +139,13 @@ class EmitterDecl:
     emit_per_second: float = 0.0
     max_particles: int = 1024
     emit_move_distance: float = -1.0
+    # ribbons (≙ particle_system ribbon strips): capacity defaults to
+    # max_ribbons * max_ribbon_length; slots are ribbon-major
+    max_ribbons: int = 0
+    max_ribbon_length: int = 0
+    init_ribbons_count: int = 0
+    # instanced-mesh particles (≙ MESH: each particle renders this model)
+    mesh: str = ""
     outs: List[Tuple[str, str]] = field(default_factory=list)
     vars: List[Tuple[str, str]] = field(default_factory=list)
     ins: List[Tuple[str, str]] = field(default_factory=list)
@@ -151,6 +158,9 @@ class Program:
     functions: Dict[str, FnDecl] = field(default_factory=dict)
     emitters: Dict[str, EmitterDecl] = field(default_factory=dict)
     imports: List[str] = field(default_factory=list)
+    # `global name : type` — external per-frame inputs set by the game
+    # (≙ DataStream::GLOBAL operands driven from Lua)
+    globals: Dict[str, int] = field(default_factory=dict)
 
 
 class CompileError(ValueError):
@@ -282,6 +292,12 @@ class Parser:
                 self.ts.next()
                 orelse = self.parse_block()
             return If(cond, then, orelse)
+        if self.ts.at_ident("return"):
+            # `return expr;` in user fns — sugar for `result = expr;`
+            self.ts.next()
+            expr = self.parse_expr()
+            self.ts.expect_symbol(";")
+            return Assign("result", None, expr)
         if self.ts.at_ident("kill"):
             self.ts.next()
             self.ts.expect_symbol("(")
@@ -328,6 +344,14 @@ class Parser:
             elif self.ts.at_ident("fn"):
                 fn = self._parse_fn()
                 prog.functions[fn.name] = fn
+            elif self.ts.at_ident("global"):
+                self.ts.next()
+                name = self.ts.expect_ident().value
+                self.ts.expect_symbol(":")
+                typ = self.ts.expect_ident().value
+                if typ not in _TYPE_WIDTH:
+                    raise CompileError(f"unknown global type {typ!r}")
+                prog.globals[name] = _TYPE_WIDTH[typ]
             elif self.ts.at_ident("emitter"):
                 em = self._parse_emitter()
                 prog.emitters[em.name] = em
@@ -373,6 +397,18 @@ class Parser:
             elif self.ts.at_ident("emit_move_distance"):
                 self.ts.next()
                 em.emit_move_distance = float(self.ts.expect_number())
+            elif self.ts.at_ident("max_ribbons"):
+                self.ts.next()
+                em.max_ribbons = int(self.ts.expect_number())
+            elif self.ts.at_ident("max_ribbon_length"):
+                self.ts.next()
+                em.max_ribbon_length = int(self.ts.expect_number())
+            elif self.ts.at_ident("init_ribbons_count"):
+                self.ts.next()
+                em.init_ribbons_count = int(self.ts.expect_number())
+            elif self.ts.at_ident("mesh"):
+                self.ts.next()
+                em.mesh = self.ts.expect_string()
             elif self.ts.at_ident("out") or self.ts.at_ident("var") or self.ts.at_ident("in"):
                 kind = self.ts.next().value
                 name = self.ts.expect_ident().value
@@ -450,7 +486,8 @@ class EmitRequest:
 class _ExecCtx:
     """Per-invocation lowering context: RNG stream, masks, side effects."""
 
-    def __init__(self, cap: int, dt, time, key, consts, functions):
+    def __init__(self, cap: int, dt, time, key, consts, functions,
+                 extern: Optional[Dict[str, "Vec"]] = None):
         self.cap = cap
         self.dt = dt
         self.time = time
@@ -458,6 +495,9 @@ class _ExecCtx:
         self._rand_counter = 0
         self.consts = consts
         self.functions = functions
+        # external named values: globals, entity_position, emit_index,
+        # ribbon_index — resolved by Ref lookup after consts
+        self.extern = extern or {}
         self.mask_stack = [None]  # None = all active
         self.kill_mask = jnp.zeros(cap, bool)
         self.emits: List[EmitRequest] = []
@@ -497,6 +537,10 @@ def _eval(expr, env: Dict[str, Vec], ctx: _ExecCtx) -> Vec:
             return Vec([jnp.broadcast_to(jnp.asarray(ctx.dt, jnp.float32), (ctx.cap,))])
         if n == "total_time":
             return Vec([jnp.broadcast_to(jnp.asarray(ctx.time, jnp.float32), (ctx.cap,))])
+        if n in ctx.extern:
+            v = ctx.extern[n]
+            return Vec([jnp.broadcast_to(jnp.asarray(c, jnp.float32), (ctx.cap,))
+                        for c in v.comps])
         raise CompileError(f"undefined identifier {n!r}")
     if isinstance(expr, Swizzle):
         base = _eval(expr.base, env, ctx)
@@ -658,11 +702,13 @@ def _exec_block(stmts, env: Dict[str, Vec], ctx: _ExecCtx) -> None:
 class CompiledEmitter:
     """One emitter's traced programs + metadata."""
 
-    def __init__(self, decl: EmitterDecl, consts, functions):
+    def __init__(self, decl: EmitterDecl, consts, functions,
+                 globals_decl: Optional[Dict[str, int]] = None):
         self.decl = decl
         self.name = decl.name
         self.consts = consts
         self.functions = functions
+        self.globals_decl = dict(globals_decl or {})
         self.channels: List[Tuple[str, int]] = [
             (n, _TYPE_WIDTH[t]) for n, t in decl.vars
         ]
@@ -679,8 +725,10 @@ class CompiledEmitter:
         return dict(channels)
 
     def _run(self, fn_name: str, channels: Dict[str, Vec], cap, dt, time, key,
-             extra_env: Optional[Dict[str, Vec]] = None):
-        ctx = _ExecCtx(cap, dt, time, key, self.consts, self.functions)
+             extra_env: Optional[Dict[str, Vec]] = None,
+             extern: Optional[Dict[str, Vec]] = None):
+        ctx = _ExecCtx(cap, dt, time, key, self.consts, self.functions,
+                       extern=extern)
         env = dict(channels)
         if extra_env:
             env.update(extra_env)
@@ -690,23 +738,27 @@ class CompiledEmitter:
         new_channels = {n: env[n] for n, _ in self.channels if n in env}
         return env, new_channels, ctx
 
-    def run_update(self, channels, cap, dt, time, key):
+    def run_update(self, channels, cap, dt, time, key, extern=None):
         """→ (new var channels, kill_mask [cap], emit requests)."""
-        env, new_ch, ctx = self._run("update", channels, cap, dt, time, key)
+        env, new_ch, ctx = self._run("update", channels, cap, dt, time, key,
+                                     extern=extern)
         return new_ch, ctx.kill_mask, ctx.emits
 
-    def run_emit(self, channels, cap, key, ins: Optional[Dict[str, Vec]] = None):
+    def run_emit(self, channels, cap, key, ins: Optional[Dict[str, Vec]] = None,
+                 extern=None):
         """Vectorized spawn-candidate values for every slot."""
         extra = dict(ins or {})
         for n, w in self.ins:
             extra.setdefault(n, Vec([jnp.zeros(cap)] * w))
-        env, new_ch, ctx = self._run("emit", channels, cap, 0.0, 0.0, key, extra)
+        env, new_ch, ctx = self._run("emit", channels, cap, 0.0, 0.0, key, extra,
+                                     extern=extern)
         return new_ch
 
-    def run_output(self, channels, cap, dt, time, key):
+    def run_output(self, channels, cap, dt, time, key, extern=None):
         # out channels are writable (incl. swizzled) in output(): seed zeros
         seeded = {n: Vec([jnp.zeros(cap)] * w) for n, w in self.outs}
-        env, _, ctx = self._run("output", channels, cap, dt, time, key, seeded)
+        env, _, ctx = self._run("output", channels, cap, dt, time, key, seeded,
+                                extern=extern)
         outs = {}
         for n, w in self.outs:
             if n in env:
@@ -733,11 +785,19 @@ def compile_source(
         if path in seen:
             continue
         seen.add(path)
-        if imports and path in imports:
-            isrc = imports[path]
-        elif resolve is not None:
+        isrc = None
+        if imports:
+            # paths may be absolute ("/engine/particles/common.pai") or
+            # relative; match progressively looser forms incl. basename
+            for cand in (path, path.lstrip("/"),
+                         path.lstrip("/").removeprefix("engine/"),
+                         path.rsplit("/", 1)[-1]):
+                if cand in imports:
+                    isrc = imports[cand]
+                    break
+        if isrc is None and resolve is not None:
             isrc = resolve(path)
-        else:
+        if isrc is None:
             raise CompileError(f"unresolved import {path!r}")
         sub = Parser(isrc).parse_program()
         frontier.extend(sub.imports)
@@ -746,7 +806,9 @@ def compile_source(
             prog.functions.setdefault(k, v)
         for k, v in sub.emitters.items():
             prog.emitters.setdefault(k, v)
+        for k, v in sub.globals.items():
+            prog.globals.setdefault(k, v)
     return {
-        name: CompiledEmitter(decl, prog.consts, prog.functions)
+        name: CompiledEmitter(decl, prog.consts, prog.functions, prog.globals)
         for name, decl in prog.emitters.items()
     }

@@ -81,10 +81,16 @@ class ParticleSystem:
     def __init__(self, emitters: Dict[str, CompiledEmitter],
                  capacity_override: Optional[Dict[str, int]] = None):
         self.emitters = emitters
-        self.caps = {
-            name: (capacity_override or {}).get(name, em.decl.max_particles)
-            for name, em in emitters.items()
-        }
+        self.caps = {}
+        for name, em in emitters.items():
+            d = em.decl
+            default = (d.max_ribbons * d.max_ribbon_length
+                       if d.max_ribbons else d.max_particles)
+            self.caps[name] = (capacity_override or {}).get(name, max(default, 1))
+        # declared `global` inputs (name → width), shared across emitters
+        self.globals_decl: Dict[str, int] = {}
+        for em in emitters.values():
+            self.globals_decl.update(em.globals_decl)
         # topological order over EMIT edges (sources update before targets so
         # same-frame spawns land like the reference's in-update EMIT stream)
         deps: Dict[str, List[str]] = {n: [] for n in emitters}
@@ -119,25 +125,76 @@ class ParticleSystem:
 
     # -- state ------------------------------------------------------------------
 
-    def device_state(self) -> Dict[str, EmitterState]:
+    def device_state(self, system: Optional[Dict[str, object]] = None
+                     ) -> Dict[str, EmitterState]:
         states = {}
         for name, em in self.emitters.items():
             cap = self.caps[name]
+            d = em.decl
+            channels = jnp.zeros((em.channel_rows(), cap), jnp.float32)
+            alive = jnp.zeros(cap, bool)
+            emit_acc = jnp.float32(d.init_emit_count)
+            if d.max_ribbons:
+                # ribbon emitters: slots are ribbon-major; the initial
+                # population is init_ribbons_count ribbons × init_emit_count
+                # particles, emitted eagerly here with ribbon builtins bound
+                rlen = max(d.max_ribbon_length, 1)
+                slot = np.arange(cap)
+                ribbon_index = slot // rlen
+                emit_index = slot % rlen
+                alive0 = (ribbon_index < d.init_ribbons_count) & \
+                    (emit_index < min(d.init_emit_count, rlen))
+                extern = self._extern(cap, system,
+                                      emit_index=jnp.asarray(emit_index, jnp.float32),
+                                      ribbon_index=jnp.asarray(ribbon_index, jnp.float32))
+                ch = _unpack(channels, em.channels)
+                spawn = em.run_emit(ch, cap, jax.random.PRNGKey(0), extern=extern)
+                ch = {n: (spawn[n] if n in spawn else ch[n]) for n in ch}
+                channels = _pack(ch, em.channels, cap)
+                alive = jnp.asarray(alive0)
+                emit_acc = jnp.float32(0.0)
             states[name] = EmitterState(
-                channels=jnp.zeros((em.channel_rows(), cap), jnp.float32),
+                channels=channels,
                 outs=jnp.zeros((em.out_rows(), cap), jnp.float32),
-                alive=jnp.zeros(cap, bool),
+                alive=alive,
                 # init_emit_count owed on the first frame (≙ init_emit_count)
-                emit_acc=jnp.float32(em.decl.init_emit_count),
+                emit_acc=emit_acc,
                 emitted=jnp.int32(0),
                 killed=jnp.int32(0),
                 overflow=jnp.int32(0),
             )
         return states
 
+    def _extern(self, cap: int, system: Optional[Dict[str, object]],
+                **extra) -> Dict[str, Vec]:
+        """Named external values for the script: declared globals (zeros
+        unless provided), entity_position, and any builtins in `extra`."""
+        ext: Dict[str, Vec] = {}
+        system = system or {}
+        for gname, w in self.globals_decl.items():
+            v = system.get(gname)
+            if v is None:
+                ext[gname] = Vec([jnp.zeros(cap)] * w)
+            else:
+                arr = jnp.asarray(v, jnp.float32).reshape(-1)
+                ext[gname] = Vec([jnp.broadcast_to(arr[i], (cap,)) for i in range(w)])
+        ep = system.get("entity_position")
+        if ep is None:
+            ext["entity_position"] = Vec([jnp.zeros(cap)] * 3)
+        else:
+            arr = jnp.asarray(ep, jnp.float32).reshape(-1)
+            ext["entity_position"] = Vec([jnp.broadcast_to(arr[i], (cap,)) for i in range(3)])
+        for k, v in extra.items():
+            ext[k] = v if isinstance(v, Vec) else Vec([v])
+        return ext
+
     # -- the per-frame step (pure, traced) ----------------------------------------
 
-    def step(self, states: Dict[str, EmitterState], dt, time, key) -> Dict[str, EmitterState]:
+    def step(self, states: Dict[str, EmitterState], dt, time, key,
+             system: Optional[Dict[str, object]] = None) -> Dict[str, EmitterState]:
+        """`system` carries per-frame external inputs: declared `global`
+        values by name and `entity_position` (≙ GLOBAL/SYSTEM_VALUE
+        DataStreams fed from the game)."""
         dt = jnp.asarray(dt, jnp.float32)
         new_states = dict(states)
         pending: Dict[str, List[tuple]] = {n: [] for n in self.emitters}
@@ -147,13 +204,19 @@ class ParticleSystem:
             cap = self.caps[name]
             st = new_states[name]
             kname = jax.random.fold_in(key, idx)
+            d = em.decl
+            rlen = max(d.max_ribbon_length, 1)
+            slot = jnp.arange(cap)
+            ribbon_idx = (slot // rlen if d.max_ribbons
+                          else jnp.zeros(cap, jnp.int32)).astype(jnp.float32)
+            ext = self._extern(cap, system, ribbon_index=ribbon_idx)
 
             ch = _unpack(st.channels, em.channels)
             alive = st.alive
 
             # 1. update alive particles (≙ ParticleSystem::update processChunk)
             upd_ch, kill_mask, emits = em.run_update(
-                ch, cap, dt, time, jax.random.fold_in(kname, 0)
+                ch, cap, dt, time, jax.random.fold_in(kname, 0), extern=ext
             )
             ch = {**ch, **upd_ch}
             kill_mask = kill_mask & alive
@@ -176,9 +239,11 @@ class ParticleSystem:
             base = jnp.int32(0)
             spawned_total = jnp.int32(0)
 
-            # timed spawns
+            # timed spawns: emit_index = index within this emission batch
             fill = dead & (rank > base) & (rank <= base + n_timed.astype(jnp.int32))
-            spawn_ch = em.run_emit(ch, cap, jax.random.fold_in(kname, 1))
+            emit_index = jnp.maximum(rank.astype(jnp.float32) - 1.0 - base, 0.0)
+            spawn_ch = em.run_emit(ch, cap, jax.random.fold_in(kname, 1),
+                                   extern={**ext, "emit_index": Vec([emit_index])})
             ch = {
                 n: Vec([jnp.where(fill, s, c) for s, c in zip(spawn_ch[n].comps, ch[n].comps)])
                 if n in spawn_ch else ch[n]
@@ -204,7 +269,9 @@ class ParticleSystem:
                     routed[in_name] = Vec(
                         [jnp.take(c, jnp.take(req_order, take), axis=-1) for c in v.comps]
                     )
-                spawn_ch = em.run_emit(ch, cap, jax.random.fold_in(kname, 10 + r_i), ins=routed)
+                emit_index2 = jnp.maximum(rank.astype(jnp.float32) - 1.0, 0.0)
+                spawn_ch = em.run_emit(ch, cap, jax.random.fold_in(kname, 10 + r_i), ins=routed,
+                                       extern={**ext, "emit_index": Vec([emit_index2])})
                 ch = {
                     n: Vec([jnp.where(fill, s, c) for s, c in zip(spawn_ch[n].comps, ch[n].comps)])
                     if n in spawn_ch else ch[n]
@@ -216,7 +283,8 @@ class ParticleSystem:
                 alive = alive | fill
 
             # 4. outputs (≙ output() → instance buffer for the renderer)
-            out_vals = em.run_output(ch, cap, dt, time, jax.random.fold_in(kname, 2))
+            out_vals = em.run_output(ch, cap, dt, time,
+                                     jax.random.fold_in(kname, 2), extern=ext)
             outs = _pack(out_vals, em.outs, cap)
             # dead slots emit zeroed payload
             outs = jnp.where(alive[None, :], outs, 0.0) if outs.shape[0] else outs

@@ -102,6 +102,9 @@ class RenderModule(IModule):
         self.active_camera = -1
         # particle emitter components: key -> (entity, ParticleSystem instance)
         self.particle_emitters: Dict[str, tuple] = {}
+        # per-emitter-component `global` script inputs (name -> value), set by
+        # game code via set_particle_global (≙ GLOBAL DataStreams fed from Lua)
+        self.particle_globals: Dict[str, Dict[str, object]] = {}
         # ≙ render_module.h Decal / CurveDecal
         self.decals = DenseStore(256, {
             "material": ((), np.int32, 0),
@@ -429,6 +432,11 @@ class RenderModule(IModule):
 
         return pipe.cull_pass(state, dt, self, statics=self.statics())
 
+    def set_particle_global(self, entity: int, name: str, value) -> None:
+        """Set a script `global` for this entity's emitter (≙ Lua setting
+        GLOBAL DataStream values). Takes effect at the next step build."""
+        self.particle_globals.setdefault(f"pe{entity}", {})[name] = value
+
     def update(self, state: WorldState, dt) -> WorldState:
         """Tick all particle systems (≙ render_module.cpp update →
         jobs::forEach over ParticleSystems + stats counters)."""
@@ -441,7 +449,11 @@ class RenderModule(IModule):
         emitted_n = jnp.int32(0)
         killed_n = jnp.int32(0)
         for i, (pkey, (entity, ps)) in enumerate(sorted(self.particle_emitters.items())):
-            sub = ps.step(particles[pkey], dt, state.time, jax.random.fold_in(key, i))
+            system = dict(self.particle_globals.get(pkey, {}))
+            system.setdefault("entity_position",
+                              state.world.pos[..., :, self.world.slot(entity)])
+            sub = ps.step(particles[pkey], dt, state.time,
+                          jax.random.fold_in(key, i), system=system)
             particles[pkey] = sub
             for st in sub.values():
                 alive_n = alive_n + jnp.sum(st.alive).astype(jnp.int32)
