@@ -168,4 +168,9 @@ class Engine:
         # ≙ engine.cpp: input->update, fs->processCallbacks at frame end
         self.input.update()
         self.fs.process_callbacks()
+        # AssetCompiler watch → recompile, when attached (≙ the editor's
+        # FileSystemWatcher driving AssetCompiler::onFileChanged)
+        ac = getattr(self, "asset_compiler", None)
+        if ac is not None:
+            ac.poll()
         return dt
