@@ -511,14 +511,45 @@ def instantiate_scene(scene: Dict[str, Any],
         length = float(np.linalg.norm(world_anchor - pb_))
         axis = hm.quat_rotate(np.asarray(f0["rot"], np.float32),
                                   np.asarray((1.0, 0.0, 0.0), np.float32))
+        extra = {}
+        if j["kind"] == "hinge" and j.get("flags", 0) and "limit" in j:
+            # PxJointAngularLimitPair: 5 base params + upper + lower
+            lo, hi = sorted((j["limit"][6], j["limit"][5]))
+            extra["limit"] = (lo, hi)
+        if j["kind"] == "distance":
+            if j.get("max_distance", 0.0) > 0:
+                extra["min_distance"] = j.get("min_distance", 0.0)
+                extra["max_distance"] = j["max_distance"]
         world.create_component(world.create_entity(name=f"joint{e}"), kind,
                                body_a=e, body_b=ce,
                                anchor_a=np.asarray(f0["pos"], np.float32),
                                anchor_b=anchor_b, axis=axis,
-                               length=max(length, 1e-3))
+                               length=max(length, 1e-3), **extra)
         report["joint"] += 1
-    report["vehicle_todo"] += len(p.get("vehicles", []))
-    report["wheel_todo"] += len(p.get("wheels", []))
+    for v in p.get("vehicles", []):
+        e = ent(v["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "vehicle", mass=v["mass"],
+                               center_of_mass=np.asarray(v["center_of_mass"], np.float32),
+                               moi_multiplier=v["moi_multiplier"],
+                               chassis_layer=v["chassis_layer"],
+                               wheels_layer=v["wheels_layer"],
+                               peak_torque=v.get("peak_torque", 500.0),
+                               max_rpm=v.get("max_rpm", 6000.0))
+        report["vehicle"] += 1
+    for wrec in p.get("wheels", []):
+        e = ent(wrec["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "wheel", radius=wrec["radius"],
+                               width=wrec["width"], mass=wrec["mass"],
+                               moi=wrec["moi"], max_droop=wrec["max_droop"],
+                               max_compression=wrec["max_compression"],
+                               spring_strength=wrec["spring_strength"],
+                               spring_damper_rate=wrec["spring_damper_rate"],
+                               slot=wrec["slot"])
+        report["wheel"] += 1
     for ic in p.get("instanced_cubes", []):
         report["instanced_cube_todo"] += 1
     for imh in p.get("instanced_meshes", []):

@@ -720,6 +720,46 @@ def raycast_spheres(origin, direction, pos, radius, mask):
     return jnp.isfinite(tmin), tmin, idx.astype(jnp.int32)
 
 
+def raycast_boxes(origin, direction, pos, rot, half_extents, mask):
+    """Batched ray vs all OBBs (slab test in box-local space) →
+    (hit any, t_min, body index). origin/direction [..,3], pos [..,3,NB],
+    rot [..,4,NB], half_extents [..,3,NB]."""
+    # transform ray into each box's local frame
+    qinv = lm.quat_conjugate(rot, axis=AX)
+    o_l = lm.quat_rotate(qinv, origin[..., :, None] - pos, axis=AX)   # [..,3,NB]
+    d_l = lm.quat_rotate(qinv, jnp.broadcast_to(direction[..., :, None], o_l.shape), axis=AX)
+    safe_d = jnp.where(jnp.abs(d_l) < 1e-9, 1e-9, d_l)
+    t1 = (-half_extents - o_l) / safe_d
+    t2 = (half_extents - o_l) / safe_d
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=AX)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=AX)
+    valid = (tmax >= jnp.maximum(tmin, 0.0)) & mask
+    t = jnp.where(valid, jnp.maximum(tmin, 0.0), jnp.inf)
+    idx = jnp.argmin(t, axis=-1)
+    tm = jnp.min(t, axis=-1)
+    return jnp.isfinite(tm), tm, idx.astype(jnp.int32)
+
+
+def raycast_all(origin, direction, pos, rot, shape, radius, half_extents, mask):
+    """Ray vs every actor (sphere/box/capsule-as-sphere) → (hit, t, body)."""
+    is_box = shape == SHAPE_BOX
+    hs, ts, is_ = raycast_spheres(origin, direction, pos, radius, mask & ~is_box)
+    hb, tb, ib = raycast_boxes(origin, direction, pos, rot, half_extents,
+                               mask & is_box)
+    pick_b = tb < ts
+    return hs | hb, jnp.minimum(ts, tb), jnp.where(pick_b, ib, is_)
+
+
+def sweep(origin, direction, sweep_radius, pos, rot, shape, radius,
+          half_extents, mask):
+    """Sphere sweep (≙ PhysicsModule::sweepSphere): a moving sphere of
+    `sweep_radius` vs every actor. Spheres are exact (Minkowski inflation);
+    boxes use the standard inflated-extent approximation."""
+    infl_r = radius + sweep_radius
+    infl_he = half_extents + sweep_radius
+    return raycast_all(origin, direction, pos, rot, shape, infl_r, infl_he, mask)
+
+
 def candidate_slot_mask(shape_np: np.ndarray, slots_per_body: int) -> np.ndarray:
     """Structural mask of which ground-contact slots are real candidate points
     per body: boxes use all slots (corners), capsules 2 (endpoints), spheres 1.

@@ -60,6 +60,9 @@ class PhysicsState:
     lam_n: jnp.ndarray
     lam_t1: jnp.ndarray
     lam_t2: jnp.ndarray
+    # vehicle driver inputs [NV]: throttle (-1..1), steer (radians)
+    veh_throttle: jnp.ndarray
+    veh_steer: jnp.ndarray
     counters: Dict[str, jnp.ndarray]
 
 
@@ -158,6 +161,15 @@ class PhysStatics:
         self.joint_anchor_a = np.asarray(j.data["anchor_a"], np.float32)[jo].T.copy()
         self.joint_anchor_b = np.asarray(j.data["anchor_b"], np.float32)[jo].T.copy()
         self.joint_axis = np.asarray(j.data["axis"], np.float32)[jo].T.copy()
+        self.joint_min_dist = np.asarray(j.data["min_distance"], np.float32)[jo]
+        self.joint_max_dist = np.asarray(j.data["max_distance"], np.float32)[jo]
+        self.joint_limit_on = np.asarray(j.data["limit_on"], np.int32)[jo]
+        self.joint_limit_min = np.asarray(j.data["limit_min"], np.float32)[jo]
+        self.joint_limit_max = np.asarray(j.data["limit_max"], np.float32)[jo]
+        self.joint_drive_on = np.asarray(j.data["drive_on"], np.int32)[jo]
+        self.joint_drive_vel = np.asarray(j.data["drive_velocity"], np.float32)[jo]
+        self.joint_drive_force = np.asarray(j.data["drive_force"], np.float32)[jo]
+        self.joint_rest_rel = np.asarray(j.data["rest_rel_rot"], np.float32)[jo].T.copy()
 
         # controllers
         c = module.controllers
@@ -167,6 +179,34 @@ class PhysStatics:
         self.ctrl_radius = np.asarray(c.data["radius"], np.float32)
         self.ctrl_height = np.asarray(c.data["height"], np.float32)
         self.ctrl_gravity = np.asarray(c.data["gravity"], np.float32)
+
+        # vehicles + wheels (≙ PxVehicle batch update: physics_module.cpp
+        # updateVehicles) — raycast-suspension params as static arrays
+        v = module.vehicles
+        vo = v.entity >= 0
+        self.veh_mask = vo
+        self.veh_body = np.asarray(v.data["body"], np.int32)
+        self.veh_torque = np.asarray(v.data["peak_torque"], np.float32)
+        wh = module.wheels
+        wo = wh.entity >= 0
+        wveh = np.full(wh.capacity, -1, np.int32)
+        for i in range(wh.capacity):
+            if wo[i]:
+                ve = int(wh.data["vehicle_ent"][i])
+                sv = module.vehicles.slot_of(ve)
+                wveh[i] = sv
+        self.wheel_mask = wo & (wveh >= 0)
+        self.wheel_vehicle = np.maximum(wveh, 0)
+        self.wheel_body = np.where(
+            self.wheel_mask, self.veh_body[self.wheel_vehicle], 0).astype(np.int32)
+        self.wheel_radius = np.asarray(wh.data["radius"], np.float32)
+        self.wheel_droop = np.asarray(wh.data["max_droop"], np.float32)
+        self.wheel_comp = np.asarray(wh.data["max_compression"], np.float32)
+        self.wheel_spring = np.asarray(wh.data["spring_strength"], np.float32)
+        self.wheel_damper = np.asarray(wh.data["spring_damper_rate"], np.float32)
+        self.wheel_slot = np.asarray(wh.data["slot"], np.int32)
+        self.wheel_anchor = np.asarray(wh.data["anchor"], np.float32).T.copy()  # [3,NW]
+        self.has_vehicles = bool(self.wheel_mask.any())
 
         # heightfield (first one wins; terrain bank from the renderer system)
         self.heightfield_terrain = -1
@@ -222,9 +262,23 @@ class PhysicsModule(IModule):
              # 0=distance 1=spherical(ball) 2=hinge 3=d6 (≙ physics_module.h joints)
              "jtype": ((), np.int32, 0),
              "length": ((), np.float32, 1.0),
+             # distance joint min/max (≙ PxDistanceJoint min/maxDistance);
+             # max<=0 means use `length` as both
+             "min_distance": ((), np.float32, 0.0),
+             "max_distance": ((), np.float32, 0.0),
              "anchor_a": ((3,), np.float32, 0.0),
              "anchor_b": ((3,), np.float32, 0.0),
-             "axis": ((3,), np.float32, (0.0, 1.0, 0.0))},
+             "axis": ((3,), np.float32, (0.0, 1.0, 0.0)),
+             # hinge limits/drive (≙ PxRevoluteJoint AngularLimitPair +
+             # drive velocity/force limit); limit_on/drive_on as 0/1
+             "limit_on": ((), np.int32, 0),
+             "limit_min": ((), np.float32, 0.0),
+             "limit_max": ((), np.float32, 0.0),
+             "drive_on": ((), np.int32, 0),
+             "drive_velocity": ((), np.float32, 0.0),
+             "drive_force": ((), np.float32, 1e9),
+             # rest relative rotation captured at creation (hinge angle ref)
+             "rest_rel_rot": ((4,), np.float32, (0.0, 0.0, 0.0, 1.0))},
         )
         # capsule character controllers (custom gravity, ≙ Controller component)
         self.controllers = DenseStore(
@@ -234,6 +288,35 @@ class PhysicsModule(IModule):
         )
         # heightfield terrain collision (≙ Heightfield component)
         self.heightfields = DenseStore(4, {"terrain": ((), np.int32, -1)})
+        # vehicles + wheels (≙ physics_module.cpp PxVehicle binding; here a
+        # raycast-suspension model: spring/damper per wheel, engine torque,
+        # front steering, lateral grip — same capability, XLA-native)
+        self.vehicles = DenseStore(
+            8,
+            {"mass": ((), np.float32, 1500.0),
+             "center_of_mass": ((3,), np.float32, 0.0),
+             "moi_multiplier": ((), np.float32, 1.0),
+             "chassis_layer": ((), np.int32, 0),
+             "wheels_layer": ((), np.int32, 0),
+             "peak_torque": ((), np.float32, 500.0),
+             "max_rpm": ((), np.float32, 6000.0),
+             "body": ((), np.int32, -1)},   # chassis actor slot
+        )
+        self.wheels = DenseStore(
+            32,
+            {"vehicle_ent": ((), np.int32, -1),
+             "radius": ((), np.float32, 0.35),
+             "width": ((), np.float32, 0.2),
+             "mass": ((), np.float32, 20.0),
+             "moi": ((), np.float32, 1.0),
+             "max_droop": ((), np.float32, 0.15),
+             "max_compression": ((), np.float32, 0.15),
+             "spring_strength": ((), np.float32, 30000.0),
+             "spring_damper_rate": ((), np.float32, 4000.0),
+             # 0=FL 1=FR 2=RL 3=RR (≙ WheelSlot)
+             "slot": ((), np.int32, 0),
+             "anchor": ((3,), np.float32, 0.0)},  # chassis-local attach point
+        )
         self.points_per_pair = points_per_pair
         self.ground_slots_per_body = ground_slots_per_body
         self.solver_iterations = solver_iterations
@@ -246,7 +329,8 @@ class PhysicsModule(IModule):
 
     def component_types(self):
         return ["rigid_actor", "distance_joint", "spherical_joint",
-                "hinge_joint", "d6_joint", "physics_controller", "heightfield"]
+                "hinge_joint", "d6_joint", "physics_controller", "heightfield",
+                "vehicle", "wheel"]
 
     def create_component(self, entity: int, ctype: str, **props):
         self.invalidate_statics()
@@ -274,13 +358,27 @@ class PhysicsModule(IModule):
             ea, eb = int(props["body_a"]), int(props["body_b"])
             ba = self.actors.slot_of(ea)
             bb = self.actors.slot_of(eb)
+            # rest relative rotation for hinge angle measurement
+            _, ra_, _ = self.world.get_global_transform(ea)
+            _, rb_, _ = self.world.get_global_transform(eb)
+            from lumixengine_tpu.core import host_math as hm
+            rest = hm.quat_mul(hm.quat_conjugate(ra_), rb_)
             self.joints.add(entity, body_a=np.int32(ba), body_b=np.int32(bb),
                             ent_a=np.int32(ea), ent_b=np.int32(eb),
                             jtype=np.int32(jtype),
                             length=np.float32(props.get("length", 1.0)),
+                            min_distance=np.float32(props.get("min_distance", 0.0)),
+                            max_distance=np.float32(props.get("max_distance", 0.0)),
                             anchor_a=np.asarray(props.get("anchor_a", (0.0,) * 3), np.float32),
                             anchor_b=np.asarray(props.get("anchor_b", (0.0,) * 3), np.float32),
-                            axis=np.asarray(props.get("axis", (0.0, 1.0, 0.0)), np.float32))
+                            axis=np.asarray(props.get("axis", (0.0, 1.0, 0.0)), np.float32),
+                            limit_on=np.int32(1 if "limit" in props else 0),
+                            limit_min=np.float32(props.get("limit", (0.0, 0.0))[0]),
+                            limit_max=np.float32(props.get("limit", (0.0, 0.0))[1]),
+                            drive_on=np.int32(1 if "drive_velocity" in props else 0),
+                            drive_velocity=np.float32(props.get("drive_velocity", 0.0)),
+                            drive_force=np.float32(props.get("drive_force", 1e9)),
+                            rest_rel_rot=np.asarray(rest, np.float32))
         elif ctype == "physics_controller":
             self.controllers.add(entity,
                                  radius=np.float32(props.get("radius", 0.4)),
@@ -288,6 +386,45 @@ class PhysicsModule(IModule):
                                  gravity=np.float32(props.get("gravity", -9.81)))
         elif ctype == "heightfield":
             self.heightfields.add(entity, terrain=np.int32(props.get("terrain", 0)))
+        elif ctype == "vehicle":
+            # the chassis is a dynamic box actor on the same entity — created
+            # implicitly if absent (≙ PxVehicle building its own PxRigidDynamic)
+            if self.actors.slot_of(entity) < 0:
+                self.create_component(entity, "rigid_actor", motion="dynamic",
+                                      shape="box",
+                                      half_extents=props.get("chassis_half_extents", (1.0, 0.5, 2.0)),
+                                      mass=props.get("mass", 1500.0),
+                                      layer=props.get("chassis_layer", 0))
+            self.vehicles.add(
+                entity,
+                mass=np.float32(props.get("mass", 1500.0)),
+                center_of_mass=np.asarray(props.get("center_of_mass", (0.0,) * 3), np.float32),
+                moi_multiplier=np.float32(props.get("moi_multiplier", 1.0)),
+                chassis_layer=np.int32(props.get("chassis_layer", 0)),
+                wheels_layer=np.int32(props.get("wheels_layer", 0)),
+                peak_torque=np.float32(props.get("peak_torque", 500.0)),
+                max_rpm=np.float32(props.get("max_rpm", 6000.0)),
+                body=np.int32(self.actors.slot_of(entity)),
+            )
+        elif ctype == "wheel":
+            # wheel entities are children of the vehicle entity; the chassis-
+            # local anchor is the wheel's local transform at creation
+            veh = int(props.get("vehicle", self.world.get_parent(entity)))
+            anchor = np.asarray(self.world.local_pos[entity], np.float32)
+            self.wheels.add(
+                entity,
+                vehicle_ent=np.int32(veh),
+                radius=np.float32(props.get("radius", 0.35)),
+                width=np.float32(props.get("width", 0.2)),
+                mass=np.float32(props.get("mass", 20.0)),
+                moi=np.float32(props.get("moi", 1.0)),
+                max_droop=np.float32(props.get("max_droop", 0.15)),
+                max_compression=np.float32(props.get("max_compression", 0.15)),
+                spring_strength=np.float32(props.get("spring_strength", 30000.0)),
+                spring_damper_rate=np.float32(props.get("spring_damper_rate", 4000.0)),
+                slot=np.int32(props.get("slot", 0)),
+                anchor=anchor,
+            )
         else:
             raise KeyError(ctype)
 
@@ -301,6 +438,10 @@ class PhysicsModule(IModule):
             self.controllers.remove(entity)
         elif ctype == "heightfield":
             self.heightfields.remove(entity)
+        elif ctype == "vehicle":
+            self.vehicles.remove(entity)
+        elif ctype == "wheel":
+            self.wheels.remove(entity)
 
     def sap_active(self) -> bool:
         if self.broadphase == "auto":
@@ -356,6 +497,8 @@ class PhysicsModule(IModule):
             lam_n=jnp.zeros(n_lam, jnp.float32),
             lam_t1=jnp.zeros(n_lam, jnp.float32),
             lam_t2=jnp.zeros(n_lam, jnp.float32),
+            veh_throttle=jnp.zeros(self.vehicles.capacity, jnp.float32),
+            veh_steer=jnp.zeros(self.vehicles.capacity, jnp.float32),
             counters={"active_contacts": jnp.int32(0),
                       "sap_window_miss": jnp.int32(0)},
         )
@@ -380,6 +523,9 @@ class PhysicsModule(IModule):
             ms.vel, ms.angvel, dt_c, sys.gravity, sys.linear_damping,
             sys.angular_damping, dyn,
         )
+        if st.has_vehicles:
+            vel, angvel = self._update_vehicles(st, ms, pos, rot, vel, angvel,
+                                                dt_c)
 
         shape = jnp.asarray(st.shape)
         radius = jnp.asarray(st.radius)
@@ -565,7 +711,13 @@ class PhysicsModule(IModule):
         dvec = err_vec
         dist = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, axis=-2), 1e-12))
         n = dvec / dist[..., None, :]
-        err_d = dist - jnp.asarray(st.joint_len)
+        # distance error: exact `length` by default; a [min,max] band when
+        # max_distance > 0 (≙ PxDistanceJoint min/maxDistance flags)
+        has_band = jnp.asarray((st.joint_max_dist > 0).astype(np.float32))
+        err_exact = dist - jnp.asarray(st.joint_len)
+        err_band = (jnp.maximum(dist - jnp.asarray(st.joint_max_dist), 0.0)
+                    - jnp.maximum(jnp.asarray(st.joint_min_dist) - dist, 0.0))
+        err_d = has_band * err_band + (1.0 - has_band) * err_exact
         k_n = im_a + im_b + ang_term(r_a, n, II_a) + ang_term(r_b, n, II_b)
 
         beta = 0.1
@@ -575,7 +727,10 @@ class PhysicsModule(IModule):
             vb = jnp.take(vel, jb, axis=-1) + lm.cross(jnp.take(angvel, jb, axis=-1), r_b, axis=-2)
             vrel = vb - va
             vn = jnp.sum(vrel * n, axis=-2)
-            lam_d = -(vn + beta * err_d / dt) / jnp.maximum(k_n, 1e-9) * relax
+            # band joints only constrain when outside [min,max]
+            act_d = has_band * (jnp.abs(err_d) > 0).astype(jnp.float32) \
+                + (1.0 - has_band)
+            lam_d = -(vn + beta * err_d / dt) / jnp.maximum(k_n, 1e-9) * relax * act_d
             imp_dist = n * lam_d[..., None, :]
             imp_point = -(vrel + beta * err_vec / dt) / jnp.maximum(k_axes, 1e-9) * relax
             imp = jnp.where(jnp.expand_dims(is_dist, -2), imp_dist, imp_point)
@@ -586,12 +741,16 @@ class PhysicsModule(IModule):
             tb = jnp.einsum("nc,...kc->...kn", inc_b, lm.cross(r_b, imp, axis=-2))
             angvel = angvel + (ta + tb) * iiw
 
-        # hinge: remove relative angular velocity off-axis (drives/limits later)
+        # hinge: remove relative angular velocity off-axis, then apply drive
+        # and angular limits about the axis (≙ PxRevoluteJoint drive +
+        # AngularLimitPair)
         hinge = np.nonzero(jt == 2)[0]
         if hinge.size:
             hj = jnp.asarray(hinge.astype(np.int32))
-            axis_w = lm.quat_rotate(jnp.take(rot_a, hj, axis=-1),
-                                    jnp.asarray(st.joint_axis[:, hinge]), axis=-2)
+            rot_ah = jnp.take(rot_a, hj, axis=-1)
+            rot_bh = jnp.take(rot_b, hj, axis=-1)
+            axis_l = jnp.asarray(st.joint_axis[:, hinge])
+            axis_w = lm.quat_rotate(rot_ah, axis_l, axis=-2)
             wa = jnp.take(angvel, ja[hj], axis=-1)
             wb = jnp.take(angvel, jb[hj], axis=-1)
             wrel = wb - wa
@@ -599,11 +758,121 @@ class PhysicsModule(IModule):
             imw_a = jnp.take(iiw, ja[hj], axis=-1)
             imw_b = jnp.take(iiw, jb[hj], axis=-1)
             tau = -off_axis / jnp.maximum(imw_a + imw_b, 1e-9)
+
+            # scalar angular effective mass about the axis
+            k_ax = jnp.maximum(
+                jnp.sum(axis_w * (imw_a + imw_b) * axis_w, axis=-2), 1e-9)
+            w_ax = jnp.sum(wrel * axis_w, axis=-2)
+
+            # drive toward target angular velocity, force-limited per step
+            drive_on = jnp.asarray(st.joint_drive_on[hinge], jnp.float32)
+            tgt = jnp.asarray(st.joint_drive_vel[hinge])
+            fmax = jnp.asarray(st.joint_drive_force[hinge]) * dt
+            lam_d = jnp.clip((tgt - w_ax) / k_ax, -fmax, fmax) * drive_on
+
+            # limits: hinge angle from the rest-relative rotation's twist
+            # about the axis; velocity bias pushes back into range
+            rel = lm.quat_mul(lm.quat_conjugate(rot_ah, axis=-2), rot_bh, axis=-2)
+            dtw = lm.quat_mul(lm.quat_conjugate(
+                jnp.asarray(st.joint_rest_rel[:, hinge]), axis=-2), rel, axis=-2)
+            twist_xyz = jnp.sum(dtw[..., 0:3, :] * axis_l, axis=-2)
+            angle = 2.0 * jnp.arctan2(twist_xyz, dtw[..., 3, :])
+            lim_on = jnp.asarray(st.joint_limit_on[hinge], jnp.float32)
+            lo = jnp.asarray(st.joint_limit_min[hinge])
+            hi = jnp.asarray(st.joint_limit_max[hinge])
+            over = jnp.maximum(angle - hi, 0.0) - jnp.maximum(lo - angle, 0.0)
+            lam_l = (-(0.2 / dt) * over - jnp.where(jnp.abs(over) > 0, w_ax, 0.0)) \
+                / k_ax * lim_on
+
+            imp_ax = axis_w * (lam_d + lam_l)[..., None, :]
             inc_ah = inc_a[:, hinge]
             inc_bh = inc_b[:, hinge]
-            ta2 = -jnp.einsum("nc,...kc->...kn", inc_ah, tau)
-            tb2 = jnp.einsum("nc,...kc->...kn", inc_bh, tau)
+            ta2 = -jnp.einsum("nc,...kc->...kn", inc_ah, tau + imp_ax)
+            tb2 = jnp.einsum("nc,...kc->...kn", inc_bh, tau + imp_ax)
             angvel = angvel + (ta2 + tb2) * iiw
+        return vel, angvel
+
+    def set_vehicle_input(self, state: WorldState, entity: int,
+                          throttle: float = 0.0, steer: float = 0.0) -> WorldState:
+        """Driver inputs for a vehicle (≙ Vehicle accel/steer API)."""
+        slot = self.vehicles.slot_of(entity)
+        ms: PhysicsState = state.modules[self.name]
+        ms = ms.replace(
+            veh_throttle=ms.veh_throttle.at[..., slot].set(jnp.float32(throttle)),
+            veh_steer=ms.veh_steer.at[..., slot].set(jnp.float32(steer)))
+        return state.replace(modules={**state.modules, self.name: ms})
+
+    def _update_vehicles(self, st: PhysStatics, ms: PhysicsState,
+                         pos, rot, vel, angvel, dt):
+        """Raycast-suspension vehicle forces (≙ physics_module.cpp
+        updateVehicles → PxVehicle batch raycasts + update):
+
+          suspension — ray from each wheel anchor along chassis-down; spring
+                        k·compression − c·(contact-point up-velocity)
+          drive       — throttle·peak_torque/wheel_radius along the (steered
+                        for front slots) chassis forward, on grounded wheels
+          lateral     — grip impulse cancelling sideways contact velocity
+
+        All wheels batch as arrays; impulses scatter to chassis bodies via
+        segment_sum."""
+        nb = pos.shape[-1]
+        wm = jnp.asarray(st.wheel_mask, jnp.float32)
+        bidx = jnp.asarray(st.wheel_body)
+        vidx = jnp.asarray(st.wheel_vehicle)
+        q = jnp.take(rot, bidx, axis=-1)          # [..,4,NW]
+        p = jnp.take(pos, bidx, axis=-1)
+        anchor_w = lm.quat_rotate(q, jnp.asarray(st.wheel_anchor), axis=-2)
+        r = anchor_w                               # lever arm from chassis COM
+        wpos = p + anchor_w
+        up = lm.quat_rotate(q, jnp.broadcast_to(
+            jnp.asarray([0.0, 1.0, 0.0])[:, None], q[..., :3, :].shape), axis=-2)
+        fwd = lm.quat_rotate(q, jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0])[:, None], q[..., :3, :].shape), axis=-2)
+
+        # suspension ray vs the ground plane (heightfield support follows the
+        # controller path's sample_height once vehicles need terrain)
+        gy = jnp.float32(self.system.ground_y)
+        # ray o + t·(−up): hits y=gy at t = (o_y − gy)/up_y
+        t = (wpos[..., 1, :] - gy) / jnp.maximum(up[..., 1, :], 1e-3)
+        radius = jnp.asarray(st.wheel_radius)
+        rest = radius + jnp.asarray(st.wheel_droop)
+        max_c = jnp.asarray(st.wheel_comp)
+        compression = jnp.clip(rest - t, 0.0, jnp.asarray(st.wheel_droop) + max_c)
+        # buried wheels (t < 0) are maximally compressed, not airborne
+        grounded = (t <= rest).astype(jnp.float32) * wm
+
+        cvel = jnp.take(vel, bidx, axis=-1) + lm.cross(
+            jnp.take(angvel, bidx, axis=-1), r, axis=-2)
+        v_up = jnp.sum(cvel * up, axis=-2)
+        f_spring = jnp.maximum(
+            jnp.asarray(st.wheel_spring) * compression
+            - jnp.asarray(st.wheel_damper) * v_up, 0.0) * grounded
+
+        # steered forward for front slots (0, 1)
+        steer = jnp.take(ms.veh_steer, vidx) * (jnp.asarray(st.wheel_slot) < 2)
+        cs, sn = jnp.cos(steer), jnp.sin(steer)
+        side = lm.cross(up, fwd, axis=-2)
+        dirv = fwd * cs[..., None, :] + side * sn[..., None, :]
+        side_s = lm.cross(up, dirv, axis=-2)
+
+        throttle = jnp.take(ms.veh_throttle, vidx)
+        f_drive = throttle * jnp.take(jnp.asarray(st.veh_torque), vidx) / \
+            jnp.maximum(radius, 1e-3) * grounded
+        v_side = jnp.sum(cvel * side_s, axis=-2)
+        # lateral grip bounded by the friction cone of the normal load
+        f_lat = jnp.clip(-v_side / jnp.maximum(dt, 1e-4) * 80.0,
+                         -1.2 * f_spring, 1.2 * f_spring)
+
+        imp = (up * f_spring[..., None, :] + dirv * f_drive[..., None, :]
+               + side_s * f_lat[..., None, :]) * dt * wm
+        six = jnp.concatenate([imp, lm.cross(r, imp, axis=-2)], axis=-2)
+        acc = jax.ops.segment_sum(jnp.moveaxis(six, -1, -2), bidx,
+                                  num_segments=nb)
+        acc = jnp.moveaxis(acc, -2, -1)            # [..,6,NB]
+        inv_mass = jnp.asarray(st.inv_mass)
+        iiw = P.inv_inertia_world_diag(rot, jnp.asarray(st.inv_inertia_body))
+        vel = vel + acc[..., 0:3, :] * inv_mass[None, :]
+        angvel = angvel + acc[..., 3:6, :] * iiw
         return vel, angvel
 
     def _terrain_bank(self):
@@ -678,14 +947,29 @@ class PhysicsModule(IModule):
 
     # -- queries (host-visible, also traceable) ---------------------------------
 
-    def raycast(self, ms: PhysicsState, origin, direction):
-        """Batched ray vs actor spheres (box raycast lands with capsules)."""
+    def raycast(self, ms: PhysicsState, origin, direction, layer_mask: int = -1):
+        """Batched ray vs every actor: exact spheres + OBB slab tests
+        (≙ PhysicsModule::raycast with layer filtering)."""
         st = self.statics()
-        mask = jnp.asarray(st.shape == P.SHAPE_SPHERE) & jnp.asarray(
-            self.actors.entity >= 0
-        )
-        return P.raycast_spheres(jnp.asarray(origin), jnp.asarray(direction),
-                                 ms.pos, jnp.asarray(st.radius), mask)
+        mask = jnp.asarray(st.occupied)
+        if layer_mask != -1:
+            mask = mask & jnp.asarray((1 << st.layer) & layer_mask != 0)
+        return P.raycast_all(jnp.asarray(origin), jnp.asarray(direction),
+                             ms.pos, ms.rot, jnp.asarray(st.shape),
+                             jnp.asarray(st.radius),
+                             jnp.asarray(st.half_extents), mask)
+
+    def sweep(self, ms: PhysicsState, origin, direction, sweep_radius: float,
+              layer_mask: int = -1):
+        """Sphere sweep vs every actor (≙ PhysicsModule::sweepSphere)."""
+        st = self.statics()
+        mask = jnp.asarray(st.occupied)
+        if layer_mask != -1:
+            mask = mask & jnp.asarray((1 << st.layer) & layer_mask != 0)
+        return P.sweep(jnp.asarray(origin), jnp.asarray(direction),
+                       jnp.float32(sweep_radius), ms.pos, ms.rot,
+                       jnp.asarray(st.shape), jnp.asarray(st.radius),
+                       jnp.asarray(st.half_extents), mask)
 
 
 class PhysicsSystem(ISystem):

@@ -188,3 +188,160 @@ def test_fused_pallas_solver_parity():
     # summation order differs (6-row fused accumulators) → fp-level tolerance
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=5e-3)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# vehicles (≙ physics_module.cpp updateVehicles — raycast suspension model)
+
+def _build_vehicle():
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.physics.module import PhysicsSystem
+
+    engine = Engine()
+    engine.module_capacities = {"actors": 4}
+    phys = PhysicsSystem(engine)
+    engine.add_system(phys)
+    world = engine.create_world(capacity=8)
+    car = world.create_entity(position=(0.0, 0.8, 0.0), name="car")
+    world.create_component(car, "vehicle", mass=1200.0, peak_torque=800.0,
+                           chassis_half_extents=(0.9, 0.4, 2.0))
+    for i, (x, z, slot) in enumerate([(-0.8, 1.4, 0), (0.8, 1.4, 1),
+                                      (-0.8, -1.4, 2), (0.8, -1.4, 3)]):
+        w = world.create_entity(position=(x, -0.45, z), parent=car)
+        world.create_component(w, "wheel", slot=slot, radius=0.35,
+                               max_droop=0.2, max_compression=0.2,
+                               spring_strength=60000.0,
+                               spring_damper_rate=6000.0)
+    return engine, world, car
+
+
+def test_vehicle_suspension_holds_chassis_up():
+    engine, world, car = _build_vehicle()
+    pm = world.modules["physics"]
+    step = engine.build_step(world, donate=False)
+    s = world.device_state()
+    for _ in range(240):
+        s = step(s, jnp.float32(1 / 60))
+    slot = pm.actors.slot_of(car)
+    y = float(s.modules["physics"].pos[1, slot])
+    # suspension supports the chassis near anchor height + rest length
+    assert 0.5 < y < 1.2, y
+    vy = float(s.modules["physics"].vel[1, slot])
+    assert abs(vy) < 0.2, vy
+
+
+def test_vehicle_drives_forward_and_steers():
+    engine, world, car = _build_vehicle()
+    pm = world.modules["physics"]
+    step = engine.build_step(world, donate=False)
+    s = world.device_state()
+    for _ in range(60):  # settle on suspension
+        s = step(s, jnp.float32(1 / 60))
+    s = pm.set_vehicle_input(s, car, throttle=1.0, steer=0.0)
+    for _ in range(120):
+        s = step(s, jnp.float32(1 / 60))
+    slot = pm.actors.slot_of(car)
+    ms = s.modules["physics"]
+    assert float(ms.vel[2, slot]) > 1.0, float(ms.vel[2, slot])  # accelerates +z
+    z0 = float(ms.pos[2, slot])
+    assert z0 > 0.5
+    # steer: yaw rate appears and the path curves
+    s = pm.set_vehicle_input(s, car, throttle=0.6, steer=0.4)
+    for _ in range(120):
+        s = step(s, jnp.float32(1 / 60))
+    ms = s.modules["physics"]
+    assert abs(float(ms.angvel[1, slot])) > 0.05       # yawing
+    assert abs(float(ms.pos[0, slot])) > 0.3           # lateral displacement
+
+
+# ---------------------------------------------------------------------------
+# joint limits + drives (≙ PxRevoluteJoint AngularLimitPair + drive,
+# PxDistanceJoint min/maxDistance)
+
+def test_hinge_drive_spins_body():
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.physics.module import PhysicsSystem
+
+    engine = Engine()
+    engine.module_capacities = {"actors": 4, "joints": 4}
+    phys = PhysicsSystem(engine, gravity=(0.0, 0.0, 0.0))
+    phys.ground_plane = False
+    engine.add_system(phys)
+    world = engine.create_world(capacity=8)
+    a = world.create_entity(position=(0.0, 2.0, 0.0))
+    world.create_component(a, "rigid_actor", motion="static", shape="box")
+    b = world.create_entity(position=(0.0, 2.0, 0.0))
+    world.create_component(b, "rigid_actor", motion="dynamic", shape="box")
+    j = world.create_entity()
+    world.create_component(j, "hinge_joint", body_a=a, body_b=b,
+                           axis=(0.0, 1.0, 0.0), drive_velocity=3.0,
+                           drive_force=1e6)
+    pm = world.modules["physics"]
+    step = engine.build_step(world, donate=False)
+    s = world.device_state()
+    for _ in range(120):
+        s = step(s, jnp.float32(1 / 60))
+    wy = float(s.modules["physics"].angvel[1, pm.actors.slot_of(b)])
+    assert 2.0 < wy < 4.0, wy  # spun up toward the drive target
+
+
+def test_hinge_limit_stops_rotation():
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.physics.module import PhysicsSystem
+
+    engine = Engine()
+    engine.module_capacities = {"actors": 4, "joints": 4}
+    phys = PhysicsSystem(engine, gravity=(0.0, 0.0, 0.0))
+    phys.ground_plane = False
+    phys.angular_damping = 0.0
+    engine.add_system(phys)
+    world = engine.create_world(capacity=8)
+    a = world.create_entity(position=(0.0, 2.0, 0.0))
+    world.create_component(a, "rigid_actor", motion="static", shape="box")
+    b = world.create_entity(position=(0.0, 2.0, 0.0))
+    world.create_component(b, "rigid_actor", motion="dynamic", shape="box")
+    j = world.create_entity()
+    world.create_component(j, "hinge_joint", body_a=a, body_b=b,
+                           axis=(0.0, 1.0, 0.0), limit=(-0.5, 0.5))
+    pm = world.modules["physics"]
+    slot = pm.actors.slot_of(b)
+    step = engine.build_step(world, donate=False)
+    s = world.device_state()
+    ms = s.modules["physics"]
+    ms = ms.replace(angvel=ms.angvel.at[1, slot].set(4.0))  # spin into the limit
+    s = s.replace(modules={**s.modules, "physics": ms})
+    for _ in range(240):
+        s = step(s, jnp.float32(1 / 60))
+    from lumixengine_tpu.core import host_math as hm
+    q = np.asarray(s.modules["physics"].rot[:, slot])
+    angle = 2.0 * np.arctan2(q[1], q[3])
+    assert abs(angle) < 0.7, angle   # held near the 0.5 rad limit, not spinning
+    wy = float(s.modules["physics"].angvel[1, slot])
+    assert abs(wy) < 0.5, wy
+
+
+def test_distance_band_joint():
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.physics.module import PhysicsSystem
+
+    engine = Engine()
+    engine.module_capacities = {"actors": 4, "joints": 4}
+    phys = PhysicsSystem(engine)
+    phys.ground_plane = False
+    engine.add_system(phys)
+    world = engine.create_world(capacity=8)
+    a = world.create_entity(position=(0.0, 5.0, 0.0))
+    world.create_component(a, "rigid_actor", motion="static", shape="sphere", radius=0.1)
+    b = world.create_entity(position=(0.0, 4.5, 0.0))
+    world.create_component(b, "rigid_actor", motion="dynamic", shape="sphere", radius=0.1)
+    j = world.create_entity()
+    world.create_component(j, "distance_joint", body_a=a, body_b=b,
+                           min_distance=0.2, max_distance=1.0)
+    pm = world.modules["physics"]
+    step = engine.build_step(world, donate=False)
+    s = world.device_state()
+    for _ in range(240):
+        s = step(s, jnp.float32(1 / 60))
+    y = float(s.modules["physics"].pos[1, pm.actors.slot_of(b)])
+    # hangs at the 1.0 band edge below the anchor (within solver tolerance)
+    assert 3.85 < y < 4.1, y
