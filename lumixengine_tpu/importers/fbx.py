@@ -410,11 +410,29 @@ def to_model(doc: FbxDoc, name: str = "fbx"):
     all_pos: List[np.ndarray] = []
     all_w: List[np.ndarray] = []
     all_b: List[np.ndarray] = []
+    all_tris: List[np.ndarray] = []
+    vert_base = 0
     for geo in doc.by_class.get("Geometry", []):
         vn = geo.node.find("Vertices")
         if vn is None:
             continue
         cp = np.asarray(vn.prop(0), np.float64).reshape(-1, 3)
+        # polygons → fan-triangulated indices (negative = ~last-of-polygon,
+        # the FBX PolygonVertexIndex convention); kept for trimesh cooking
+        pvi = geo.node.find("PolygonVertexIndex")
+        if pvi is not None:
+            raw = np.asarray(pvi.prop(0), np.int64)
+            tris = []
+            poly: List[int] = []
+            for ix in raw:
+                poly.append(int(~ix) if ix < 0 else int(ix))
+                if ix < 0:
+                    for t in range(1, len(poly) - 1):
+                        tris.append((poly[0], poly[t], poly[t + 1]))
+                    poly = []
+            if tris:
+                all_tris.append(np.asarray(tris, np.int32) + vert_base)
+        vert_base += cp.shape[0]
         # mesh model's global transform + geometric transform
         models = doc.connected_parents(geo.id, "Model")
         gm = np.eye(4)
@@ -467,6 +485,7 @@ def to_model(doc: FbxDoc, name: str = "fbx"):
     return Model(
         name=name, bounding_radius=max(radius, 1e-3), skeleton=skeleton,
         vertex_positions=vpos,
+        vertex_triangles=np.concatenate(all_tris) if all_tris else None,
         vertex_bone=vb[:, 0] if skeleton is not None else None,
         vertex_weights=vw if skeleton is not None else None,
         vertex_bones4=vb if skeleton is not None else None,

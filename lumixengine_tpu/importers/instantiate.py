@@ -464,16 +464,33 @@ def instantiate_scene(scene: Dict[str, Any],
                                    half_extents=np.asarray(g["half_extents"], np.float32),
                                    layer=act_["layer"])
         else:
-            # convex(4)/trimesh(5) — approximated by the model's bounding box
-            # until mesh cooking lands (report tracks the approximation)
+            # convex(4)/trimesh(5): cook from the entity's model geometry
+            # (≙ physics_system.cpp cookConvex/cookTriMesh on the same source
+            # mesh); bounding-box fallback when no vertex data is available
             mp = ent_model.get(act_["entity"], "")
-            radius = 1.0
-            if mp:
-                radius = assets.renderer.models.get(assets.model_id(mp)).bounding_radius
-            he = radius / np.sqrt(3.0)
-            world.create_component(e, "rigid_actor", motion=motion, shape="box",
-                                   half_extents=(he, he, he), layer=act_["layer"])
-            report["actor_mesh_approx"] += 1
+            mo = assets.renderer.models.get(assets.model_id(mp)) if mp else None
+            vpos = getattr(mo, "vertex_positions", None) if mo is not None else None
+            if vpos is not None and len(vpos) >= 4 and g["type"] == 4:
+                world.create_component(e, "rigid_actor", motion=motion,
+                                       shape="convex", points=vpos,
+                                       layer=act_["layer"])
+                report["actor_convex"] += 1
+            elif vpos is not None and len(vpos) >= 4 and g["type"] == 5:
+                tris = getattr(mo, "vertex_triangles", None)
+                if tris is None:
+                    # no index data: SDF of the convex hull's surface
+                    from scipy.spatial import ConvexHull
+                    hull = ConvexHull(np.asarray(vpos, np.float64))
+                    vpos, tris = hull.points, hull.simplices
+                world.create_component(e, "mesh_collider", vertices=vpos,
+                                       triangles=tris)
+                report["mesh_collider"] += 1
+            else:
+                radius = mo.bounding_radius if mo is not None else 1.0
+                he = radius / np.sqrt(3.0)
+                world.create_component(e, "rigid_actor", motion=motion, shape="box",
+                                       half_extents=(he, he, he), layer=act_["layer"])
+                report["actor_mesh_approx"] += 1
         report["rigid_actor"] += 1
     for c in p.get("controllers", []):
         e = ent(c["entity"])

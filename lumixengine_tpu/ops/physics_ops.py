@@ -40,6 +40,7 @@ AX = -2  # component axis for [C, N] SoA arrays
 SHAPE_SPHERE = 0
 SHAPE_BOX = 1
 SHAPE_CAPSULE = 2
+SHAPE_CONVEX = 3  # cooked hull (see physics/cooking.py, ops/convex_ops.py)
 
 # unit-cube corner signs [3, 8]
 _CORNER_SIGNS = np.array(
@@ -728,7 +729,8 @@ def raycast_boxes(origin, direction, pos, rot, half_extents, mask):
     qinv = lm.quat_conjugate(rot, axis=AX)
     o_l = lm.quat_rotate(qinv, origin[..., :, None] - pos, axis=AX)   # [..,3,NB]
     d_l = lm.quat_rotate(qinv, jnp.broadcast_to(direction[..., :, None], o_l.shape), axis=AX)
-    safe_d = jnp.where(jnp.abs(d_l) < 1e-9, 1e-9, d_l)
+    safe_d = jnp.where(jnp.abs(d_l) < 1e-9,
+                       jnp.where(d_l >= 0, 1e-9, -1e-9), d_l)
     t1 = (-half_extents - o_l) / safe_d
     t2 = (half_extents - o_l) / safe_d
     tmin = jnp.max(jnp.minimum(t1, t2), axis=AX)
@@ -793,21 +795,3 @@ def heightfield_contacts(pos, rot, shape, radius, half_extents, dyn_mask,
     active = (depth > 0.0) & dyn_mask[..., gc.body_a] & valid
     return Contacts(body_a=gc.body_a, body_b=gc.body_b, point=gc.point,
                     normal=-n, depth=depth, active=active)
-
-
-def raycast_boxes(origin, direction, pos, rot, half_extents, mask):
-    """Batched ray vs all OBBs → (hit any, t_min, body index)."""
-    inv_rot = lm.quat_conjugate(rot, axis=AX)
-    o_local = lm.quat_rotate(inv_rot, origin[..., :, None] - pos, axis=AX)
-    d_local = lm.quat_rotate(inv_rot, jnp.broadcast_to(direction[..., :, None], pos.shape), axis=AX)
-    eps = 1e-9
-    d_safe = jnp.where(jnp.abs(d_local) < eps, jnp.where(d_local >= 0, eps, -eps), d_local)
-    t0 = (-half_extents - o_local) / d_safe
-    t1 = (half_extents - o_local) / d_safe
-    tmin = jnp.max(jnp.minimum(t0, t1), axis=AX)
-    tmax = jnp.min(jnp.maximum(t0, t1), axis=AX)
-    hit = (tmax >= jnp.maximum(tmin, 0.0)) & mask
-    t = jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf)
-    idx = jnp.argmin(t, axis=-1)
-    tm = jnp.min(t, axis=-1)
-    return jnp.isfinite(tm), tm, idx.astype(jnp.int32)

@@ -92,24 +92,101 @@ class PhysStatics:
         self.friction_body = friction.copy()
         self.restitution_body = restitution.copy()
 
-        # body-space inverse inertia (diagonal): sphere 2/5·m·r²; box m/12·(e²+e²)
+        # body-space inverse inertia (diagonal): sphere 2/5·m·r²; box
+        # m/12·(e²+e²); convex uses the cooked hull inertia scaled to mass
         he = self.half_extents
+        hull_ids = np.asarray(st.data["hull"], np.int32)
+        self.hull_ids = hull_ids
+        is_convex = self.shape == P.SHAPE_CONVEX
+        conv_inertia = np.ones((3, nb), np.float32)
+        for slot in np.nonzero(occupied & is_convex)[0]:
+            h = module.hulls[int(hull_ids[slot])]
+            density = mass[slot] / max(h.volume, 1e-9)
+            conv_inertia[:, slot] = h.inertia_diag * density
         ib = np.zeros((3, nb), np.float32)
         for a in range(3):
             b_, c_ = (a + 1) % 3, (a + 2) % 3
             box_i = mass / 12.0 * ((2 * he[b_]) ** 2 + (2 * he[c_]) ** 2)
             sph_i = 0.4 * mass * self.radius**2
-            ii = np.where(self.shape == P.SHAPE_BOX, box_i, sph_i)
+            ii = np.where(self.shape == P.SHAPE_BOX, box_i,
+                          np.where(is_convex, conv_inertia[a], sph_i))
             ib[a] = np.where(self.dyn_mask, 1.0 / np.maximum(ii, 1e-9), 0.0)
         self.inv_inertia_body = ib
 
         self.ground_plane = bool(module.system.ground_plane)
         self.sap = module.sap_active()
+
+        # -- polytope data (convex narrowphase + SDF candidate points) -------
+        # every shape as padded verts + support radius (ops/convex_ops.py)
+        self.conv_idx = np.nonzero(occupied & is_convex & self.dyn_mask)[0].astype(np.int32)
+        self.has_convex = bool(np.any(occupied & is_convex))
+        # SDF mesh colliders: (grid, origin, cell, pos, rot) with poses frozen
+        # at statics build (mesh colliders are static environment)
+        self.sdf_colliders = []
+        mc = module.mesh_colliders
+        for slot in range(mc.capacity):
+            e = int(mc.entity[slot])
+            if e >= 0:
+                sdf = module.sdfs[int(mc.data["sdf"][slot])]
+                mpos, mrot, _ = module.world.get_global_transform(e)
+                self.sdf_colliders.append(
+                    (sdf.grid, sdf.origin, float(sdf.cell),
+                     np.asarray(mpos, np.float32), np.asarray(mrot, np.float32)))
+        need_polytopes = self.has_convex or bool(self.sdf_colliders)
+        if need_polytopes:
+            vmax, fmax = 8, 3
+            for slot in np.nonzero(occupied & is_convex)[0]:
+                h = module.hulls[int(hull_ids[slot])]
+                vmax = max(vmax, h.verts.shape[0])
+                fmax = max(fmax, h.axes.shape[0])
+            pv = np.zeros((3, vmax, nb), np.float32)
+            pvv = np.zeros((vmax, nb), bool)
+            pax = np.zeros((3, fmax, nb), np.float32)
+            pax[1, :, :] = 1.0  # padding axis: +Y unit
+            prad = np.zeros(nb, np.float32)
+            signs = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                              for sz in (-1, 1)], np.float32).T  # [3,8]
+            eye3 = np.eye(3, dtype=np.float32)
+            for slot in np.nonzero(occupied)[0]:
+                sh = int(self.shape[slot])
+                if sh == P.SHAPE_BOX:
+                    pv[:, :8, slot] = signs * he[:, slot][:, None]
+                    pvv[:8, slot] = True
+                    pax[:, :3, slot] = eye3
+                elif sh == P.SHAPE_SPHERE:
+                    pvv[0, slot] = True
+                    prad[slot] = self.radius[slot]
+                elif sh == P.SHAPE_CAPSULE:
+                    hh = he[1, slot]
+                    pv[1, 0, slot] = hh
+                    pv[1, 1, slot] = -hh
+                    pvv[:2, slot] = True
+                    prad[slot] = self.radius[slot]
+                else:  # convex
+                    h = module.hulls[int(hull_ids[slot])]
+                    kv, kf = h.verts.shape[0], h.axes.shape[0]
+                    pv[:, :kv, slot] = h.verts.T
+                    # pad by repeating vert 0 (support-exact, no mask needed)
+                    pv[:, kv:, slot] = h.verts.T[:, :1]
+                    pvv[:h.n_verts, slot] = True
+                    pax[:, :kf, slot] = h.axes.T
+                    pax[:, kf:, slot] = h.axes.T[:, :1]
+            self.poly_verts = pv
+            self.poly_vert_valid = pvv
+            self.poly_axes = pax
+            self.poly_rad = prad
+            self.dyn_idx = np.nonzero(self.dyn_mask)[0].astype(np.int32)
+        else:
+            self.dyn_idx = np.zeros(0, np.int32)
+
         if self.sap:
             # dynamic broadphase (ops/physics_big.sap_pairs) — no static pair
-            # list; incidence/per-contact materials are computed on device
+            # list; incidence/per-contact materials are computed on device.
+            # Convex actors degrade to their bounding sphere in SAP pairs.
             self.pair_a = np.zeros(0, np.int32)
             self.pair_b = np.zeros(0, np.int32)
+            self.conv_pair_a = np.zeros(0, np.int32)
+            self.conv_pair_b = np.zeros(0, np.int32)
         else:
             # static pair list: occupied, not both non-dynamic, layer matrix allows
             lm_ = module.system.layer_matrix
@@ -117,18 +194,37 @@ class PhysStatics:
             keep = occupied[ii] & occupied[jj]
             keep &= (motion[ii] == MOTION_DYNAMIC) | (motion[jj] == MOTION_DYNAMIC)
             keep &= lm_[self.layer[ii], self.layer[jj]]
-            self.pair_a = ii[keep].astype(np.int32)
-            self.pair_b = jj[keep].astype(np.int32)
+            # pairs involving a convex go through the polytope narrowphase
+            cvx = is_convex[ii] | is_convex[jj]
+            self.pair_a = ii[keep & ~cvx].astype(np.int32)
+            self.pair_b = jj[keep & ~cvx].astype(np.int32)
+            self.conv_pair_a = ii[keep & cvx].astype(np.int32)
+            self.conv_pair_b = jj[keep & cvx].astype(np.int32)
 
         if not self.sap:
-            # contact slot structure → incidence matrices (static)
+            # contact slot structure → incidence matrices (static). Slot order
+            # MUST match update_parallel's concat: [ground | simple pairs |
+            # convex pairs | convex ground | sdf streams]
             ppp = module.points_per_pair
-            gnd = module.ground_slots_per_body if self.ground_plane else 0
-            pair_ba = np.tile(self.pair_a, ppp)
-            pair_bb = np.tile(self.pair_b, ppp)
+            gnd = module.ground_slots_per_body \
+                if (self.ground_plane or module.heightfields.entity.max() >= 0) else 0
             gnd_ba = np.tile(np.arange(nb, dtype=np.int32), gnd)
-            self.contact_body_a = np.concatenate([gnd_ba, pair_ba])
-            self.contact_body_b = np.concatenate([np.full(gnd * nb, -1, np.int32), pair_bb])
+            parts_a = [gnd_ba, np.tile(self.pair_a, ppp),
+                       np.tile(self.conv_pair_a, ppp)]
+            parts_b = [np.full(gnd * nb, -1, np.int32),
+                       np.tile(self.pair_b, ppp),
+                       np.tile(self.conv_pair_b, ppp)]
+            if self.has_convex and self.ground_plane:
+                kg = module.ground_slots_per_body
+                parts_a.append(np.tile(self.conv_idx, kg))
+                parts_b.append(np.full(len(self.conv_idx) * kg, -1, np.int32))
+            if self.sdf_colliders:
+                v_slots = self.poly_verts.shape[1]
+                for _ in self.sdf_colliders:
+                    parts_a.append(np.tile(self.dyn_idx, v_slots))
+                    parts_b.append(np.full(len(self.dyn_idx) * v_slots, -1, np.int32))
+            self.contact_body_a = np.concatenate(parts_a)
+            self.contact_body_b = np.concatenate(parts_b)
             c = self.contact_body_a.shape[0]
             inc_a = np.zeros((nb, c), np.float32)
             inc_a[self.contact_body_a, np.arange(c)] = 1.0
@@ -252,6 +348,7 @@ class PhysicsModule(IModule):
                 "friction": ((), np.float32, 0.5),
                 "restitution": ((), np.float32, 0.0),
                 "layer": ((), np.int32, 0),
+                "hull": ((), np.int32, -1),  # index into self.hulls (convex)
             },
         )
         self.joints = DenseStore(
@@ -288,6 +385,13 @@ class PhysicsModule(IModule):
         )
         # heightfield terrain collision (≙ Heightfield component)
         self.heightfields = DenseStore(4, {"terrain": ((), np.int32, -1)})
+        # cooked convex hulls (≙ PxConvexMesh registry; physics_system.cpp
+        # cookConvex) — actors reference by index via their "hull" field
+        self.hulls: list = []
+        # static triangle-mesh colliders as baked SDF grids (≙ PxTriangleMesh
+        # via cookTriMesh; representation is PhysX-5-style SDF)
+        self.mesh_colliders = DenseStore(4, {"sdf": ((), np.int32, -1)})
+        self.sdfs: list = []
         # vehicles + wheels (≙ physics_module.cpp PxVehicle binding; here a
         # raycast-suspension model: spring/damper per wheel, engine torque,
         # front steering, lateral grip — same capability, XLA-native)
@@ -330,7 +434,17 @@ class PhysicsModule(IModule):
     def component_types(self):
         return ["rigid_actor", "distance_joint", "spherical_joint",
                 "hinge_joint", "d6_joint", "physics_controller", "heightfield",
-                "vehicle", "wheel"]
+                "vehicle", "wheel", "mesh_collider"]
+
+    def register_hull(self, cooked) -> int:
+        """Register a CookedHull (physics/cooking.py) → hull id."""
+        self.hulls.append(cooked)
+        return len(self.hulls) - 1
+
+    def register_mesh_sdf(self, cooked) -> int:
+        """Register a CookedMeshSDF → sdf id."""
+        self.sdfs.append(cooked)
+        return len(self.sdfs) - 1
 
     def create_component(self, entity: int, ctype: str, **props):
         self.invalidate_statics()
@@ -340,17 +454,36 @@ class PhysicsModule(IModule):
                       "kinematic": MOTION_KINEMATIC}.get(motion, motion)
             shape = props.get("shape", "sphere")
             shape = {"sphere": P.SHAPE_SPHERE, "box": P.SHAPE_BOX,
-                     "capsule": P.SHAPE_CAPSULE}.get(shape, shape)
+                     "capsule": P.SHAPE_CAPSULE,
+                     "convex": P.SHAPE_CONVEX}.get(shape, shape)
+            radius = float(props.get("radius", 0.5))
+            he = np.asarray(props.get("half_extents", (0.5, 0.5, 0.5)), np.float32)
+            hull_id = -1
+            if shape == P.SHAPE_CONVEX:
+                # accept a pre-cooked hull, a registered id, or raw points
+                hull = props.get("hull")
+                if hull is None:
+                    from lumixengine_tpu.physics.cooking import cook_convex
+                    hull = cook_convex(props["points"])
+                if isinstance(hull, int):
+                    hull_id = hull
+                    hull = self.hulls[hull_id]
+                else:
+                    hull_id = self.register_hull(hull)
+                # bounding data for broadphase AABBs / SAP-mode fallback
+                radius = hull.bound_radius
+                he = (np.abs(hull.verts).max(axis=0)).astype(np.float32)
             self.actors.add(
                 entity,
                 motion=np.int32(motion),
                 shape=np.int32(shape),
-                radius=np.float32(props.get("radius", 0.5)),
-                half_extents=np.asarray(props.get("half_extents", (0.5, 0.5, 0.5)), np.float32),
+                radius=np.float32(radius),
+                half_extents=he,
                 mass=np.float32(props.get("mass", 1.0)),
                 friction=np.float32(props.get("friction", 0.5)),
                 restitution=np.float32(props.get("restitution", 0.0)),
                 layer=np.int32(props.get("layer", 0)),
+                hull=np.int32(hull_id),
             )
         elif ctype in ("distance_joint", "spherical_joint", "hinge_joint", "d6_joint"):
             jtype = {"distance_joint": 0, "spherical_joint": 1,
@@ -386,6 +519,16 @@ class PhysicsModule(IModule):
                                  gravity=np.float32(props.get("gravity", -9.81)))
         elif ctype == "heightfield":
             self.heightfields.add(entity, terrain=np.int32(props.get("terrain", 0)))
+        elif ctype == "mesh_collider":
+            # static triangle-mesh collider (≙ RigidActor with a trimesh geom,
+            # physics_system.cpp cookTriMesh); pose = the entity's transform
+            sdf = props.get("sdf")
+            if sdf is None:
+                from lumixengine_tpu.physics.cooking import cook_mesh_sdf
+                sdf = cook_mesh_sdf(props["vertices"], props["triangles"],
+                                    resolution=int(props.get("resolution", 32)))
+            sdf_id = sdf if isinstance(sdf, int) else self.register_mesh_sdf(sdf)
+            self.mesh_colliders.add(entity, sdf=np.int32(sdf_id))
         elif ctype == "vehicle":
             # the chassis is a dynamic box actor on the same entity — created
             # implicitly if absent (≙ PxVehicle building its own PxRigidDynamic)
@@ -442,6 +585,8 @@ class PhysicsModule(IModule):
             self.vehicles.remove(entity)
         elif ctype == "wheel":
             self.wheels.remove(entity)
+        elif ctype == "mesh_collider":
+            self.mesh_colliders.remove(entity)
 
     def sap_active(self) -> bool:
         if self.broadphase == "auto":
@@ -530,34 +675,77 @@ class PhysicsModule(IModule):
         shape = jnp.asarray(st.shape)
         radius = jnp.asarray(st.radius)
         he = jnp.asarray(st.half_extents)
+        # convex actors get exact polytope ground contacts (all-pairs path);
+        # mask them out of the generic sphere-fallback ground stream there
+        has_conv_gnd = (not st.sap) and st.has_convex and sys.ground_plane
+        gc_dyn = dyn & ~jnp.asarray(st.shape == P.SHAPE_CONVEX) \
+            if has_conv_gnd else dyn
         if st.heightfield_terrain >= 0:
             bank = self._terrain_bank()
-            gc = P.heightfield_contacts(pos, rot, shape, radius, he, dyn,
+            gc = P.heightfield_contacts(pos, rot, shape, radius, he, gc_dyn,
                                         bank, st.heightfield_terrain,
                                         st.heightfield_origin,
                                         slots_per_body=self.ground_slots_per_body,
                                         shape_np=st.shape)
         elif sys.ground_plane:
-            gc = P.ground_contacts(pos, rot, shape, radius, he, dyn,
+            gc = P.ground_contacts(pos, rot, shape, radius, he, gc_dyn,
                                    ground_y=sys.ground_y,
                                    slots_per_body=self.ground_slots_per_body)
         else:
             gc = None
+        # SDF mesh-collider streams (work under both broadphases): candidate
+        # points are every dynamic body's polytope vertices
+        sdf_streams = []
+        if st.sdf_colliders:
+            from lumixengine_tpu.ops import convex_ops as CV
+            didx = jnp.asarray(st.dyn_idx)
+            pv = st.poly_verts[:, :, st.dyn_idx]          # np [3,V,Nd]
+            vmask = st.poly_vert_valid[:, st.dyn_idx]     # np [V,Nd]
+            nd = len(st.dyn_idx)
+            v_slots = pv.shape[1]
+            pd = jnp.take(pos, didx, axis=-1)
+            qd = jnp.take(rot, didx, axis=-1)
+            vw = CV.polytope_world_verts(pd, qd, pv)      # [..,3,V,Nd]
+            pts = vw.reshape(vw.shape[:-2] + (v_slots * nd,))
+            eff_r = np.tile(st.poly_rad[st.dyn_idx], v_slots)
+            body_idx = np.tile(st.dyn_idx, v_slots)
+            valid = jnp.asarray(vmask.reshape(-1))
+            for grid, origin, cell, mpos, mrot in st.sdf_colliders:
+                sc = CV.sdf_contacts(pts, jnp.asarray(eff_r), body_idx,
+                                     grid, origin, cell,
+                                     jnp.asarray(mpos), jnp.asarray(mrot))
+                sdf_streams.append(sc._replace(active=sc.active & valid))
         miss = jnp.int32(0)
         proj = None  # position-projection closure, applied after integration
         if st.sap:
+            for sc in sdf_streams:  # per-body static streams ride with ground
+                gc = sc if gc is None else P.concat_contacts(gc, sc)
             vel, angvel, n_active, miss, proj = self._sap_solve(
                 st, pos, rot, vel, angvel, shape, radius, he, dyn, gc, dt_c)
         else:
-            contacts = None
+            # stream order MUST match PhysStatics' slot structure:
+            # [ground | simple pairs | convex pairs | convex ground | sdf]
+            streams = [] if gc is None else [gc]
             if len(st.pair_a):
-                contacts = P.pair_contacts(pos, rot, st.shape, radius, he,
-                                           st.pair_a, st.pair_b,
-                                           points_per_pair=self.points_per_pair)
-            if gc is not None and contacts is not None:
-                contacts = P.concat_contacts(gc, contacts)
-            elif contacts is None:
-                contacts = gc
+                streams.append(P.pair_contacts(
+                    pos, rot, st.shape, radius, he, st.pair_a, st.pair_b,
+                    points_per_pair=self.points_per_pair))
+            if len(st.conv_pair_a):
+                from lumixengine_tpu.ops import convex_ops as CV
+                streams.append(CV.polytope_pair_contacts(
+                    pos, rot, st.poly_verts, st.poly_axes, st.poly_rad,
+                    st.conv_pair_a, st.conv_pair_b,
+                    points_per_pair=self.points_per_pair))
+            if has_conv_gnd and len(st.conv_idx):
+                from lumixengine_tpu.ops import convex_ops as CV
+                streams.append(CV.polytope_ground_contacts(
+                    pos, rot, st.poly_verts[:, :, st.conv_idx],
+                    st.poly_rad[st.conv_idx], st.conv_idx, sys.ground_y,
+                    points_per_body=self.ground_slots_per_body))
+            streams.extend(sdf_streams)
+            contacts = None
+            for s in streams:
+                contacts = s if contacts is None else P.concat_contacts(contacts, s)
 
             if contacts is not None:
                 iiw = P.inv_inertia_world_diag(rot, jnp.asarray(st.inv_inertia_body))
