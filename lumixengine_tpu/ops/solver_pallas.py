@@ -46,7 +46,8 @@ def _make_kernel(iterations: int, wt: int, nb: int, c: int):
     def kernel(inc_a, inc_b, inv_mass, II,
                vel, angvel, r_a, r_b, n, t1, t2,
                k_n, k_t1, k_t2, v_target, mu, act, relax,
-               vel_out, ang_out):
+               ln0, lt10, lt20,
+               vel_out, ang_out, ln_out, lt1_out, lt2_out):
         dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
         ia = inc_a[:]            # [NB, C]
         ib = inc_b[:]
@@ -106,12 +107,27 @@ def _make_kernel(iterations: int, wt: int, nb: int, c: int):
             w = w + acc[:, 3:6] * Iw
             return v, w, ln + dln, lt1 + dlt1, lt2 + dlt2
 
-        zero = jnp.zeros_like(kn)
-        v, w, *_ = jax.lax.fori_loop(
-            0, iterations, body, (vel[:], angvel[:], zero, zero, zero)
+        # warm starting (≙ physics_ops.solve_contacts warm_lambdas): apply
+        # last frame's accumulated impulses up front; iterations then only
+        # compute the correction. Inactive slots hard-masked (NaN geometry).
+        wl_n = jnp.maximum(ln0[:], 0.0) * a
+        wl_t1 = lt10[:] * a
+        wl_t2 = lt20[:] * a
+        warm_imp = nn * wl_n + tt1 * wl_t1 + tt2 * wl_t2
+        warm_imp = jnp.where(a > 0.0, warm_imp, 0.0)
+        six_a0 = jnp.concatenate([warm_imp, _cross3(ra, warm_imp)], axis=1)
+        six_b0 = jnp.concatenate([warm_imp, _cross3(rb, warm_imp)], axis=1)
+        acc0 = scatter(six_b0, ib.T) - scatter(six_a0, ia.T)
+        v0 = vel[:] + acc0[:, 0:3] * im[None]
+        w0 = angvel[:] + acc0[:, 3:6] * Iw
+        v, w, ln, lt1, lt2 = jax.lax.fori_loop(
+            0, iterations, body, (v0, w0, wl_n, wl_t1, wl_t2)
         )
         vel_out[:] = v
         ang_out[:] = w
+        ln_out[:] = ln
+        lt1_out[:] = lt1
+        lt2_out[:] = lt2
 
     return kernel
 
@@ -129,6 +145,8 @@ def solve_contacts_fused(
     relaxation: float = 0.75,
     world_tile: int = 8,
     interpret: bool = False,
+    warm_lambdas=None,
+    return_lambdas: bool = False,
 ):
     """Drop-in replacement for physics_ops.solve_contacts (parity-tested).
     Works unbatched [3,NB] or world-batched [W,3,NB] (W % world_tile == 0,
@@ -195,6 +213,11 @@ def solve_contacts_fused(
     arrs3 = [jnp.broadcast_to(up(x), (w, 3, c)) for x in (r_a, r_b, n, t1, t2)]
     rows1 = [jnp.broadcast_to(row(x), (w, 1, c))
              for x in (k_n, k_t1, k_t2, v_target, act, relax_c)]
+    if warm_lambdas is None:
+        zrow = jnp.zeros((w, 1, c), jnp.float32)
+        warm_rows = [zrow, zrow, zrow]
+    else:
+        warm_rows = [jnp.broadcast_to(row(x), (w, 1, c)) for x in warm_lambdas]
     II_w = jnp.broadcast_to(up(inv_inertia_world), (w, 3, nb))
     im2 = im_arr[None, :]
     mu2 = jnp.asarray(friction, jnp.float32)[None, :]
@@ -208,7 +231,7 @@ def solve_contacts_fused(
                             memory_space=pltpu.VMEM)
 
     kernel = _make_kernel(iterations, wt, nb, c)
-    vel_o, ang_o = pl.pallas_call(
+    vel_o, ang_o, ln_o, lt1_o, lt2_o = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -217,15 +240,26 @@ def solve_contacts_fused(
             pw((3, c)), pw((3, c)), pw((3, c)), pw((3, c)), pw((3, c)),
             pw((1, c)), pw((1, c)), pw((1, c)), pw((1, c)),
             bc((1, c)), pw((1, c)), pw((1, c)),
+            pw((1, c)), pw((1, c)), pw((1, c)),
         ],
-        out_specs=(pw((3, nb)), pw((3, nb))),
+        out_specs=(pw((3, nb)), pw((3, nb)),
+                   pw((1, c)), pw((1, c)), pw((1, c))),
         out_shape=(
             jax.ShapeDtypeStruct((w, 3, nb), jnp.float32),
             jax.ShapeDtypeStruct((w, 3, nb), jnp.float32),
+            jax.ShapeDtypeStruct((w, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((w, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((w, 1, c), jnp.float32),
         ),
         interpret=interpret,
     )(jnp.asarray(incidence_a), jnp.asarray(incidence_b), im2,
-      II_w, vel_b, ang_b, *arrs3, *rows1[:4], mu2, rows1[4], rows1[5])
+      II_w, vel_b, ang_b, *arrs3, *rows1[:4], mu2, rows1[4], rows1[5],
+      *warm_rows)
     if not batched:
-        return vel_o[0], ang_o[0]
+        vel_o, ang_o = vel_o[0], ang_o[0]
+        lams = (ln_o[0, 0], lt1_o[0, 0], lt2_o[0, 0])
+    else:
+        lams = (ln_o[:, 0], lt1_o[:, 0], lt2_o[:, 0])
+    if return_lambdas:
+        return vel_o, ang_o, lams
     return vel_o, ang_o

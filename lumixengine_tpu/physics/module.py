@@ -329,7 +329,8 @@ class PhysicsModule(IModule):
                  points_per_pair: int = 4, ground_slots_per_body: int = 4,
                  solver_iterations: int = 12, position_iterations: int = 3,
                  broadphase: str = "auto",
-                 sap_neighbors: int = 16, sap_threshold: int = 256):
+                 sap_neighbors: int = 16, sap_threshold: int = 256,
+                 solver_backend: str = "auto"):
         super().__init__(world, system)
         # broadphase: "allpairs" (static pair list + incidence matmuls — the
         # small-NB fast path), "sap" (sweep-and-prune window, scales to 10k+
@@ -337,6 +338,9 @@ class PhysicsModule(IModule):
         self.broadphase = broadphase
         self.sap_neighbors = sap_neighbors
         self.sap_threshold = sap_threshold
+        # "auto": fused Pallas PGS on TPU, jnp oracle elsewhere;
+        # "pallas"/"jnp" force (see update_parallel dispatch)
+        self.solver_backend = solver_backend
         self.actors = DenseStore(
             max_actors,
             {
@@ -749,7 +753,18 @@ class PhysicsModule(IModule):
 
             if contacts is not None:
                 iiw = P.inv_inertia_world_diag(rot, jnp.asarray(st.inv_inertia_body))
-                vel, angvel, lams = P.solve_contacts(
+                # solver dispatch (like ops/culling.frustum_cull): the fused
+                # Pallas loop on TPU — iterations stay VMEM-resident instead
+                # of 12x round-tripping [.., C] intermediates through HBM —
+                # jnp elsewhere (tests run the oracle)
+                use_pallas = self.solver_backend == "pallas" or (
+                    self.solver_backend == "auto"
+                    and jax.default_backend() == "tpu")
+                solve = P.solve_contacts
+                if use_pallas:
+                    from lumixengine_tpu.ops.solver_pallas import solve_contacts_fused
+                    solve = solve_contacts_fused
+                vel, angvel, lams = solve(
                     pos, rot, vel, angvel, contacts,
                     st.inv_mass, iiw, st.incidence_a, st.incidence_b, dt_c,
                     st.friction, st.restitution,

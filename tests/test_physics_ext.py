@@ -345,3 +345,62 @@ def test_distance_band_joint():
     y = float(s.modules["physics"].pos[1, pm.actors.slot_of(b)])
     # hangs at the 1.0 band edge below the anchor (within solver tolerance)
     assert 3.85 < y < 4.1, y
+
+
+def test_fused_pallas_solver_warm_vmap_parity():
+    """Warm-started, vmapped fused solver matches the jnp oracle — this is
+    exactly how the engine step invokes it (per-world under vmap)."""
+    import jax
+    from lumixengine_tpu.ops import physics_ops as P
+    from lumixengine_tpu.ops.solver_pallas import solve_contacts_fused
+
+    engine, world, phys = build_world(actors=8)
+    for i in range(4):
+        e = world.create_entity(position=(i * 0.9, 1.0 + 0.4 * i, 0.0))
+        world.create_component(e, "rigid_actor", motion="dynamic",
+                               shape=["box", "sphere"][i % 2],
+                               half_extents=(0.5, 0.5, 0.5), radius=0.45)
+    pm = world.modules["physics"]
+    st = pm.statics()
+    ms = world.device_state().modules["physics"]
+    key = jax.random.PRNGKey(7)
+    W = 3
+    pos = jnp.broadcast_to(ms.pos, (W,) + ms.pos.shape) \
+        + jax.random.normal(key, (W, 1, ms.pos.shape[-1])) * 0.01
+    rot = jnp.broadcast_to(ms.rot, (W,) + ms.rot.shape)
+    vel = jax.random.normal(jax.random.fold_in(key, 1), (W,) + ms.vel.shape) * 0.5
+    ang = jax.random.normal(jax.random.fold_in(key, 2), (W,) + ms.angvel.shape) * 0.2
+
+    def contacts_of(p, r):
+        shape = jnp.asarray(st.shape)
+        radius = jnp.asarray(st.radius)
+        he = jnp.asarray(st.half_extents)
+        dyn = jnp.asarray(st.dyn_mask)
+        gc = P.ground_contacts(p, r, shape, radius, he, dyn)
+        pc = P.pair_contacts(p, r, st.shape, radius, he, st.pair_a, st.pair_b)
+        return P.concat_contacts(gc, pc)
+
+    c0 = contacts_of(ms.pos, ms.rot)
+    nC = c0.depth.shape[-1]
+    warm = tuple(jax.random.uniform(jax.random.fold_in(key, 3 + i), (W, nC)) * 0.1
+                 for i in range(3))
+
+    def solve_one(fused):
+        def f(p, r, v, w, wl):
+            c = contacts_of(p, r)
+            iiw = P.inv_inertia_world_diag(r, jnp.asarray(st.inv_inertia_body))
+            fn = solve_contacts_fused if fused else P.solve_contacts
+            kw = {"interpret": True} if fused else {}
+            v2, w2, lams = fn(p, r, v, w, c, st.inv_mass, iiw,
+                              st.incidence_a, st.incidence_b, 1 / 60,
+                              st.friction, st.restitution, iterations=6,
+                              warm_lambdas=wl, return_lambdas=True, **kw)
+            return v2, w2, lams
+        return jax.vmap(f)(pos, rot, vel, ang, warm)
+
+    v1, w1, l1 = solve_one(False)
+    v2, w2, l2 = solve_one(True)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=5e-3)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)

@@ -10,10 +10,14 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build(args, solver_iterations, points_per_pair, broadphase="allpairs",
