@@ -152,20 +152,28 @@ def solve_contacts_fused(
     Works unbatched [3,NB] or world-batched [W,3,NB] (W % world_tile == 0,
     else the tile shrinks to 1)."""
     batched = pos.ndim == 3
-    ba = jnp.asarray(np.maximum(contacts.body_a, 0))
-    bb = jnp.asarray(np.maximum(contacts.body_b, 0))
-    has_b = jnp.asarray((contacts.body_b >= 0).astype(np.float32))
+    inc_a_j = jnp.asarray(incidence_a)
+    inc_b_j = jnp.asarray(incidence_b)
     im_arr = jnp.asarray(inv_mass)
-    im_a = im_arr[ba]
-    im_b = im_arr[bb] * has_b
+
+    def gath(x, inc):  # [..,K,NB] → [..,K,C] one-hot gather on the MXU
+        # (not jnp.take: minor-axis gathers with traced indices are TPU
+        # pathology — see physics_ops.solve_contacts PERF NOTE; this also
+        # admits per-world device incidence from the pruned broadphase)
+        return jnp.einsum("...kn,nc->...kc", x, inc,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
+
+    im_a = im_arr @ inc_a_j
+    im_b = im_arr @ inc_b_j   # zero cols where no body_b (ground/world)
 
     n = contacts.normal
     t1, t2 = P._orthonormal_tangents(n)
     pt = contacts.point
-    r_a = pt - jnp.take(pos, ba, axis=-1)
-    r_b = pt - jnp.take(pos, bb, axis=-1)
-    II_a = jnp.take(inv_inertia_world, ba, axis=-1)
-    II_b = jnp.take(inv_inertia_world, bb, axis=-1) * has_b[..., None, :]
+    r_a = pt - gath(pos, inc_a_j)
+    r_b = pt - gath(pos, inc_b_j)
+    II_a = gath(inv_inertia_world, inc_a_j)
+    II_b = gath(inv_inertia_world, inc_b_j)
 
     def ang_term(r, d, IId):
         rxd = lm.cross(r, d, axis=AX)
@@ -175,17 +183,18 @@ def solve_contacts_fused(
     k_t1 = jnp.maximum(im_a + im_b + ang_term(r_a, t1, II_a) + ang_term(r_b, t1, II_b), 1e-9)
     k_t2 = jnp.maximum(im_a + im_b + ang_term(r_a, t2, II_a) + ang_term(r_b, t2, II_b), 1e-9)
     bias = (baumgarte / dt) * jnp.maximum(contacts.depth - slop, 0.0)
-    va = jnp.take(vel, ba, axis=-1) + lm.cross(jnp.take(angvel, ba, axis=-1), r_a, axis=AX)
-    vb = (jnp.take(vel, bb, axis=-1) + lm.cross(jnp.take(angvel, bb, axis=-1), r_b, axis=AX)) \
-        * has_b[..., None, :]
+    vw6 = jnp.concatenate([vel, angvel], axis=AX)
+    a6 = gath(vw6, inc_a_j)
+    b6 = gath(vw6, inc_b_j)
+    comp = a6.ndim + AX
+    va = jax.lax.slice_in_dim(a6, 0, 3, axis=comp) + lm.cross(
+        jax.lax.slice_in_dim(a6, 3, 6, axis=comp), r_a, axis=AX)
+    vb = jax.lax.slice_in_dim(b6, 0, 3, axis=comp) + lm.cross(
+        jax.lax.slice_in_dim(b6, 3, 6, axis=comp), r_b, axis=AX)
     vn0 = jnp.sum((vb - va) * n, axis=AX)
     # restitution and Baumgarte bias do not stack (PhysX: max, not sum)
     v_target = jnp.maximum(bias, jnp.where(vn0 < -0.5, -jnp.asarray(restitution) * vn0, 0.0))
     act = contacts.active.astype(jnp.float32)
-
-    # degree-scaled relaxation (must match physics_ops.solve_contacts)
-    inc_a_j = jnp.asarray(incidence_a)
-    inc_b_j = jnp.asarray(incidence_b)
     deg = (jnp.einsum("...c,nc->...n", act, inc_a_j,
                       preferred_element_type=jnp.float32)
            + jnp.einsum("...c,nc->...n", act, inc_b_j,

@@ -201,19 +201,37 @@ class PhysStatics:
             self.conv_pair_a = ii[keep & cvx].astype(np.int32)
             self.conv_pair_b = jj[keep & cvx].astype(np.int32)
 
+        # pruned broadphase: candidate list stays static; AABB-overlapping
+        # pairs are compacted into a fixed budget on device each step
+        self.pruned = (not self.sap) and (
+            module.broadphase == "pruned"
+            or (module.broadphase == "auto"
+                and len(self.pair_a) > module.pruned_threshold))
+        if self.pruned:
+            budget = module.pair_budget or max(
+                128, 6 * int(np.sum(self.dyn_mask)))
+            self.pair_budget = int(min(budget, len(self.pair_a)))
+
         if not self.sap:
             # contact slot structure → incidence matrices (static). Slot order
             # MUST match update_parallel's concat: [ground | simple pairs |
-            # convex pairs | convex ground | sdf streams]
+            # convex pairs | convex ground | sdf streams]; in pruned mode the
+            # simple-pair slots are NOT static — the compacted pair stream is
+            # appended LAST at runtime with device-built incidence columns
             ppp = module.points_per_pair
             gnd = module.ground_slots_per_body \
                 if (self.ground_plane or module.heightfields.entity.max() >= 0) else 0
             gnd_ba = np.tile(np.arange(nb, dtype=np.int32), gnd)
-            parts_a = [gnd_ba, np.tile(self.pair_a, ppp),
-                       np.tile(self.conv_pair_a, ppp)]
-            parts_b = [np.full(gnd * nb, -1, np.int32),
-                       np.tile(self.pair_b, ppp),
-                       np.tile(self.conv_pair_b, ppp)]
+            if self.pruned:
+                parts_a = [gnd_ba, np.tile(self.conv_pair_a, ppp)]
+                parts_b = [np.full(gnd * nb, -1, np.int32),
+                           np.tile(self.conv_pair_b, ppp)]
+            else:
+                parts_a = [gnd_ba, np.tile(self.pair_a, ppp),
+                           np.tile(self.conv_pair_a, ppp)]
+                parts_b = [np.full(gnd * nb, -1, np.int32),
+                           np.tile(self.pair_b, ppp),
+                           np.tile(self.conv_pair_b, ppp)]
             if self.has_convex and self.ground_plane:
                 kg = module.ground_slots_per_body
                 parts_a.append(np.tile(self.conv_idx, kg))
@@ -245,6 +263,11 @@ class PhysStatics:
             rb = np.where(valid_b, restitution[np.maximum(self.contact_body_b, 0)],
                           module.system.ground_restitution)
             self.restitution = np.maximum(ra, rb).astype(np.float32)
+
+            # total slot count incl. the runtime-compacted pair slots (warm-
+            # start lambda arrays are sized to this)
+            self.n_contact_slots = c + (
+                ppp * self.pair_budget if self.pruned else 0)
 
         # joints: static endpoint lists (by type)
         j = module.joints
@@ -330,7 +353,10 @@ class PhysicsModule(IModule):
                  solver_iterations: int = 12, position_iterations: int = 3,
                  broadphase: str = "auto",
                  sap_neighbors: int = 16, sap_threshold: int = 256,
-                 solver_backend: str = "auto"):
+                 solver_backend: str = "auto",
+                 pair_budget: Optional[int] = None,
+                 pruned_threshold: int = 192,
+                 pruned_margin: float = 0.05):
         super().__init__(world, system)
         # broadphase: "allpairs" (static pair list + incidence matmuls — the
         # small-NB fast path), "sap" (sweep-and-prune window, scales to 10k+
@@ -341,6 +367,16 @@ class PhysicsModule(IModule):
         # "auto": fused Pallas PGS on TPU, jnp oracle elsewhere;
         # "pallas"/"jnp" force (see update_parallel dispatch)
         self.solver_backend = solver_backend
+        # pruned broadphase (the mid-scale sweet spot between the static
+        # all-pairs incidence path and SAP): keep the static candidate list,
+        # but each step compact the AABB-overlapping pairs into a fixed
+        # `pair_budget` via top_k and solve only those — C-sized solver
+        # traffic shrinks by the candidate/overlap ratio while keeping the
+        # incidence-matmul solver (no segment_sum scatter). Auto-enabled when
+        # the candidate list exceeds `pruned_threshold` pairs.
+        self.pair_budget = pair_budget
+        self.pruned_threshold = pruned_threshold
+        self.pruned_margin = pruned_margin
         self.actors = DenseStore(
             max_actors,
             {
@@ -632,7 +668,7 @@ class PhysicsModule(IModule):
             e = int(self.controllers.entity[slot])
             if e >= 0:
                 cpos[:, slot] = self.world.get_global_transform(e)[0]
-        n_lam = 0 if st.sap else st.contact_body_a.shape[0]
+        n_lam = 0 if st.sap else st.n_contact_slots
         return PhysicsState(
             pos=jnp.asarray(pos),
             rot=jnp.asarray(rot),
@@ -649,7 +685,8 @@ class PhysicsModule(IModule):
             veh_throttle=jnp.zeros(self.vehicles.capacity, jnp.float32),
             veh_steer=jnp.zeros(self.vehicles.capacity, jnp.float32),
             counters={"active_contacts": jnp.int32(0),
-                      "sap_window_miss": jnp.int32(0)},
+                      "sap_window_miss": jnp.int32(0),
+                      "pruned_pair_miss": jnp.int32(0)},
         )
 
     # -- phases -----------------------------------------------------------------
@@ -728,9 +765,11 @@ class PhysicsModule(IModule):
                 st, pos, rot, vel, angvel, shape, radius, he, dyn, gc, dt_c)
         else:
             # stream order MUST match PhysStatics' slot structure:
-            # [ground | simple pairs | convex pairs | convex ground | sdf]
+            # [ground | simple pairs | convex pairs | convex ground | sdf];
+            # pruned mode appends the compacted pair stream LAST with
+            # device-built incidence columns
             streams = [] if gc is None else [gc]
-            if len(st.pair_a):
+            if len(st.pair_a) and not st.pruned:
                 streams.append(P.pair_contacts(
                     pos, rot, st.shape, radius, he, st.pair_a, st.pair_b,
                     points_per_pair=self.points_per_pair))
@@ -751,6 +790,30 @@ class PhysicsModule(IModule):
             for s in streams:
                 contacts = s if contacts is None else P.concat_contacts(contacts, s)
 
+            inc_a_use = st.incidence_a
+            inc_b_use = st.incidence_b
+            fric_use = st.friction
+            rest_use = st.restitution
+            if st.pruned:
+                cc, onehot_a, onehot_b, cfric, crest, miss = \
+                    self._compacted_pair_stream(st, pos, rot, shape, radius, he)
+                k = self.points_per_pair
+                if contacts is not None:
+                    contacts = P.Contacts(
+                        body_a=contacts.body_a, body_b=contacts.body_b,
+                        point=jnp.concatenate([contacts.point, cc.point], axis=-1),
+                        normal=jnp.concatenate([contacts.normal, cc.normal], axis=-1),
+                        depth=jnp.concatenate([contacts.depth, cc.depth], axis=-1),
+                        active=jnp.concatenate([contacts.active, cc.active], axis=-1))
+                else:
+                    contacts = cc
+                inc_a_use = jnp.concatenate(
+                    [jnp.asarray(st.incidence_a), onehot_a], axis=-1)
+                inc_b_use = jnp.concatenate(
+                    [jnp.asarray(st.incidence_b), onehot_b], axis=-1)
+                fric_use = jnp.concatenate([jnp.asarray(st.friction), cfric])
+                rest_use = jnp.concatenate([jnp.asarray(st.restitution), crest])
+
             if contacts is not None:
                 iiw = P.inv_inertia_world_diag(rot, jnp.asarray(st.inv_inertia_body))
                 # solver dispatch (like ops/culling.frustum_cull): the fused
@@ -766,8 +829,8 @@ class PhysicsModule(IModule):
                     solve = solve_contacts_fused
                 vel, angvel, lams = solve(
                     pos, rot, vel, angvel, contacts,
-                    st.inv_mass, iiw, st.incidence_a, st.incidence_b, dt_c,
-                    st.friction, st.restitution,
+                    st.inv_mass, iiw, inc_a_use, inc_b_use, dt_c,
+                    fric_use, rest_use,
                     iterations=self.solver_iterations,
                     # position projection owns depth correction — a velocity
                     # bias on top makes resting stacks bounce (split impulse)
@@ -779,10 +842,13 @@ class PhysicsModule(IModule):
                 n_active = jnp.sum(contacts.active).astype(jnp.int32)
                 cts = contacts
                 proj = lambda p: P.project_positions(  # noqa: E731
-                    p, cts, st.inv_mass, st.incidence_a, st.incidence_b,
+                    p, cts, st.inv_mass, inc_a_use, inc_b_use,
                     iterations=self.position_iterations)
             else:
                 n_active = jnp.int32(0)
+            if st.pruned:
+                ms = ms.replace(counters={**ms.counters,
+                                          "pruned_pair_miss": miss})
 
         # joints (≙ PxDistanceJoint / PxSphericalJoint / PxRevoluteJoint / PxD6Joint)
         if len(st.joint_a):
@@ -797,6 +863,50 @@ class PhysicsModule(IModule):
                         counters={**ms.counters, "active_contacts": n_active,
                                   "sap_window_miss": miss})
         return state.replace(modules={**state.modules, self.name: ms})
+
+    def _compacted_pair_stream(self, st: PhysStatics, pos, rot, shape,
+                               radius, he):
+        """Pruned broadphase: test the static candidate pairs for AABB
+        overlap, compact the overlapping ones into the fixed `pair_budget`
+        (stable order — warm-start slot identity survives while the active
+        set is stable), and run the narrowphase on just those. Returns
+        (Contacts, one-hot incidence columns a/b [NB, k*B], per-slot friction,
+        restitution, overflow count)."""
+        k = self.points_per_pair
+        B = st.pair_budget
+        nb = pos.shape[-1]
+        pa_np, pb_np = st.pair_a, st.pair_b
+        mn, mx = P.world_aabb(pos, rot, shape, radius, he)
+        m = self.pruned_margin
+        amn = jnp.take(mn, jnp.asarray(pa_np), axis=-1)
+        amx = jnp.take(mx, jnp.asarray(pa_np), axis=-1)
+        bmn = jnp.take(mn, jnp.asarray(pb_np), axis=-1)
+        bmx = jnp.take(mx, jnp.asarray(pb_np), axis=-1)
+        overlap = jnp.all((amn <= bmx + m) & (bmn <= amx + m), axis=-2)  # [P]
+        pn = len(pa_np)
+        iota = jnp.arange(pn, dtype=jnp.int32)
+        # actives first, each group in candidate order (stable compaction)
+        prio = jnp.where(overlap, pn - iota, -iota)
+        _, idx = jax.lax.top_k(prio, B)
+        cpa = jnp.take(jnp.asarray(pa_np), idx)
+        cpb = jnp.take(jnp.asarray(pb_np), idx)
+        valid = jnp.take(overlap, idx)
+        miss = jnp.maximum(jnp.sum(overlap.astype(jnp.int32)) - B, 0)
+
+        cc = P.pair_contacts(pos, rot, shape, radius, he, cpa, cpb,
+                             points_per_pair=k)
+        cc = cc._replace(active=cc.active & jnp.tile(valid, k))
+        # device-built incidence columns + per-slot materials
+        bodies_a = jnp.tile(cpa, k)
+        bodies_b = jnp.tile(cpb, k)
+        rows = jnp.arange(nb, dtype=jnp.int32)[:, None]
+        onehot_a = (rows == bodies_a[None, :]).astype(jnp.float32)
+        onehot_b = (rows == bodies_b[None, :]).astype(jnp.float32)
+        fricb = jnp.asarray(st.friction_body)
+        restb = jnp.asarray(st.restitution_body)
+        cfric = jnp.sqrt(jnp.maximum(fricb[bodies_a] * fricb[bodies_b], 0.0))
+        crest = jnp.maximum(restb[bodies_a], restb[bodies_b])
+        return cc, onehot_a, onehot_b, cfric, crest, miss
 
     def _sap_solve(self, st: PhysStatics, pos, rot, vel, angvel,
                    shape, radius, he, dyn, gc, dt_c):

@@ -404,3 +404,69 @@ def test_fused_pallas_solver_warm_vmap_parity():
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=5e-3)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_pruned_broadphase_matches_allpairs():
+    """The compacted-pair broadphase must reproduce the all-pairs solve when
+    the budget covers every overlapping pair (same scene, same steps)."""
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.physics.module import PhysicsSystem
+
+    def build(broadphase):
+        engine = Engine()
+        engine.module_capacities = {"actors": 16}
+        phys = PhysicsSystem(engine)
+        engine.add_system(phys)
+        world = engine.create_world(capacity=32)
+        rng = np.random.default_rng(5)
+        for i in range(10):
+            e = world.create_entity(position=(float(rng.uniform(-2, 2)),
+                                              1.0 + 0.7 * i,
+                                              float(rng.uniform(-2, 2))))
+            world.create_component(e, "rigid_actor", motion="dynamic",
+                                   shape=["box", "sphere"][i % 2],
+                                   half_extents=(0.4, 0.4, 0.4), radius=0.4,
+                                   mass=1.0 + i * 0.1)
+        pm = world.modules["physics"]
+        pm.broadphase = broadphase
+        pm.pair_budget = 64
+        pm.invalidate_statics()
+        step = engine.build_step(world, donate=False)
+        s = world.device_state()
+        for _ in range(120):
+            s = step(s, jnp.float32(1 / 60))
+        return np.asarray(s.modules["physics"].pos), \
+            np.asarray(s.modules["physics"].rot), pm.statics(), s
+
+    pos_a, rot_a, _, _ = build("allpairs")
+    pos_p, rot_p, stp, sp = build("pruned")
+    assert stp.pruned
+    # identical scene physics (compaction covers all overlaps; solver sees
+    # the same active contacts — tolerances cover fp reassociation)
+    np.testing.assert_allclose(pos_p, pos_a, atol=5e-2)
+    assert int(sp.modules["physics"].counters["pruned_pair_miss"]) == 0
+
+
+def test_pruned_budget_overflow_counter():
+    """When more pairs overlap than the budget, the overflow counter fires."""
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.physics.module import PhysicsSystem
+
+    engine = Engine()
+    engine.module_capacities = {"actors": 16}
+    phys = PhysicsSystem(engine)
+    engine.add_system(phys)
+    world = engine.create_world(capacity=32)
+    # 8 spheres in one tight clump: 28 overlapping pairs
+    for i in range(8):
+        e = world.create_entity(position=(0.02 * i, 0.5 + 0.05 * i, 0.0))
+        world.create_component(e, "rigid_actor", motion="dynamic",
+                               shape="sphere", radius=0.5)
+    pm = world.modules["physics"]
+    pm.broadphase = "pruned"
+    pm.pair_budget = 4
+    pm.invalidate_statics()
+    step = engine.build_step(world, donate=False)
+    s = world.device_state()
+    s = step(s, jnp.float32(1 / 60))
+    assert int(s.modules["physics"].counters["pruned_pair_miss"]) > 0
