@@ -30,7 +30,10 @@ class AudioState:
     cursor: jnp.ndarray     # f32 [S] playback position (samples)
     gain: jnp.ndarray       # f32 [S] computed 3D gain
     pan: jnp.ndarray        # f32 [S] -1..1
-    echo_mix: jnp.ndarray   # f32 [] listener echo-zone wetness
+    echo_mix: jnp.ndarray    # f32 [] listener echo-zone wetness
+    echo_delay: jnp.ndarray  # f32 [] echo delay (samples)
+    chorus_mix: jnp.ndarray  # f32 [] listener chorus-zone wetness
+    chorus_delay: jnp.ndarray  # f32 [] chorus base delay (samples)
     counters: Dict[str, jnp.ndarray]
 
 
@@ -63,7 +66,8 @@ class AudioClip:
 
 class AudioModule(IModule):
     name = "audio"
-    COMPONENT_STORES = {"ambient_sound": "sounds", "echo_zone": "echo_zones"}
+    COMPONENT_STORES = {"ambient_sound": "sounds", "echo_zone": "echo_zones",
+                        "chorus_zone": "chorus_zones"}
 
     def __init__(self, world: World, system: "AudioSystem", max_sounds: int = 64):
         super().__init__(world, system)
@@ -74,7 +78,14 @@ class AudioModule(IModule):
              "autoplay": ((), np.bool_, True)},
         )
         self.echo_zones = DenseStore(
-            16, {"radius": ((), np.float32, 10.0), "wetness": ((), np.float32, 0.5)}
+            16, {"radius": ((), np.float32, 10.0), "wetness": ((), np.float32, 0.5),
+                 "delay_ms": ((), np.float32, 120.0)}
+        )
+        # ≙ audio_module.h ChorusZone {delay, wetness, …}: a modulated-delay
+        # tap applied while the listener is inside the zone
+        self.chorus_zones = DenseStore(
+            16, {"radius": ((), np.float32, 10.0), "wetness": ((), np.float32, 0.25),
+                 "delay_ms": ((), np.float32, 20.0)}
         )
         self.listener_entity = -1
         self._statics = None
@@ -98,11 +109,12 @@ class AudioModule(IModule):
             self.listener_entity = entity
         elif ctype == "echo_zone":
             self.echo_zones.add(entity, radius=np.float32(props.get("radius", 10.0)),
-                                wetness=np.float32(props.get("wetness", 0.5)))
+                                wetness=np.float32(props.get("wetness", 0.5)),
+                                delay_ms=np.float32(props.get("delay_ms", 120.0)))
         elif ctype == "chorus_zone":
-            # kept for component parity; effect params land with the DSP pass
-            self.echo_zones.add(entity, radius=np.float32(props.get("radius", 10.0)),
-                                wetness=np.float32(props.get("wetness", 0.25)))
+            self.chorus_zones.add(entity, radius=np.float32(props.get("radius", 10.0)),
+                                  wetness=np.float32(props.get("wetness", 0.25)),
+                                  delay_ms=np.float32(props.get("delay_ms", 20.0)))
         else:
             raise KeyError(ctype)
 
@@ -112,8 +124,10 @@ class AudioModule(IModule):
             self.sounds.remove(entity)
         elif ctype == "listener":
             self.listener_entity = -1
-        elif ctype in ("echo_zone", "chorus_zone"):
+        elif ctype == "echo_zone":
             self.echo_zones.remove(entity)
+        elif ctype == "chorus_zone":
+            self.chorus_zones.remove(entity)
 
     def prepare_statics(self):
         self.world._refresh_levels()
@@ -131,6 +145,12 @@ class AudioModule(IModule):
             "echo_mask": self.echo_zones.entity >= 0,
             "echo_radius": np.asarray(self.echo_zones.data["radius"], np.float32),
             "echo_wet": np.asarray(self.echo_zones.data["wetness"], np.float32),
+            "echo_delay": np.asarray(self.echo_zones.data["delay_ms"], np.float32),
+            "chorus_slots": self.world.to_slots(self.chorus_zones.entity),
+            "chorus_mask": self.chorus_zones.entity >= 0,
+            "chorus_radius": np.asarray(self.chorus_zones.data["radius"], np.float32),
+            "chorus_wet": np.asarray(self.chorus_zones.data["wetness"], np.float32),
+            "chorus_delay": np.asarray(self.chorus_zones.data["delay_ms"], np.float32),
         }
         self._statics_version = self.world.topology_version
 
@@ -147,6 +167,9 @@ class AudioModule(IModule):
             gain=jnp.zeros(s, jnp.float32),
             pan=jnp.zeros(s, jnp.float32),
             echo_mix=jnp.float32(0.0),
+            echo_delay=jnp.float32(0.0),
+            chorus_mix=jnp.float32(0.0),
+            chorus_delay=jnp.float32(0.0),
             counters={"audible": jnp.int32(0)},
         )
 
@@ -173,19 +196,33 @@ class AudioModule(IModule):
         right = lm.quat_rotate(lrot, jnp.asarray([1.0, 0.0, 0.0]))
         pan = jnp.sum(d * right[..., None], axis=-2) / dist
         pan = jnp.where(jnp.asarray(st["is_3d"]), jnp.clip(pan, -1.0, 1.0), 0.0)
-        # echo zones: wetness of the deepest zone containing the listener
-        if st["echo_mask"].any():
-            ez = jnp.take(state.world.pos, jnp.asarray(np.maximum(st["echo_slots"], 0)), axis=-1)
-            ed = jnp.sqrt(jnp.maximum(jnp.sum((ez - lpos[..., None]) ** 2, axis=-2), 1e-9))
-            inside = (ed < jnp.asarray(st["echo_radius"])) & jnp.asarray(st["echo_mask"])
-            echo = jnp.max(jnp.where(inside, jnp.asarray(st["echo_wet"]), 0.0), axis=-1)
-        else:
-            echo = jnp.float32(0.0)
+        # effect zones: wetness/delay of the strongest zone containing the
+        # listener (≙ EchoZone/ChorusZone queries in audio_module.cpp)
+        def zone_mix(slots, mask_np, radius, wet, delay_ms):
+            if not mask_np.any():
+                return jnp.float32(0.0), jnp.float32(0.0)
+            zp = jnp.take(state.world.pos, jnp.asarray(np.maximum(slots, 0)), axis=-1)
+            zd = jnp.sqrt(jnp.maximum(jnp.sum((zp - lpos[..., None]) ** 2, axis=-2), 1e-9))
+            inside = (zd < jnp.asarray(radius)) & jnp.asarray(mask_np)
+            w = jnp.where(inside, jnp.asarray(wet), 0.0)
+            best = jnp.argmax(w, axis=-1)
+            sr = 44100.0 / 1000.0  # ms → samples at the mix rate
+            dly = jnp.take(jnp.asarray(delay_ms), best, axis=-1) * sr
+            return jnp.max(w, axis=-1), dly
+
+        echo, echo_dly = zone_mix(st["echo_slots"], st["echo_mask"],
+                                  st["echo_radius"], st["echo_wet"],
+                                  st["echo_delay"])
+        chorus, chorus_dly = zone_mix(st["chorus_slots"], st["chorus_mask"],
+                                      st["chorus_radius"], st["chorus_wet"],
+                                      st["chorus_delay"])
         # advance cursors
         rates = jnp.asarray(self.system.clip_rates())[np.maximum(st["clip"], 0)]
         cursor = ms.cursor + dt * rates * ms.playing
         ms = ms.replace(
-            gain=gain, pan=pan, cursor=cursor, echo_mix=echo,
+            gain=gain, pan=pan, cursor=cursor,
+            echo_mix=echo, echo_delay=echo_dly,
+            chorus_mix=chorus, chorus_delay=chorus_dly,
             counters={"audible": jnp.sum(gain > 1e-3).astype(jnp.int32)},
         )
         return state.replace(modules={**state.modules, self.name: ms})
@@ -209,20 +246,94 @@ class AudioModule(IModule):
 
     def mix_block(self, ms: AudioState, frames: int = 512) -> jnp.ndarray:
         """Produce one stereo block [2, frames] by sampling every playing
-        clip at its cursor with its gain/pan (batched device mix)."""
+        clip at its cursor with its gain/pan, plus the listener's zone
+        effects: echo = delayed tap at the zone's delay; chorus = LFO-
+        modulated short delay tap (≙ EchoZone/ChorusZone DSP)."""
         st = self.statics()
         bank, lengths = self.system.clip_bank()
         clip = jnp.asarray(np.maximum(st["clip"], 0))
         base = ms.cursor[..., :, None] + jnp.arange(frames)[None, :]
         ln = jnp.asarray(lengths)[clip][..., :, None]
-        idx = jnp.mod(base, jnp.maximum(ln, 1.0)).astype(jnp.int32)
         rows = jnp.take(bank, clip, axis=0)                      # [S, L]
-        samp = jnp.take_along_axis(rows, idx, axis=-1)           # [S, frames]
+
+        def tap(offset):
+            # f32 mod can round up to exactly ln (e.g. mod(-1e-5, n) → n);
+            # clamp or take_along_axis fills out-of-bounds with NaN
+            idx = jnp.mod(base + offset, jnp.maximum(ln, 1.0)).astype(jnp.int32)
+            idx = jnp.minimum(idx, jnp.maximum(ln, 1.0).astype(jnp.int32) - 1)
+            return jnp.take_along_axis(rows, idx, axis=-1)       # [S, frames]
+
+        samp = tap(0.0)
+        # echo: one wet tap `delay` samples back
+        samp = samp + ms.echo_mix * tap(-jnp.maximum(ms.echo_delay, 1.0))
+        # chorus: two detuned taps, ±30% LFO-modulated around the base delay
+        lfo = jnp.sin(2.0 * jnp.pi * 1.5 * (base / 44100.0))
+        cd = jnp.maximum(ms.chorus_delay, 1.0)
+        samp = samp + 0.5 * ms.chorus_mix * (
+            tap(-cd * (1.0 + 0.3 * lfo)) + tap(-cd * (1.0 - 0.3 * lfo)))
         g = ms.gain[..., :, None]
         pan = ms.pan[..., :, None]
         left = jnp.sum(samp * g * (0.5 * (1.0 - pan)), axis=-2)
         right = jnp.sum(samp * g * (0.5 * (1.0 + pan)), axis=-2)
         return jnp.stack([left, right])
+
+
+class AudioDevice:
+    """Playback-device consumer loop (≙ audio_device.cpp — the DSound/ALSA
+    backend thread that pulls mixed blocks). Headless: a daemon thread calls
+    `fill()` for successive blocks and accumulates them in a ring; `wav()`
+    exports the captured stream for inspection."""
+
+    def __init__(self, frames_per_block: int = 512, rate: int = 44100,
+                 max_blocks: int = 256):
+        self.frames = frames_per_block
+        self.rate = rate
+        self.max_blocks = max_blocks
+        self.blocks: List[np.ndarray] = []
+        self._thread = None
+        self._stop = False
+
+    def start(self, fill) -> None:
+        """fill(frames) -> [2, frames] float block."""
+        import threading
+
+        self._stop = False
+
+        def run():
+            while not self._stop:
+                blk = np.asarray(fill(self.frames))
+                self.blocks.append(blk)
+                if len(self.blocks) > self.max_blocks:
+                    self.blocks.pop(0)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop = True
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    def pump(self, fill, blocks: int = 1) -> None:
+        """Synchronous drive (tests / offline render)."""
+        for _ in range(blocks):
+            self.blocks.append(np.asarray(fill(self.frames)))
+
+    def wav(self) -> bytes:
+        import io
+        import wave
+
+        data = (np.concatenate(self.blocks, axis=-1).T if self.blocks
+                else np.zeros((0, 2), np.float32))
+        pcm = (np.clip(data, -1.0, 1.0) * 32767.0).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(self.rate)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
 
 
 class AudioSystem(ISystem):

@@ -20,6 +20,16 @@ EVENT_BUTTON = 0
 EVENT_AXIS = 1
 EVENT_TEXT = 2
 
+# editing keys (≙ reference OS keycodes consumed by GUI input fields)
+KEY_BACKSPACE = 8
+KEY_TAB = 9
+KEY_RETURN = 13
+KEY_END = 0x23
+KEY_HOME = 0x24
+KEY_LEFT = 0x25
+KEY_RIGHT = 0x27
+KEY_DELETE = 127
+
 
 @dataclass
 class InputEvent:

@@ -61,16 +61,22 @@ class GuiModule(IModule):
             "normal_color": ((4,), np.float32, 1.0),
             "hovered_color": ((4,), np.float32, 0.8),
         })
-        self.texts: Dict[int, dict] = {}   # entity -> {text, font_size, color}
-        self.input_fields: Dict[int, dict] = {}
+        self.texts: Dict[int, dict] = {}   # entity -> {text, font_size, color, align}
+        self.input_fields: Dict[int, dict] = {}  # entity -> {text, caret, font_size}
+        self.render_targets: Dict[int, dict] = {}
+        self.focused: int = -1             # entity of the focused input field
         self._statics = None
         self._statics_version = -1
         self._click_events: List[int] = []
 
+    def _font(self, size: int):
+        return self.system.fonts.load(size=size)
+
     # -- components ------------------------------------------------------------
 
     def component_types(self):
-        return ["gui_rect", "gui_image", "gui_text", "gui_button", "gui_input_field"]
+        return ["gui_rect", "gui_image", "gui_text", "gui_button",
+                "gui_input_field", "gui_render_target"]
 
     def create_component(self, entity: int, ctype: str, **props):
         self._statics = None
@@ -83,15 +89,26 @@ class GuiModule(IModule):
             self.images.add(entity, color=np.asarray(props.get("color", (1, 1, 1, 1)), np.float32),
                             sprite=np.int32(props.get("sprite", -1)))
         elif ctype == "gui_text":
+            # ≙ gui_module.h Text {font, font_size, horizontal/vertical align}
             self.texts[entity] = {"text": props.get("text", ""),
                                   "font_size": props.get("font_size", 16),
-                                  "color": list(props.get("color", (1, 1, 1, 1)))}
+                                  "color": list(props.get("color", (1, 1, 1, 1))),
+                                  # 0=left/top 1=center/middle 2=right/bottom
+                                  "align_h": int(props.get("align_h", 0)),
+                                  "align_v": int(props.get("align_v", 0))}
         elif ctype == "gui_button":
             self.buttons.add(entity,
                              normal_color=np.asarray(props.get("normal_color", (1, 1, 1, 1)), np.float32),
                              hovered_color=np.asarray(props.get("hovered_color", (0.8, 0.8, 0.8, 1)), np.float32))
         elif ctype == "gui_input_field":
-            self.input_fields[entity] = {"text": props.get("text", "")}
+            txt = props.get("text", "")
+            self.input_fields[entity] = {"text": txt, "caret": len(txt),
+                                         "font_size": props.get("font_size", 16)}
+        elif ctype == "gui_render_target":
+            # ≙ gui_module.h RenderTarget: a rect displaying a pipeline
+            # output texture; the renderer/viewer registers textures on the
+            # system by id (see GuiSystem.set_render_target)
+            self.render_targets[entity] = {"texture": props.get("texture", -1)}
         else:
             raise KeyError(ctype)
 
@@ -107,6 +124,10 @@ class GuiModule(IModule):
             self.buttons.remove(entity)
         elif ctype == "gui_input_field":
             self.input_fields.pop(entity, None)
+            if self.focused == entity:
+                self.focused = -1
+        elif ctype == "gui_render_target":
+            self.render_targets.pop(entity, None)
 
     # -- statics: rect-parent plan ------------------------------------------------
 
@@ -145,6 +166,8 @@ class GuiModule(IModule):
             "offset": np.asarray(self.rects.data["offset"], np.float32).T.copy(),
             "enabled": np.asarray(self.rects.data["enabled"], bool),
             "button_mask": np.isin(self.rects.entity, self.buttons.entity[self.buttons.entity >= 0]),
+            "input_mask": np.isin(self.rects.entity,
+                                  np.asarray(list(self.input_fields), np.int64)),
         }
         self._statics_version = self.world.topology_version
 
@@ -206,7 +229,8 @@ class GuiModule(IModule):
         mask = jnp.asarray(st["mask"] & st["enabled"])
         hovered = inside & mask
         click_edge = gs.pointer_down & ~gs.prev_down
-        clicked = hovered & click_edge & jnp.asarray(st["button_mask"])
+        clicked = hovered & click_edge & jnp.asarray(st["button_mask"]
+                                                     | st["input_mask"])
 
         gs = gs.replace(
             resolved=resolved, hovered=hovered, clicked=clicked,
@@ -231,8 +255,65 @@ class GuiModule(IModule):
             out.append(int(self.rects.entity[slot]))
         return out
 
+    def process_input(self, state: WorldState, input_system) -> None:
+        """Host-side focus + text editing for input fields (≙ GUISystem
+        routing OS text/key events to the focused InputField,
+        gui_system.cpp). Call once per frame after update()."""
+        from lumixengine_tpu.engine import input as inp
+
+        clicks = self.clicked_entities(state)
+        if clicks:
+            focused = next((e for e in clicks if e in self.input_fields), -1)
+            self.focused = focused
+            if focused >= 0:
+                fld = self.input_fields[focused]
+                font = self._font(fld["font_size"])
+                slot = self.rects.slot_of(focused)
+                gs: GuiState = state.modules[self.name]
+                x0 = float(np.asarray(gs.resolved)[0, slot])
+                mx = float(np.asarray(gs.pointer)[0])
+                fld["caret"] = font.index_at(fld["text"], mx - x0)
+        if self.focused < 0 or self.focused not in self.input_fields:
+            return
+        fld = self.input_fields[self.focused]
+        for ev in input_system.events:
+            t, c = fld["text"], fld["caret"]
+            if ev.type == inp.EVENT_TEXT:
+                fld["text"] = t[:c] + ev.text + t[c:]
+                fld["caret"] = c + len(ev.text)
+            elif (ev.type == inp.EVENT_BUTTON and ev.down
+                  and ev.device == inp.DEVICE_KEYBOARD):
+                if ev.key_id == inp.KEY_BACKSPACE and c > 0:
+                    fld["text"] = t[:c - 1] + t[c:]
+                    fld["caret"] = c - 1
+                elif ev.key_id == inp.KEY_DELETE and c < len(t):
+                    fld["text"] = t[:c] + t[c + 1:]
+                elif ev.key_id == inp.KEY_LEFT:
+                    fld["caret"] = max(0, c - 1)
+                elif ev.key_id == inp.KEY_RIGHT:
+                    fld["caret"] = min(len(t), c + 1)
+                elif ev.key_id == inp.KEY_HOME:
+                    fld["caret"] = 0
+                elif ev.key_id == inp.KEY_END:
+                    fld["caret"] = len(t)
+                elif ev.key_id == inp.KEY_RETURN:
+                    self.focused = -1
+                    return
+
+    def _text_origin(self, rect, font, text, align_h, align_v):
+        w, h = font.text_extents(text)
+        x = [rect[0],
+             (rect[0] + rect[2] - w) * 0.5,
+             rect[2] - w][align_h]
+        y = [rect[1],
+             (rect[1] + rect[3] - h) * 0.5,
+             rect[3] - h][align_v]
+        return x, y
+
     def draw_list(self, state: WorldState) -> List[dict]:
-        """The Draw2D payload (≙ gui rendered via Draw2D into the pipeline)."""
+        """The Draw2D payload (≙ gui rendered via Draw2D into the pipeline):
+        rects/colors, per-glyph text quads with atlas UVs, input-field carets,
+        render-target references."""
         gs: GuiState = state.modules[self.name]
         resolved = np.asarray(gs.resolved)
         hovered = np.asarray(gs.hovered)
@@ -241,21 +322,50 @@ class GuiModule(IModule):
             e = int(self.rects.entity[slot])
             if e < 0 or not self.rects.get(e, "enabled"):
                 continue
-            item = {"entity": e, "rect": resolved[:, slot].tolist()}
+            rect = resolved[:, slot].tolist()
+            item = {"entity": e, "rect": rect}
             if e in self.images:
                 item["color"] = self.images.get(e, "color").tolist()
             if e in self.buttons:
                 key = "hovered_color" if hovered[slot] else "normal_color"
                 item["color"] = self.buttons.get(e, key).tolist()
             if e in self.texts:
-                item["text"] = self.texts[e]["text"]
-                item["font_size"] = self.texts[e]["font_size"]
+                tx = self.texts[e]
+                font = self._font(tx["font_size"])
+                ox, oy = self._text_origin(rect, font, tx["text"],
+                                           tx["align_h"], tx["align_v"])
+                item["text"] = tx["text"]
+                item["font_size"] = tx["font_size"]
+                item["text_extents"] = font.text_extents(tx["text"])
+                item["glyphs"] = font.layout(tx["text"], ox, oy)
+            if e in self.input_fields:
+                fld = self.input_fields[e]
+                font = self._font(fld["font_size"])
+                item["text"] = fld["text"]
+                item["glyphs"] = font.layout(fld["text"], rect[0], rect[1])
+                if e == self.focused:
+                    cx = rect[0] + font.caret_x(fld["text"], fld["caret"])
+                    item["caret"] = [cx, rect[1], cx + 1.0,
+                                     rect[1] + font.line_height]
+            if e in self.render_targets:
+                item["render_target"] = self.render_targets[e]["texture"]
             out.append(item)
         return out
 
 
 class GuiSystem(ISystem):
     name = "gui_system"
+
+    def __init__(self, engine):
+        super().__init__(engine)
+        from lumixengine_tpu.renderer.font import FontSystem
+        self.fonts = FontSystem()
+        # render-target textures by id (set by the renderer/viewer;
+        # ≙ GUIRenderTarget textures bound at pipeline render time)
+        self.render_target_textures: Dict[int, np.ndarray] = {}
+
+    def set_render_target(self, texture_id: int, pixels: np.ndarray) -> None:
+        self.render_target_textures[texture_id] = pixels
 
     def create_modules(self, world: World) -> GuiModule:
         caps = getattr(self.engine, "module_capacities", {})

@@ -94,9 +94,8 @@ def polytope_pair_contacts(pos, rot, verts, axes, rad, pair_a, pair_b,
     best = jnp.argmin(overlap, axis=-2)                           # [..,P]
     na = cand.shape[-2]
     oh_ax = (best[..., None, :] == jnp.arange(na)[:, None]).astype(F32)
-    n = jnp.einsum("...cap,...ap->...cp", u, oh_ax,
-                   preferred_element_type=F32,
-                   precision=jax.lax.Precision.HIGHEST)           # [..,3,P]
+    # one-hot select kept elementwise (P minor) — see select_points_onehot
+    n = jnp.sum(u * oh_ax[..., None, :, :], axis=-2)              # [..,3,P]
     min_overlap = jnp.min(overlap, axis=-2)                       # [..,P]
 
     # reference planes along n: A's far face, B's near face
@@ -122,9 +121,8 @@ def polytope_pair_contacts(pos, rot, verts, axes, rad, pair_a, pair_b,
     top_d, top_i = jax.lax.top_k(jnp.moveaxis(all_dep, -2, -1), k)  # [..,P,k]
     ti = jnp.moveaxis(top_i, -1, -2)                               # [..,k,P]
     oh = (ti[..., :, None, :] == jnp.arange(v2)[:, None]).astype(F32)
-    pts = jnp.einsum("...kvp,...cvp->...ckp", oh, all_pts,
-                     preferred_element_type=F32,
-                     precision=jax.lax.Precision.HIGHEST)          # [..,3,k,P]
+    from lumixengine_tpu.ops.physics_ops import select_points_onehot
+    pts = select_points_onehot(oh, all_pts)                        # [..,3,k,P]
     dep = jnp.moveaxis(top_d, -1, -2)                              # [..,k,P]
 
     c = P_ * k
@@ -155,9 +153,8 @@ def polytope_ground_contacts(pos, rot, verts, rad, body_idx, ground_y: float,
     ci = jnp.moveaxis(top_i, -1, -2)                        # [..,k,M]
     nv = vw.shape[-2]
     oh = (ci[..., :, None, :] == jnp.arange(nv)[:, None]).astype(F32)
-    pts = jnp.einsum("...kvm,...cvm->...ckm", oh, vw,
-                     preferred_element_type=F32,
-                     precision=jax.lax.Precision.HIGHEST)   # [..,3,k,M]
+    from lumixengine_tpu.ops.physics_ops import select_points_onehot
+    pts = select_points_onehot(oh, vw)                      # [..,3,k,M]
     pts = pts - (jnp.zeros_like(pts).at[..., 1, :, :].set(1.0)) * rj[..., None, None, :]
     dep = jnp.moveaxis(top_d, -1, -2)                       # [..,k,M]
     c = k * m

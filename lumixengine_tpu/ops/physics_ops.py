@@ -70,6 +70,20 @@ def integrate_positions(pos, rot, vel, angvel, dt, dyn_mask):
     return jnp.where(m, new_pos, pos), jnp.where(m, new_rot, rot)
 
 
+def select_points_onehot(oh, pts):
+    """Top-k point selection as a broadcast-multiply-reduce over the small
+    corner/vertex axis J: oh [.., k, J, P] one-hot × pts [.., c, J, P] →
+    [.., c, k, P].
+
+    NOT an einsum: XLA lowers the einsum form ("...kjp,...cjp->...ckp") to a
+    base-dilated convolution whose operands put the J axis minor — J=8 pads
+    to a 128-lane tile (16-21x HBM expansion, OOM at 4096 worlds, and the
+    single most expensive kernel of the frame). The elementwise form keeps P
+    minor and fuses into a clean reduce."""
+    prod = oh[..., None, :, :, :] * pts[..., :, None, :, :]
+    return jnp.sum(prod, axis=-2)
+
+
 def box_corners(pos, rot, half_extents):
     """World-space box corners: [.., 3, 8, NB]."""
     he = half_extents[..., :, None, :]  # [..,3,1,NB]
@@ -116,9 +130,7 @@ def ground_contacts(pos, rot, shape, radius, half_extents, dyn_mask,
     # (take_along_axis = minor-axis gather = TPU pathology; see pair_contacts)
     ci = jnp.moveaxis(top_i, -1, -2)                      # [..,k,NB]
     oh = (ci[..., :, None, :] == jnp.arange(8)[:, None]).astype(jnp.float32)
-    box_pts = jnp.einsum("...kjn,...cjn->...ckn", oh, corners,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)  # [..,3,k,NB]
+    box_pts = select_points_onehot(oh, corners)           # [..,3,k,NB]
     box_dep = jnp.moveaxis(top_d, -1, -2)                 # [..,k,NB]
 
     sph_low = pos - jnp.stack(
@@ -346,16 +358,12 @@ def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
     top_d, top_i = jax.lax.top_k(jnp.moveaxis(all_dep, -2, -1), k)  # [..,P,k]
     ti = jnp.moveaxis(top_i, -1, -2)  # [..,k,P]
 
-    # one-hot contraction over the 8-corner axis instead of take_along_axis:
+    # one-hot selection over the 8-corner axis instead of take_along_axis:
     # a vmapped minor-axis gather compiles to a catastrophic kCustom gather on
-    # TPU (~93 ms/call at the bench config — 70% of the whole frame); the
-    # masked sum is a fused multiply-reduce over 8 elements (<1 ms)
+    # TPU (~93 ms/call at the bench config — 70% of the whole frame); see
+    # select_points_onehot for why it is not an einsum either
     oh = (ti[..., :, None, :] == jnp.arange(8)[:, None]).astype(jnp.float32)
-    # HIGHEST precision: contact geometry must stay exact f32 — the default
-    # lets XLA round the positions to bf16 for the MXU
-    bb_pts = jnp.einsum("...kjp,...cjp->...ckp", oh, all_pts,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+    bb_pts = select_points_onehot(oh, all_pts)
     bb_n = jnp.broadcast_to(n_bb[..., :, None, :], bb_pts.shape)
     bb_d = jnp.moveaxis(top_d, -1, -2)
 

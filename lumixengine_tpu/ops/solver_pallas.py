@@ -49,8 +49,10 @@ def _make_kernel(iterations: int, wt: int, nb: int, c: int):
                ln0, lt10, lt20,
                vel_out, ang_out, ln_out, lt1_out, lt2_out):
         dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-        ia = inc_a[:]            # [NB, C]
-        ib = inc_b[:]
+        # incidence may arrive bf16 (exact 0/1; halves HBM traffic) — cast
+        # once into VMEM for the MXU contractions
+        ia = inc_a[:].astype(jnp.float32)   # [NB, C]
+        ib = inc_b[:].astype(jnp.float32)
         im = inv_mass[:]         # [1, NB]
         Iw = II[:]               # [WT, 3, NB]
         ra = r_a[:]              # [WT, 3, C]

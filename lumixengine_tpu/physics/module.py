@@ -808,9 +808,11 @@ class PhysicsModule(IModule):
                 else:
                     contacts = cc
                 inc_a_use = jnp.concatenate(
-                    [jnp.asarray(st.incidence_a), onehot_a], axis=-1)
+                    [jnp.asarray(st.incidence_a, jnp.bfloat16), onehot_a],
+                    axis=-1)
                 inc_b_use = jnp.concatenate(
-                    [jnp.asarray(st.incidence_b), onehot_b], axis=-1)
+                    [jnp.asarray(st.incidence_b, jnp.bfloat16), onehot_b],
+                    axis=-1)
                 fric_use = jnp.concatenate([jnp.asarray(st.friction), cfric])
                 rest_use = jnp.concatenate([jnp.asarray(st.restitution), crest])
 
@@ -899,9 +901,12 @@ class PhysicsModule(IModule):
         # device-built incidence columns + per-slot materials
         bodies_a = jnp.tile(cpa, k)
         bodies_b = jnp.tile(cpb, k)
+        # bf16 incidence: entries are 0/1 (exact in bf16) and the matrices are
+        # the largest per-world buffers at big world counts (f32 pair = 3.5G
+        # at 4096 worlds — the HBM tipping point)
         rows = jnp.arange(nb, dtype=jnp.int32)[:, None]
-        onehot_a = (rows == bodies_a[None, :]).astype(jnp.float32)
-        onehot_b = (rows == bodies_b[None, :]).astype(jnp.float32)
+        onehot_a = (rows == bodies_a[None, :]).astype(jnp.bfloat16)
+        onehot_b = (rows == bodies_b[None, :]).astype(jnp.bfloat16)
         fricb = jnp.asarray(st.friction_body)
         restb = jnp.asarray(st.restitution_body)
         cfric = jnp.sqrt(jnp.maximum(fricb[bodies_a] * fricb[bodies_b], 0.0))

@@ -135,3 +135,178 @@ def test_echo_zone_wetness():
     step = engine.build_step(world, donate=False)
     state = step(world.device_state(), jnp.float32(1 / 60))
     assert abs(float(state.modules["audio"].echo_mix) - 0.7) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# fonts + text metrics (≙ renderer/font.cpp FontAtlas) and InputField editing
+# (≙ gui_module.h InputField + gui_system.cpp text events)
+
+def test_font_atlas_and_metrics():
+    from lumixengine_tpu.renderer.font import Font
+
+    f = Font(size=20)
+    w, h = f.text_extents("Hello")
+    assert 30 < w < 90 and 18 <= h <= 32
+    # wider text measures wider; multiline stacks lines
+    w2, _ = f.text_extents("Hello, longer text")
+    assert w2 > w
+    _, h2 = f.text_extents("a\nb\nc")
+    assert abs(h2 - 3 * f.line_height) < 1e-6
+    img = f.rasterize_text("Hi")
+    assert (img > 64).sum() > 20
+    q = f.layout("Hi", 100.0, 50.0)
+    assert len(q) == 2 and q[0][0] >= 100.0 and q[0][1] >= 50.0
+
+
+def test_gui_text_alignment_quads():
+    engine, world, gm = build_gui()
+    t = world.create_entity()
+    world.create_component(t, "gui_rect", anchor=(0, 0, 0, 0),
+                           offset=(100, 100, 500, 200))
+    world.create_component(t, "gui_text", text="Hi", font_size=20,
+                           align_h=1, align_v=1)
+    step = engine.build_step(world, donate=False)
+    state = step(world.device_state(), jnp.float32(1 / 60))
+    items = gm.draw_list(state)
+    it = next(i for i in items if i["entity"] == t)
+    assert "glyphs" in it and len(it["glyphs"]) == 2
+    w, h = it["text_extents"]
+    gx0 = it["glyphs"][0][0]
+    # centered: first glyph starts near (rect center - w/2)
+    assert abs(gx0 - (300 - w / 2)) < 4.0, (gx0, w)
+
+
+def test_input_field_editing_flow():
+    from lumixengine_tpu.engine import input as inp
+    from lumixengine_tpu.engine.input import InputSystem
+
+    engine, world, gm = build_gui()
+    f = world.create_entity()
+    world.create_component(f, "gui_rect", anchor=(0, 0, 0, 0),
+                           offset=(100, 100, 400, 140))
+    world.create_component(f, "gui_input_field", text="abc", font_size=20)
+    step = engine.build_step(world, donate=False)
+    isys = InputSystem()
+
+    # click inside the field (at its left edge → caret 0) to focus
+    s = gm.inject_pointer(world.device_state(), 101.0, 120.0, True)
+    s = step(s, jnp.float32(1 / 60))
+    isys.update()
+    gm.process_input(s, isys)
+    assert gm.focused == f
+    assert gm.input_fields[f]["caret"] == 0
+    # release + step: the click edge clears (next frames are key-only)
+    s = gm.inject_pointer(s, 101.0, 120.0, False)
+    s = step(s, jnp.float32(1 / 60))
+
+    # type at caret, then END + text append + BACKSPACE
+    isys.inject_text("X")
+    isys.update()
+    gm.process_input(s, isys)
+    assert gm.input_fields[f]["text"] == "Xabc"
+    isys.inject_button(inp.DEVICE_KEYBOARD, inp.KEY_END, True)
+    isys.inject_text("!")
+    isys.inject_button(inp.DEVICE_KEYBOARD, inp.KEY_BACKSPACE, True)
+    isys.update()
+    gm.process_input(s, isys)
+    assert gm.input_fields[f]["text"] == "Xabc"
+    isys.inject_text("?")
+    isys.update()
+    gm.process_input(s, isys)
+    assert gm.input_fields[f]["text"] == "Xabc?"
+    # caret rect present in the draw list while focused
+    items = gm.draw_list(s)
+    it = next(i for i in items if i["entity"] == f)
+    assert "caret" in it and it["caret"][0] > 100.0
+
+
+def test_gui_render_target():
+    engine, world, gm = build_gui()
+    rt = world.create_entity()
+    world.create_component(rt, "gui_rect", anchor=(0, 0, 0.5, 0.5))
+    world.create_component(rt, "gui_render_target", texture=7)
+    gm.system.set_render_target(7, np.zeros((4, 4, 3), np.uint8))
+    step = engine.build_step(world, donate=False)
+    state = step(world.device_state(), jnp.float32(1 / 60))
+    items = gm.draw_list(state)
+    it = next(i for i in items if i["entity"] == rt)
+    assert it["render_target"] == 7
+    assert 7 in gm.system.render_target_textures
+
+
+# ---------------------------------------------------------------------------
+# ChorusZone + echo DSP taps + AudioDevice consumer (≙ audio_module.h
+# ChorusZone, audio_device.cpp backend loop)
+
+def _audio_world():
+    from lumixengine_tpu.audio.module import AudioClip, AudioSystem
+    engine = Engine()
+    asys = AudioSystem(engine)
+    engine.add_system(asys)
+    asys.add_clip(AudioClip.sine("tone", freq=220.0, seconds=0.5, rate=22050))
+    world = engine.create_world(capacity=16)
+    return engine, world, world.modules["audio"], asys
+
+
+def test_chorus_zone_activates_inside():
+    engine, world, am, asys = _audio_world()
+    li = world.create_entity(position=(0, 0, 0))
+    world.create_component(li, "listener")
+    src = world.create_entity(position=(1, 0, 0))
+    world.create_component(src, "ambient_sound", clip="tone")
+    cz = world.create_entity(position=(0, 0, 0))
+    world.create_component(cz, "chorus_zone", radius=5.0, wetness=0.4,
+                           delay_ms=15.0)
+    step = engine.build_step(world, donate=False)
+    s = step(world.device_state(), jnp.float32(1 / 60))
+    ms = s.modules["audio"]
+    assert abs(float(ms.chorus_mix) - 0.4) < 1e-6
+    assert float(ms.chorus_delay) > 100.0  # 15ms at 44.1k ≈ 661 samples
+    # outside the zone: no chorus
+    world2_pos = (100.0, 0.0, 0.0)
+    world.set_position(li, world2_pos)
+    step2 = engine.build_step(world, donate=False)
+    s2 = step2(world.device_state(), jnp.float32(1 / 60))
+    assert float(s2.modules["audio"].chorus_mix) == 0.0
+
+
+def test_mix_block_echo_tap_changes_signal():
+    engine, world, am, asys = _audio_world()
+    li = world.create_entity(position=(0, 0, 0))
+    world.create_component(li, "listener")
+    src = world.create_entity(position=(1, 0, 0))
+    world.create_component(src, "ambient_sound", clip="tone")
+    step = engine.build_step(world, donate=False)
+    s = step(world.device_state(), jnp.float32(1 / 60))
+    ms = s.modules["audio"]
+    dry = np.asarray(am.mix_block(ms, frames=256))
+    wet = np.asarray(am.mix_block(
+        ms.replace(echo_mix=jnp.float32(0.8),
+                   echo_delay=jnp.float32(500.0)), frames=256))
+    assert dry.shape == (2, 256)
+    assert np.abs(wet - dry).max() > 1e-4  # the tap audibly changes the mix
+
+
+def test_audio_device_consumer_and_wav():
+    from lumixengine_tpu.audio.module import AudioDevice
+    engine, world, am, asys = _audio_world()
+    li = world.create_entity(position=(0, 0, 0))
+    world.create_component(li, "listener")
+    src = world.create_entity(position=(1, 0, 0))
+    world.create_component(src, "ambient_sound", clip="tone")
+    step = engine.build_step(world, donate=False)
+    s = step(world.device_state(), jnp.float32(1 / 60))
+    ms = s.modules["audio"]
+
+    dev = AudioDevice(frames_per_block=128)
+    dev.pump(lambda n: am.mix_block(ms, frames=n), blocks=4)
+    assert len(dev.blocks) == 4
+    blob = dev.wav()
+    assert blob[:4] == b"RIFF" and len(blob) > 4 * 128 * 4
+    # threaded consumer fills blocks on its own
+    import time
+    dev2 = AudioDevice(frames_per_block=64)
+    dev2.start(lambda n: am.mix_block(ms, frames=n))
+    time.sleep(0.5)
+    dev2.stop()
+    assert len(dev2.blocks) >= 1
