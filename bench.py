@@ -153,9 +153,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="full",
                    choices=["full", "demo", "crowd", "particles", "boxes"])
-    # 1024 worlds x 10240 entities saturates the chip while staying well clear
-    # of HBM limits with all subsystems on; raise with --worlds on big-HBM parts
-    p.add_argument("--worlds", type=int, default=1024)
+    # 4096 worlds x 10240 entities = the BASELINE.md flagship config. Fits in
+    # 16G HBM since the narrowphase layout fix + bf16 incidence (1024 worlds
+    # is ~20% faster per entity if HBM headroom matters more than scale)
+    p.add_argument("--worlds", type=int, default=4096)
     p.add_argument("--entities", type=int, default=10240)
     p.add_argument("--characters", type=int, default=64)
     p.add_argument("--bodies", type=int, default=64)

@@ -16,6 +16,7 @@ Two cooked products:
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -77,6 +78,22 @@ def _hull_mass_properties(verts: np.ndarray, simplices: np.ndarray,
                          com[0] ** 2 + com[2] ** 2,
                          com[0] ** 2 + com[1] ** 2])
     return vol, com, np.abs(I).astype(np.float32)
+
+
+_hull_memo: dict = {}
+
+
+def cook_convex_cached(points, max_verts: int = 16,
+                       max_faces: int = 12) -> CookedHull:
+    """cook_convex behind a content-hash memo (stress maps instantiate the
+    same model's hull thousands of times)."""
+    import hashlib
+
+    p = np.ascontiguousarray(np.asarray(points, np.float32).reshape(-1, 3))
+    key = (hashlib.sha1(p.tobytes()).hexdigest(), max_verts, max_faces)
+    if key not in _hull_memo:
+        _hull_memo[key] = cook_convex(p, max_verts, max_faces)
+    return _hull_memo[key]
 
 
 def cook_convex(points, max_verts: int = 16, max_faces: int = 12) -> CookedHull:
@@ -202,6 +219,43 @@ def _winding_number(p, a, b, c):
     return np.arctan2(num, den).sum(axis=1) / (2.0 * np.pi)
 
 
+_SDF_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cook_cache")
+_sdf_memo: dict = {}
+
+
+def cook_mesh_sdf_cached(vertices, triangles, resolution: int = 32,
+                         pad_cells: int = 2) -> CookedMeshSDF:
+    """cook_mesh_sdf behind a content-hash memo + disk cache (cooking the
+    same mesh once per machine, like the reference's .phy compiled assets)."""
+    import hashlib
+
+    v = np.ascontiguousarray(np.asarray(vertices, np.float32).reshape(-1, 3))
+    t = np.ascontiguousarray(np.asarray(triangles, np.int32).reshape(-1, 3))
+    key = hashlib.sha1(v.tobytes() + t.tobytes()
+                       + bytes([resolution & 0xFF, pad_cells])).hexdigest()
+    if key in _sdf_memo:
+        return _sdf_memo[key]
+    path = os.path.join(_SDF_CACHE_DIR, key + ".npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        out = CookedMeshSDF(grid=z["grid"], origin=z["origin"],
+                            cell=float(z["cell"]), bound_min=z["bmin"],
+                            bound_max=z["bmax"])
+    else:
+        out = cook_mesh_sdf(v, t, resolution=resolution, pad_cells=pad_cells)
+        try:
+            os.makedirs(_SDF_CACHE_DIR, exist_ok=True)
+            np.savez_compressed(path, grid=out.grid, origin=out.origin,
+                                cell=out.cell, bmin=out.bound_min,
+                                bmax=out.bound_max)
+        except OSError:
+            pass
+    _sdf_memo[key] = out
+    return out
+
+
 def cook_mesh_sdf(vertices, triangles, resolution: int = 32,
                   pad_cells: int = 2) -> CookedMeshSDF:
     """Bake a triangle mesh into a signed-distance grid
@@ -223,13 +277,24 @@ def cook_mesh_sdf(vertices, triangles, resolution: int = 32,
     pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
 
     a, b, c = v[t[:, 0]], v[t[:, 1]], v[t[:, 2]]
+    # narrowband: exact point-triangle distance only near the surface —
+    # far cells use the distance to the nearest triangle centroid (error ≤
+    # that triangle's circumradius, irrelevant beyond the contact band)
+    cent = (a + b + c) / 3.0
+    tri_r = np.maximum.reduce([np.linalg.norm(x - cent, axis=1)
+                               for x in (a, b, c)])
+    band = 2.0 * cell + float(tri_r.max())
     n_pts = pts.shape[0]
     sdf = np.empty(n_pts, np.float32)
-    # chunk to bound the [chunk, M] temporaries
-    chunk = max(1, int(4e6 / max(len(t), 1)))
+    chunk = max(1, int(8e6 / max(len(t), 1)))
     for s in range(0, n_pts, chunk):
         ps = pts[s:s + chunk]
-        d = _point_triangle_distance(ps, a, b, c).min(axis=1)
+        d_cent = np.linalg.norm(ps[:, None, :] - cent[None, :, :], axis=-1)
+        d = d_cent.min(axis=1)
+        near = (d - tri_r.max()) < band
+        if near.any():
+            d_ex = _point_triangle_distance(ps[near], a, b, c).min(axis=1)
+            d[near] = d_ex
         wn = _winding_number(ps, a, b, c)
         sdf[s:s + chunk] = np.where(wn > 0.5, -d, d).astype(np.float32)
     return CookedMeshSDF(

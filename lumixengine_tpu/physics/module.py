@@ -503,8 +503,8 @@ class PhysicsModule(IModule):
                 # accept a pre-cooked hull, a registered id, or raw points
                 hull = props.get("hull")
                 if hull is None:
-                    from lumixengine_tpu.physics.cooking import cook_convex
-                    hull = cook_convex(props["points"])
+                    from lumixengine_tpu.physics.cooking import cook_convex_cached
+                    hull = cook_convex_cached(props["points"])
                 if isinstance(hull, int):
                     hull_id = hull
                     hull = self.hulls[hull_id]
@@ -564,9 +564,9 @@ class PhysicsModule(IModule):
             # physics_system.cpp cookTriMesh); pose = the entity's transform
             sdf = props.get("sdf")
             if sdf is None:
-                from lumixengine_tpu.physics.cooking import cook_mesh_sdf
-                sdf = cook_mesh_sdf(props["vertices"], props["triangles"],
-                                    resolution=int(props.get("resolution", 32)))
+                from lumixengine_tpu.physics.cooking import cook_mesh_sdf_cached
+                sdf = cook_mesh_sdf_cached(props["vertices"], props["triangles"],
+                                           resolution=int(props.get("resolution", 32)))
             sdf_id = sdf if isinstance(sdf, int) else self.register_mesh_sdf(sdf)
             self.mesh_colliders.add(entity, sdf=np.int32(sdf_id))
         elif ctype == "vehicle":

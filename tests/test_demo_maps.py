@@ -8,7 +8,18 @@ import os
 import jax.numpy as jnp
 import pytest
 
-from lumixengine_tpu.importers.instantiate import load_world
+import functools
+
+from lumixengine_tpu.importers.instantiate import load_world as _load_world
+
+
+@functools.lru_cache(maxsize=None)
+def load_world(path):
+    """Session-memoized: several tests inspect the same map; instantiation
+    (FBX parse + physics cooking) dominates suite wall time otherwise. Tests
+    only read the host World and tick fresh device states, so sharing is
+    safe."""
+    return _load_world(path)
 
 MAPS = sorted(glob.glob("/root/reference/demo/maps/*/*.unv"))
 
