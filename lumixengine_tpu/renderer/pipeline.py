@@ -46,7 +46,8 @@ class View:
 
     visible: jnp.ndarray       # bool [K]
     lod: jnp.ndarray           # int32 [K]
-    sort_key: jnp.ndarray      # uint32 [K]
+    sort_key: jnp.ndarray      # uint32 [K] hi word (bucket)
+    sort_key_lo: jnp.ndarray   # uint32 [K] lo word (within-bucket order)
     order: jnp.ndarray         # int32 [K] draw order (invisible at tail)
     instance_pos: jnp.ndarray  # f32 [3,K] world positions in draw order (SoA)
     instance_rot: jnp.ndarray  # f32 [4,K]
@@ -154,15 +155,27 @@ def prepare_view(
         ws, rs, statics, cam_slot, use_pallas
     )
 
-    # 3. sort keys (≙ pipeline.cpp createSortKeys 64-bit keys + radix sort)
+    # 3. 64-bit sort keys (≙ pipeline.cpp createSortKeys u64 material|depth
+    # keys + radix sort): XLA has no u64 sort without x64 mode, so the key is
+    # a (hi, lo) word pair sorted with a two-pass STABLE argsort — the same
+    # digit-by-digit idea as the reference's radix sort, full 64-bit order
     material = jnp.asarray(statics.material)
+    depth_q = (jnp.sqrt(d2) * 64.0).astype(jnp.uint32)  # 26.6 fixed depth
     if sort_mode == SORT_MATERIAL:
+        # opaque: bucket by material|lod, front-to-back inside the bucket
+        # (depth lo word gives early-z the same win the reference gets)
         key = (material.astype(jnp.uint32) << jnp.uint32(8)) | lod.astype(jnp.uint32)
+        key_lo = depth_q
     else:
-        # depth bucket: quantized distance, far first for back-to-front
-        key = jnp.uint32(0xFFFFFF00) - (jnp.sqrt(d2) * 64.0).astype(jnp.uint32)
+        # transparent: back-to-front depth major, material minor
+        key = jnp.uint32(0xFFFFFF00) - depth_q
+        key_lo = material.astype(jnp.uint32)
     key = jnp.where(visible, key, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(key).astype(jnp.int32)
+    key_lo = jnp.where(visible, key_lo, jnp.uint32(0xFFFFFFFF))
+    order_lo = jnp.argsort(key_lo, stable=True)
+    order = jnp.take(order_lo,
+                     jnp.argsort(jnp.take(key, order_lo, axis=-1),
+                                 stable=True), axis=-1).astype(jnp.int32)
 
     # 4. instance buffer in draw order (≙ createCommands transient instance data)
     irot = jnp.take(ws.world.rot, eidx, axis=-1)
@@ -172,6 +185,7 @@ def prepare_view(
         visible=visible,
         lod=lod,
         sort_key=key,
+        sort_key_lo=key_lo,
         order=order,
         instance_pos=jnp.take(ipos, order, axis=-1),
         instance_rot=jnp.take(irot, order, axis=-1),

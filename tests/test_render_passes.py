@@ -1,0 +1,137 @@
+"""Shadow cascades, clustered light assignment, 64-bit sort keys
+(≙ reference renderer/pipeline.cpp renderShadows / fillClusters /
+createSortKeys)."""
+import numpy as np
+import jax.numpy as jnp
+
+from lumixengine_tpu.engine.engine import Engine
+from lumixengine_tpu.renderer.model import Model
+from lumixengine_tpu.renderer.render_module import RendererSystem
+
+
+def build_scene(n_models=8, lights=(), far=200.0):
+    engine = Engine()
+    rsys = RendererSystem(engine)
+    mid = rsys.add_model(Model(name="ball", bounding_radius=1.0))
+    engine.add_system(rsys)
+    world = engine.create_world(capacity=64)
+    cam = world.create_entity(position=(0.0, 0.0, 0.0))
+    world.create_component(cam, "camera", fov=np.pi / 3, near=0.1, far=far)
+    ents = []
+    for i in range(n_models):
+        e = world.create_entity(position=(0.0, 0.0, -5.0 * (i + 1)))
+        world.create_component(e, "model_instance", model=mid)
+        ents.append(e)
+    for lp, rng in lights:
+        e = world.create_entity(position=lp)
+        world.create_component(e, "point_light", range=rng)
+    return engine, world, ents
+
+
+def test_cascade_splits_monotonic_and_cover():
+    from lumixengine_tpu.renderer.shadows import cascade_splits
+
+    s = np.asarray(cascade_splits(jnp.float32(0.1), jnp.float32(100.0)))
+    assert s.shape == (5,)
+    assert abs(s[0] - 0.1) < 1e-5 and abs(s[-1] - 100.0) < 1e-3
+    assert np.all(np.diff(s) > 0)
+    # log-leaning: near cascades much tighter than far ones
+    assert (s[1] - s[0]) < (s[4] - s[3]) / 4
+
+
+def test_shadow_pass_culls_casters_per_cascade():
+    from lumixengine_tpu.renderer import shadows as sh
+
+    engine, world, ents = build_scene(n_models=8, far=200.0)
+    module = world.modules["renderer"]
+    step = engine.build_step(world, donate=False)
+    s = step(world.device_state(), jnp.float32(1 / 60))
+    sv = sh.shadow_pass(s, module, light_dir=(0.0, -1.0, 0.0))
+    assert sv.casters.shape[0] == sh.NUM_CASCADES
+    counts = np.asarray(sv.caster_count)
+    # every model lies along the view axis inside the far plane: the last
+    # cascade (covering to far) must see at least as many as the first
+    assert counts[-1] >= counts[0]
+    assert counts.sum() > 0
+    # cascade spheres grow with distance
+    radii = np.asarray(sv.radius)
+    assert np.all(np.diff(radii) > 0)
+    # each model is a caster in at least one cascade
+    union = np.asarray(sv.casters).any(axis=0)
+    assert union.sum() >= len(ents)
+
+
+def test_shadow_cascade_sphere_contains_slice():
+    from lumixengine_tpu.renderer import shadows as sh
+
+    engine, world, _ = build_scene(n_models=1, far=100.0)
+    module = world.modules["renderer"]
+    step = engine.build_step(world, donate=False)
+    s = step(world.device_state(), jnp.float32(1 / 60))
+    sv = sh.shadow_pass(s, module, light_dir=(0.3, -1.0, 0.2))
+    # slice corners must be inside the cascade sphere (fit correctness)
+    splits = np.asarray(sv.splits)
+    c0 = np.asarray(sv.center[0])
+    r0 = float(sv.radius[0])
+    # camera at origin looking -Z, fov 60°, slice [splits0, splits1]
+    th = np.tan(np.pi / 6)
+    for z in (splits[0], splits[1]):
+        for sx in (-1, 1):
+            for sy in (-1, 1):
+                p = np.asarray([sx * th * z, sy * th * z, -z])
+                assert np.linalg.norm(p - c0) <= r0 + 1e-3
+
+
+def test_fill_clusters_assigns_lights():
+    from lumixengine_tpu.renderer.clusters import fill_clusters
+
+    engine, world, _ = build_scene(
+        n_models=1,
+        lights=[((0.0, 0.0, -10.0), 3.0), ((50.0, 0.0, -50.0), 2.0)],
+        far=100.0)
+    module = world.modules["renderer"]
+    step = engine.build_step(world, donate=False)
+    s = step(world.device_state(), jnp.float32(1 / 60))
+    cl = fill_clusters(s, module)
+    count = np.asarray(cl.count)
+    lights = np.asarray(cl.lights)
+    assert count.sum() > 0
+    # light 0 sits on the view axis: central clusters at its depth hold it
+    assert (lights == 0).any()
+    # no cluster exceeds the budget; padding is -1
+    assert count.max() <= lights.shape[1]
+    assert ((lights >= -1)).all()
+    assert int(cl.overflow) == 0
+
+
+def test_fill_clusters_offaxis_light_misses_center():
+    from lumixengine_tpu.renderer.clusters import fill_clusters, GRID
+
+    engine, world, _ = build_scene(
+        n_models=1, lights=[((1000.0, 0.0, -10.0), 1.0)], far=100.0)
+    module = world.modules["renderer"]
+    step = engine.build_step(world, donate=False)
+    s = step(world.device_state(), jnp.float32(1 / 60))
+    cl = fill_clusters(s, module)
+    # a light far outside the frustum touches no cluster
+    assert int(np.asarray(cl.count).sum()) == 0
+
+
+def test_sort_keys_64bit_order():
+    """Within one material bucket, draws are front-to-back (lo word); across
+    buckets, material-major (hi word) — the 64-bit key contract."""
+    from lumixengine_tpu.renderer.pipeline import prepare_view
+
+    engine, world, ents = build_scene(n_models=6, far=500.0)
+    module = world.modules["renderer"]
+    step = engine.build_step(world, donate=False)
+    s = step(world.device_state(), jnp.float32(1 / 60))
+    v = prepare_view(s, module)
+    order = np.asarray(v.order)
+    vis = np.asarray(v.visible)
+    nvis = int(vis.sum())
+    drawn = order[:nvis]
+    # same model/material for all → order must be purely by depth ascending
+    zs = np.asarray(v.instance_pos)[2, :nvis]
+    depths = -zs  # camera looks down -Z from origin
+    assert np.all(np.diff(depths) >= -1e-4), depths
