@@ -180,6 +180,9 @@ class NavigationModule(IModule):
             {"radius": ((), np.float32, 0.5), "speed": ((), np.float32, 3.0)},
         )
         self.zone = NavZone()
+        # separation regime switch: dense O(A²) below, x-sorted window above
+        self.separation_window_threshold = 256
+        self.separation_window = 24
         self._pending_paths: Dict[int, np.ndarray] = {}
         self._statics = None
         self._statics_version = -1
@@ -256,6 +259,45 @@ class NavigationModule(IModule):
             counters={"navigating": jnp.int32(0)},
         )
 
+    def _separation(self, st, pos_xz, mask):
+        """dtCrowd local-avoidance push. Two regimes (≙ dtCrowd's
+        proximity-grid queries): dense O(A²) pairwise below
+        `separation_window_threshold` agents, and an x-sorted WINDOW pass
+        above it — each agent interacts with its K nearest x-neighbors
+        (O(A·K)), the same trick as the physics SAP broadphase. Separation
+        radii are short, so out-of-window pairs cannot interact as long as K
+        covers the local crowd density."""
+        rr = jnp.asarray(st["radius"])
+        a_cap = pos_xz.shape[-1]
+        if a_cap <= self.separation_window_threshold:
+            d = pos_xz[..., :, None, :] - pos_xz[..., :, :, None]    # [2, A, A]
+            d2 = jnp.sum(d * d, axis=-3) + jnp.eye(a_cap) * 1e9
+            min_d = rr[None, :] + rr[:, None]
+            push_w = jnp.maximum(min_d * min_d * 2.25 - d2, 0.0) / (min_d * min_d * 2.25)
+            push_w = push_w * (mask[None, :] & mask[:, None])
+            inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-9))
+            return -jnp.sum(d * (push_w * inv_d)[..., None, :, :], axis=-1)
+
+        k = self.separation_window
+        ordx = jnp.argsort(jnp.where(mask, pos_xz[..., 0, :], 1e9))
+        sp = jnp.take(pos_xz, ordx, axis=-1)                         # [2, A]
+        sr = jnp.take(rr, ordx)
+        sm = jnp.take(mask, ordx)
+        sep_s = jnp.zeros_like(sp)
+        for off in range(1, k + 1):
+            a = sp[..., :, :a_cap - off]
+            b = sp[..., :, off:]
+            d = b - a                                                # [2, A-off]
+            d2 = jnp.sum(d * d, axis=-2)
+            min_d = sr[:a_cap - off] + sr[off:]
+            w = jnp.maximum(min_d * min_d * 2.25 - d2, 0.0) / (min_d * min_d * 2.25)
+            w = w * (sm[:a_cap - off] & sm[off:])
+            push = d * (w * jax.lax.rsqrt(jnp.maximum(d2, 1e-9)))[..., None, :]
+            sep_s = sep_s.at[..., :, :a_cap - off].add(-push)
+            sep_s = sep_s.at[..., :, off:].add(push)
+        # unsort back to agent order
+        return jnp.zeros_like(sep_s).at[..., :, ordx].set(sep_s)
+
     # -- phases (≙ navigation_module.cpp update: dtCrowd step) -----------------------
 
     def update(self, state: WorldState, dt) -> WorldState:
@@ -274,16 +316,7 @@ class NavigationModule(IModule):
         wp_index = jnp.where(navigating & reached, ns.wp_index + 1, ns.wp_index)
         seek = to_wp / dist[..., None, :]
 
-        # separation (dtCrowd local avoidance): O(A²) pairwise push.
-        # d[c, i, j] = pos[j] - pos[i]; the push on i points AWAY from j (−d).
-        d = pos_xz[..., :, None, :] - pos_xz[..., :, :, None]        # [2, A, A]
-        d2 = jnp.sum(d * d, axis=-3) + jnp.eye(pos_xz.shape[-1]) * 1e9
-        rr = jnp.asarray(st["radius"])
-        min_d = rr[None, :] + rr[:, None]
-        push_w = jnp.maximum(min_d * min_d * 2.25 - d2, 0.0) / (min_d * min_d * 2.25)
-        push_w = push_w * (mask[None, :] & mask[:, None])
-        inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-9))
-        sep = -jnp.sum(d * (push_w * inv_d)[..., None, :, :], axis=-1)  # [2, A]
+        sep = self._separation(st, pos_xz, mask)
 
         vel = seek * jnp.where(navigating, ns.speed, 0.0)[..., None, :] + sep * 2.0
         new_xz = pos_xz + vel * dt

@@ -86,6 +86,13 @@ class PhysStatics:
 
         self.occupied = occupied
         self.dyn_mask = occupied & (motion == MOTION_DYNAMIC)
+        self.ccd_mask = self.dyn_mask & np.asarray(st.data["ccd"], bool)
+        self.has_ccd = bool(self.ccd_mask.any())
+        # conservative CCD thickness: sphere/capsule radius, box/hull min extent
+        self.ccd_r = np.where(
+            self.shape == P.SHAPE_SPHERE, self.radius,
+            np.where(self.shape == P.SHAPE_CAPSULE, self.radius,
+                     np.abs(self.half_extents).min(axis=0))).astype(np.float32)
         self.kin_mask = occupied & (motion != MOTION_DYNAMIC)
         self.inv_mass = np.where(self.dyn_mask, 1.0 / np.maximum(mass, 1e-6), 0.0).astype(np.float32)
         # per-body materials (SAP mode combines per-contact on device)
@@ -389,6 +396,9 @@ class PhysicsModule(IModule):
                 "restitution": ((), np.float32, 0.0),
                 "layer": ((), np.int32, 0),
                 "hull": ((), np.int32, -1),  # index into self.hulls (convex)
+                # ≙ PxRigidBodyFlag::eENABLE_CCD: swept clamping against the
+                # static environment for fast movers (see _ccd_clamp)
+                "ccd": ((), np.bool_, False),
             },
         )
         self.joints = DenseStore(
@@ -524,6 +534,7 @@ class PhysicsModule(IModule):
                 restitution=np.float32(props.get("restitution", 0.0)),
                 layer=np.int32(props.get("layer", 0)),
                 hull=np.int32(hull_id),
+                ccd=np.bool_(props.get("ccd", False)),
             )
         elif ctype in ("distance_joint", "spherical_joint", "hinge_joint", "d6_joint"):
             jtype = {"distance_joint": 0, "spherical_joint": 1,
@@ -856,7 +867,11 @@ class PhysicsModule(IModule):
         if len(st.joint_a):
             vel, angvel = self._solve_joints(pos, rot, vel, angvel, st, dt_c)
 
+        if st.has_ccd:
+            pre_pos = pos
         pos, rot = P.integrate_positions(pos, rot, vel, angvel, dt_c, dyn)
+        if st.has_ccd:
+            pos = self._ccd_clamp(st, pre_pos, pos)
         if proj is not None and self.position_iterations > 0:
             pos = proj(pos)
         vel, angvel, sleep, _ = P.update_sleep(vel, angvel, ms.sleep, dyn)
@@ -865,6 +880,43 @@ class PhysicsModule(IModule):
                         counters={**ms.counters, "active_contacts": n_active,
                                   "sap_window_miss": miss})
         return state.replace(modules={**state.modules, self.name: ms})
+
+    def _ccd_clamp(self, st: PhysStatics, pre_pos, new_pos):
+        """Continuous collision for CCD-flagged bodies (≙ PhysX eENABLE_CCD):
+        sample the static environment (ground plane + SDF mesh colliders) at
+        K points along this step's motion and stop at the last sample before
+        first penetration — the discrete solver resolves the contact next
+        frame from a non-tunneled pose. Dynamic-vs-dynamic stays discrete
+        (same practical scope as PhysX's default CCD usage)."""
+        K = 4
+        sys = self.system
+        ts = (jnp.arange(1, K + 1, dtype=jnp.float32) / K)[:, None]    # [K,1]
+        delta = new_pos - pre_pos
+        path = pre_pos[..., :, None, :] + delta[..., :, None, :] * ts  # [..,3,K,NB]
+        r_eff = jnp.asarray(st.ccd_r)
+        dist = jnp.full(path.shape[:-3] + path.shape[-2:], 1e9)        # [..,K,NB]
+        if sys.ground_plane:
+            dist = jnp.minimum(dist, path[..., 1, :, :] - sys.ground_y - r_eff)
+        if st.sdf_colliders:
+            from lumixengine_tpu.ops import convex_ops as CV
+            nb = new_pos.shape[-1]
+            flat = path.reshape(path.shape[:-2] + (K * nb,))
+            for grid, origin, cell, mpos, mrot in st.sdf_colliders:
+                inv = jnp.asarray(
+                    np.concatenate([-mrot[:3], mrot[3:4]]))[..., :, None]
+                from lumixengine_tpu.core import math as lm
+                local = lm.quat_rotate(inv, flat - jnp.asarray(mpos)[..., :, None],
+                                       axis=-2)
+                d = CV.sdf_sample(grid, origin, cell, local)
+                dist = jnp.minimum(
+                    dist, d.reshape(d.shape[:-1] + (K, nb)) - r_eff)
+        hit = dist < 0.0                                               # [..,K,NB]
+        any_hit = jnp.any(hit, axis=-2)
+        first = jnp.argmax(hit, axis=-2)                               # [..,NB]
+        # stop at the sample BEFORE the first penetrating one
+        t_safe = jnp.where(any_hit & jnp.asarray(st.ccd_mask),
+                           first.astype(jnp.float32) / K, 1.0)
+        return pre_pos + delta * t_safe[..., None, :]
 
     def _compacted_pair_stream(self, st: PhysStatics, pos, rot, shape,
                                radius, he):

@@ -78,3 +78,34 @@ def test_agents_separate():
     pa = np.asarray(ns.agent_pos[:, nav.agents.slot_of(a)])
     pb = np.asarray(ns.agent_pos[:, nav.agents.slot_of(b)])
     assert np.linalg.norm(pa - pb) > 0.8  # pushed apart toward 2*radius
+
+
+def test_windowed_separation_matches_dense():
+    """The x-sorted window separation (large-crowd path) must match the dense
+    O(A²) push when the window covers every interacting pair."""
+    import jax.numpy as jnp
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.navigation.module import NavigationSystem
+
+    def build(threshold):
+        engine = Engine()
+        engine.module_capacities = {"nav_agents": 32}
+        engine.add_system(NavigationSystem(engine))
+        world = engine.create_world(capacity=64)
+        nm = world.modules["navigation"]
+        nm.separation_window_threshold = threshold
+        nm.separation_window = 31   # full coverage at 32 agents
+        rng = np.random.default_rng(11)
+        for i in range(24):
+            p = rng.uniform(-3, 3, 2)
+            e = world.create_entity(position=(p[0], 0.0, p[1]))
+            world.create_component(e, "nav_agent", radius=0.5)
+        step = engine.build_step(world, donate=False)
+        s = world.device_state()
+        for _ in range(30):
+            s = step(s, jnp.float32(1 / 30))
+        return np.asarray(s.modules["navigation"].agent_pos)
+
+    dense = build(threshold=1000)   # dense path
+    windowed = build(threshold=1)   # force the windowed path
+    np.testing.assert_allclose(windowed, dense, atol=1e-4)

@@ -183,3 +183,37 @@ def test_raycast_convex_bounding():
                              jnp.asarray([0.0, 0.0, 1.0]))
     assert bool(hit)
     assert 3.5 < float(t) < 5.0
+
+
+def test_ccd_prevents_tunneling_through_thin_mesh():
+    """A fast sphere (2.5 m per step) vs a thin SDF slab: without CCD it
+    tunnels straight through; with ccd=True it stops at the surface
+    (≙ PxRigidBodyFlag::eENABLE_CCD)."""
+    # thin slab: 4x0.2x4 box mesh at y=0
+    sv = np.array([[sx, sy, sz] for sx in (-2, 2) for sy in (-0.1, 0.1)
+                   for sz in (-2, 2)], np.float32)
+    st_ = CUBE_MESH_T
+
+    def run(ccd):
+        engine, world = _engine(ground=False)
+        mc = world.create_entity()
+        world.create_component(mc, "mesh_collider", vertices=sv, triangles=st_,
+                               resolution=24)
+        b = world.create_entity(position=(0.0, 3.0, 0.0))
+        world.create_component(b, "rigid_actor", motion="dynamic",
+                               shape="sphere", radius=0.2, mass=1.0, ccd=ccd)
+        pm = world.modules["physics"]
+        step = engine.build_step(world, donate=False)
+        s = world.device_state()
+        ms = s.modules["physics"]
+        slot = pm.actors.slot_of(b)
+        ms = ms.replace(vel=ms.vel.at[1, slot].set(-150.0))  # 2.5 m/frame
+        s = s.replace(modules={**s.modules, "physics": ms})
+        for _ in range(30):
+            s = step(s, jnp.float32(1 / 60))
+        return float(s.modules["physics"].pos[1, slot])
+
+    y_ccd = run(True)
+    y_free = run(False)
+    assert y_free < -1.0, y_free   # tunneled through the slab
+    assert y_ccd > -0.5, y_ccd     # stopped at/near the slab
