@@ -204,3 +204,75 @@ def test_instanced_model_chunk_culling():
     stream = record_frame(view, state.modules["renderer"], rmod)
     im_draws = [c for c in stream.commands if c.args.get("source") == "instanced_model"]
     assert len(im_draws) == 1
+
+
+# ---------------------------------------------------------------------------
+# texture pipeline (≙ renderer/texture.cpp loadTGA/loadRaw + mips)
+
+def test_tga_loader_reads_reference_textures():
+    import glob
+    from lumixengine_tpu.renderer.texture import load_tga, build_mips
+
+    paths = sorted(glob.glob("/root/reference/**/*.tga", recursive=True))
+    assert paths, "reference ships .tga content"
+    loaded = 0
+    for p in paths[:6]:
+        with open(p, "rb") as f:
+            tex = load_tga(f.read(), p)
+        h, w, c = tex.data.shape
+        assert c == 4 and h > 0 and w > 0
+        loaded += 1
+    assert loaded >= 1
+    mips = build_mips(tex.data)
+    assert mips[-1].shape[:2] == (1, 1)
+    assert all(m.dtype == np.uint8 for m in mips)
+
+
+def test_tga_rle_roundtrip():
+    from lumixengine_tpu.renderer.texture import load_tga
+
+    # synthesize a 4x2 RLE TGA: run of 3 red + literal of 1 blue, x2 rows
+    hdr = bytearray(18)
+    hdr[2] = 10      # RLE true-color
+    hdr[12:14] = (4).to_bytes(2, "little")
+    hdr[14:16] = (2).to_bytes(2, "little")
+    hdr[16] = 24
+    hdr[17] = 0x20   # top-down
+    body = bytes([0x82, 0, 0, 255,     # run: 3 px BGR red
+                  0x00, 255, 0, 0])    # literal: 1 px BGR blue
+    tex = load_tga(bytes(hdr) + body * 2)
+    assert tex.data.shape == (2, 4, 4)
+    np.testing.assert_array_equal(tex.data[0, 0], [255, 0, 0, 255])
+    np.testing.assert_array_equal(tex.data[0, 3], [0, 0, 255, 255])
+
+
+def test_raw_heightmap_and_bilinear_sample():
+    import jax.numpy as jnp
+    from lumixengine_tpu.renderer.texture import load_raw, sample_bilinear
+
+    side = 8
+    vals = (np.arange(side * side) * 1000).astype(np.uint16)
+    tex = load_raw(vals.tobytes())
+    assert tex.data.shape == (side, side, 1)
+    s = sample_bilinear(jnp.asarray(tex.data), jnp.asarray(0.5), jnp.asarray(0.5),
+                        wrap="clamp")
+    assert 0.0 < float(s[0]) < 1.0
+    # corners interpolate exactly
+    c = sample_bilinear(jnp.asarray(tex.data), jnp.asarray(0.0), jnp.asarray(0.0),
+                        wrap="clamp")
+    assert abs(float(c[0]) - tex.data[0, 0, 0]) < 1e-6
+
+
+def test_texture_asset_compiler_plugin():
+    import glob
+    from lumixengine_tpu.editor.asset_compiler import AssetCompiler
+    from lumixengine_tpu.renderer.material import MaterialRegistry
+    from lumixengine_tpu.renderer.texture import register_texture_plugins
+
+    comp = AssetCompiler()
+    reg = MaterialRegistry()
+    register_texture_plugins(comp, reg)
+    p = sorted(glob.glob("/root/reference/**/*.tga", recursive=True))[0]
+    tex = comp.compile(p)
+    assert tex.data.shape[-1] == 4
+    assert tex.name in reg.textures  # landed in the registry
