@@ -58,6 +58,17 @@ _DEVICE_PROP_TARGETS = {
     ("camera", "fov"): ("cam_fov", "cameras"),
 }
 
+# transform channels animate entity LOCAL rows directly (≙ PropertyAnimation
+# POS_*/LOCAL_POS_*/SCALE_* curve types — the demo map's moving platform)
+_TRANSFORM_TARGETS = {
+    ("transform", "x"): ("pos", 0),
+    ("transform", "y"): ("pos", 1),
+    ("transform", "z"): ("pos", 2),
+    ("transform", "scale_x"): ("scale", 0),
+    ("transform", "scale_y"): ("scale", 1),
+    ("transform", "scale_z"): ("scale", 2),
+}
+
 
 class AnimStatics:
     """Trace-time constants: group layouts, slots, plans, inverse binds."""
@@ -191,7 +202,8 @@ class AnimationModule(IModule):
                     "times": np.asarray(cur["times"], np.float32),
                     "values": np.asarray(cur["values"], np.float32),
                 })
-                if (cur["component"], cur["property"]) not in _DEVICE_PROP_TARGETS:
+                key = (cur["component"], cur["property"])
+                if key not in _DEVICE_PROP_TARGETS and key not in _TRANSFORM_TARGETS:
                     raise KeyError(
                         f"property_animator target {cur['component']}.{cur['property']}"
                         " has no device row (host-side reflection animation instead)")
@@ -442,21 +454,39 @@ class AnimationModule(IModule):
         state = state.replace(modules={**state.modules, self.name: ms})
 
         # property animators (≙ updatePropertyAnimators, serial in reference)
-        if self.property_animators and "renderer" in state.modules:
+        if self.property_animators:
             rmod = self.world.modules.get("renderer")
-            rs = state.modules["renderer"]
+            rs = state.modules.get("renderer")
+            local = state.local
+            rs_dirty = local_dirty = False
             for e, curves in self.property_animators.items():
                 for cur in curves:
-                    field, store_name = _DEVICE_PROP_TARGETS[(cur["component"], cur["property"])]
-                    slot = getattr(rmod, store_name).slot_of(e)
-                    if slot < 0:
-                        continue
+                    key = (cur["component"], cur["property"])
                     times = cur["times"]
                     dur = float(times[-1]) if len(times) else 1.0
                     t = jnp.mod(state.time, jnp.float32(max(dur, 1e-6)))
                     v = jnp.interp(t, jnp.asarray(times), jnp.asarray(cur["values"]))
-                    rs = rs.replace(**{field: getattr(rs, field).at[..., slot].set(v)})
-            state = state.replace(modules={**state.modules, "renderer": rs})
+                    if key in _TRANSFORM_TARGETS:
+                        field, axis = _TRANSFORM_TARGETS[key]
+                        slot = self.world.slot(e)
+                        if slot < 0:
+                            continue
+                        arr = getattr(local, field)
+                        local = local.replace(
+                            **{field: arr.at[..., axis, slot].set(v)})
+                        local_dirty = True
+                    elif rs is not None:
+                        field, store_name = _DEVICE_PROP_TARGETS[key]
+                        slot = getattr(rmod, store_name).slot_of(e)
+                        if slot < 0:
+                            continue
+                        rs = rs.replace(
+                            **{field: getattr(rs, field).at[..., slot].set(v)})
+                        rs_dirty = True
+            if local_dirty:
+                state = state.replace(local=local)
+            if rs_dirty:
+                state = state.replace(modules={**state.modules, "renderer": rs})
         return state
 
 

@@ -591,7 +591,20 @@ def instantiate_scene(scene: Dict[str, Any],
         world.create_component(e, "animator",
                                controller=assets.controller_id(an["controller"], mp))
         report["animator"] += 1
-    report["property_animator_todo"] += len(a.get("property_animators", []))
+    for pa in a.get("property_animators", []):
+        e = ent(pa["entity"])
+        path = assets.find_file(pa["animation"]) if pa.get("animation") else None
+        if e is None or path is None:
+            report["property_animator_skipped"] += 1
+            continue
+        from lumixengine_tpu.importers.anp import parse_anp, to_component_curves
+        with open(path, "r", errors="replace") as f:
+            curves = to_component_curves(parse_anp(f.read()))
+        if not curves:
+            report["property_animator_skipped"] += 1
+            continue
+        world.create_component(e, "property_animator", curves=curves)
+        report["property_animator"] += 1
 
     # -- navigation --------------------------------------------------------------
     nav = scene.get("navigation", {})

@@ -80,3 +80,36 @@ def test_stress_map_counts():
     assert inst.report["rigid_actor"] == 5881
     # SAP broadphase auto-engages above the threshold
     assert inst.world.modules["physics"].sap_active()
+
+
+def test_anp_property_animators_drive_demo_platform():
+    """demo.unv's moving platform (platform.anp Position X curve) and the
+    pulsing button labels (Scale X/Y) import and animate in the fused step
+    (≙ property_animation.cpp + updatePropertyAnimators)."""
+    from lumixengine_tpu.importers.anp import parse_anp, to_component_curves
+
+    with open("/root/reference/demo/maps/demo/platform.anp") as f:
+        curves = parse_anp(f.read())
+    assert curves and curves[0]["type"] == "Position X"
+    # old format: frames at 30 fps → seconds
+    assert abs(curves[0]["times"][-1] - 4.0) < 1e-6
+    cc = to_component_curves(curves)
+    assert cc[0]["component"] == "transform" and cc[0]["property"] == "x"
+
+    inst = load_world("/root/reference/demo/maps/demo/demo.unv")
+    assert inst.report["property_animator"] >= 3
+    am = inst.world.modules["animation"]
+    e = next(iter(am.property_animators))
+    slot = inst.world.slot(e)
+    step = inst.engine.build_step(inst.world, donate=False)
+    s = inst.world.device_state()
+    vals = []
+    for i in range(20):
+        s = step(s, jnp.float32(0.25))
+        row = am.property_animators[e][0]
+        axis = {"x": 0, "y": 1, "z": 2, "scale_x": 0, "scale_y": 1,
+                "scale_z": 2}[row["property"]]
+        field = "scale" if row["property"].startswith("scale") else "pos"
+        vals.append(float(getattr(s.local, field)[axis, slot]))
+    # the animated channel actually moves over time
+    assert max(vals) - min(vals) > 0.5, vals
