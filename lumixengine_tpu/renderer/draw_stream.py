@@ -58,17 +58,35 @@ class DrawStream:
 
     def replay(self, backend) -> int:
         """Replay against a backend object exposing methods named after ops
-        (≙ DrawStream::run → gpu::*). Unknown ops go to backend.unknown()."""
+        (≙ DrawStream::run → gpu::*). Unknown ops go to backend.unknown().
+        Per-pass replay time is recorded into the core profiler under
+        ``gpu_pass:<name>`` blocks — the GPU-profiler analog (≙ the
+        reference's gpu profiler scopes around each pipeline pass)."""
+        import contextlib
+
+        from lumixengine_tpu.core import profiler
+
         self.merge()
         n = 0
-        for cmd in self.commands:
-            fn = getattr(backend, cmd.op, None)
-            if fn is None:
-                fn = getattr(backend, "unknown", lambda **kw: None)
-                fn(op=cmd.op, **cmd.args)
-            else:
-                fn(**cmd.args)
-            n += 1
+        pass_block = None
+        try:
+            for cmd in self.commands:
+                if cmd.op == OP_SET_PASS:
+                    if pass_block is not None:
+                        pass_block.__exit__(None, None, None)
+                    pass_block = profiler.block(
+                        f"gpu_pass:{cmd.args.get('name', '?')}")
+                    pass_block.__enter__()
+                fn = getattr(backend, cmd.op, None)
+                if fn is None:
+                    fn = getattr(backend, "unknown", lambda **kw: None)
+                    fn(op=cmd.op, **cmd.args)
+                else:
+                    fn(**cmd.args)
+                n += 1
+        finally:
+            if pass_block is not None:
+                pass_block.__exit__(None, None, None)
         return n
 
     def clear(self) -> None:
@@ -76,9 +94,40 @@ class DrawStream:
         self._substreams = []
 
 
+class RenderPlugin:
+    """≙ renderer.h RenderPlugin: hooks called at fixed points of every
+    frame's command recording. Override any subset; hooks receive the stream,
+    the prepared View and the RenderModule and push commands. `tonemap`
+    returning True claims the pass (the builtin tonemap dispatch is
+    skipped)."""
+
+    def render_opaque(self, stream, view, module):
+        pass
+
+    def render_transparent(self, stream, view, module):
+        pass
+
+    def render_before_tonemap(self, stream, view, module):
+        pass
+
+    def tonemap(self, stream, view, module) -> bool:
+        return False
+
+    def render_after_tonemap(self, stream, view, module):
+        pass
+
+    def render_ui(self, stream, view, module):
+        pass
+
+    def frame(self, renderer_system):
+        pass
+
+
 def record_frame(view, rs, module, stream: Optional[DrawStream] = None) -> DrawStream:
     """Record a full frame's commands from a prepared View (≙ pipeline.cpp
-    createCommands writing the DrawStream)."""
+    createCommands writing the DrawStream, with RenderPlugin hooks at the
+    reference's call points)."""
+    plugins = getattr(module.system, "plugins", ())
     s = stream or DrawStream()
     s.push(OP_SET_PASS, name="gbuffer")
     s.push(OP_BIND_INSTANCES, pos=view.instance_pos, rot=view.instance_rot,
@@ -98,9 +147,23 @@ def record_frame(view, rs, module, stream: Optional[DrawStream] = None) -> DrawS
             if vis[i]:
                 s.push(OP_DRAW_INSTANCED, model=int(st.im_models[i]),
                        chunk=i, source="instanced_model")
+    for p in plugins:
+        p.render_opaque(s, view, module)
     s.push(OP_SET_PASS, name="transparent")
     for key, (entity, ps) in getattr(module, "particle_emitters", {}).items():
         s.push(OP_DRAW_PARTICLES, emitter=key)
+    for p in plugins:
+        p.render_transparent(s, view, module)
+    # tonemap (≙ Pipeline's builtin tonemap unless a plugin claims it)
+    s.push(OP_SET_PASS, name="tonemap")
+    for p in plugins:
+        p.render_before_tonemap(s, view, module)
+    if not any(p.tonemap(s, view, module) for p in plugins):
+        s.push(OP_DISPATCH, shader="tonemap")
+    for p in plugins:
+        p.render_after_tonemap(s, view, module)
     s.push(OP_SET_PASS, name="ui")
     s.push(OP_DRAW_2D)
+    for p in plugins:
+        p.render_ui(s, view, module)
     return s

@@ -489,6 +489,14 @@ class RendererSystem(ISystem):
         self._bank: Optional[ModelBank] = None
         # particle script sources: name -> (src, imports dict)
         self.particle_scripts: Dict[str, tuple] = {}
+        # postprocess/render plugins (≙ renderer.h addPlugin/RenderPlugin)
+        self.plugins: list = []
+
+    def add_plugin(self, plugin) -> None:
+        self.plugins.append(plugin)
+
+    def remove_plugin(self, plugin) -> None:
+        self.plugins.remove(plugin)
 
     def add_model(self, model: Model) -> int:
         self._bank = None

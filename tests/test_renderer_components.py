@@ -276,3 +276,66 @@ def test_texture_asset_compiler_plugin():
     tex = comp.compile(p)
     assert tex.data.shape[-1] == 4
     assert tex.name in reg.textures  # landed in the registry
+
+
+def test_render_plugins_and_pass_profiling():
+    """RenderPlugin hooks fire at the reference's call points; a plugin can
+    claim tonemap; replay records per-pass gpu_pass blocks
+    (≙ renderer.h RenderPlugin + the gpu profiler scopes)."""
+    import jax.numpy as jnp
+    from lumixengine_tpu.core import profiler
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.renderer.draw_stream import (OP_DISPATCH, RenderPlugin,
+                                                      record_frame)
+    from lumixengine_tpu.renderer.model import Model
+    from lumixengine_tpu.renderer.pipeline import prepare_view
+    from lumixengine_tpu.renderer.render_module import RendererSystem
+
+    engine = Engine()
+    rsys = RendererSystem(engine)
+    mid = rsys.add_model(Model(name="m", bounding_radius=1.0))
+    engine.add_system(rsys)
+    world = engine.create_world(capacity=16)
+    cam = world.create_entity()
+    world.create_component(cam, "camera")
+    e = world.create_entity(position=(0, 0, -5))
+    world.create_component(e, "model_instance", model=mid)
+    module = world.modules["renderer"]
+    step = engine.build_step(world, donate=False)
+    s = step(world.device_state(), jnp.float32(1 / 60))
+    view = prepare_view(s, module)
+
+    calls = []
+
+    class Bloom(RenderPlugin):
+        def render_before_tonemap(self, stream, view, module):
+            calls.append("before_tonemap")
+            stream.push(OP_DISPATCH, shader="bloom")
+
+        def tonemap(self, stream, view, module):
+            calls.append("tonemap")
+            stream.push(OP_DISPATCH, shader="custom_tonemap")
+            return True   # claim: builtin tonemap must not run
+
+    rsys.add_plugin(Bloom())
+    stream = record_frame(view, s.modules["renderer"], module)
+    shaders = [c.args.get("shader") for c in stream.commands
+               if c.op == OP_DISPATCH]
+    assert "bloom" in shaders and "custom_tonemap" in shaders
+    assert "tonemap" not in shaders            # claimed by the plugin
+    assert calls == ["before_tonemap", "tonemap"]
+
+    class Backend:
+        def unknown(self, **kw):
+            pass
+
+        def __getattr__(self, name):
+            return lambda **kw: None
+
+    profiler.enable(True)
+    profiler.clear()
+    stream.replay(Backend())
+    names = [b[0] for b in profiler.blocks()]
+    assert any(n == "gpu_pass:gbuffer" for n in names)
+    assert any(n == "gpu_pass:tonemap" for n in names)
+    profiler.enable(False)
