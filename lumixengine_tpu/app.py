@@ -70,6 +70,11 @@ class Runner:
         self.cli.apply_to_settings(self.settings)
 
         self.engine = engine or create_full_engine(base_path)
+        # OS layer (≙ os:: init + main window): headless backend by default,
+        # pumped into the InputSystem each tick
+        from lumixengine_tpu.core.os import OSLayer
+        self.os = OSLayer()
+        self.os.create_window(title="lumixengine_tpu")
         self.world = None
         self.state = None
         self.step = None
@@ -112,6 +117,7 @@ class Runner:
     def tick(self, dt_raw: Optional[float] = None) -> None:
         dt_raw = self._fixed_dt if dt_raw is None else dt_raw
         with profiler.block("frame"):
+            self.os.process_events(self.engine.input)
             dt = self.engine.update_host(dt_raw)
             sm = self.world.modules.get("script")
             if sm is not None:

@@ -251,3 +251,55 @@ def test_reflection_property_access():
     # clamping via attributes
     reflection.registry.set_property(world, e, "point_light", "intensity", -3.0)
     assert reflection.registry.get_property(world, e, "point_light", "intensity") == 0.0
+
+
+# ---------------------------------------------------------------------------
+# OS layer (≙ core/os.h: window/event surface, gamepads, clipboard)
+
+def test_os_layer_events_reach_input_system():
+    from lumixengine_tpu.core.os import Event, EventType, OSLayer
+    from lumixengine_tpu.engine.input import DEVICE_KEYBOARD, InputSystem
+
+    osl = OSLayer()
+    isys = InputSystem()
+    osl.create_window("t", (800, 600))
+    assert osl.window_state().rect[2] == 800
+    osl.backend.push(Event(EventType.KEY, down=True, keycode=65))
+    osl.backend.push(Event(EventType.TEXT_INPUT, text="a"))
+    osl.backend.push(Event(EventType.QUIT))
+    osl.process_events(isys)
+    isys.update()
+    assert osl.quit_requested
+    assert isys.is_down(65, DEVICE_KEYBOARD)
+    assert any(ev.text == "a" for ev in isys.events)
+
+
+def test_os_gamepad_surface():
+    from lumixengine_tpu.core.os import Event, EventType, OSLayer
+    from lumixengine_tpu.engine.input import DEVICE_CONTROLLER, InputSystem
+
+    osl = OSLayer()
+    isys = InputSystem()
+    osl.backend.push(Event(EventType.GAMEPAD_CONNECTED, gamepad=0))
+    osl.process_events(isys)
+    assert osl.gamepad(0) is not None and osl.gamepad(0).connected
+    osl.set_gamepad_axis(0, 0, 0.5, -0.25, input_system=isys)
+    osl.set_gamepad_button(0, 3, True, input_system=isys)
+    isys.update()
+    assert isys.axis(0, DEVICE_CONTROLLER) == (0.5, -0.25)
+    assert isys.is_down(3, DEVICE_CONTROLLER)
+    osl.rumble(0, 0.3, 0.9)
+    assert osl.gamepad(0).rumble == (0.3, 0.9)
+    osl.backend.push(Event(EventType.GAMEPAD_DISCONNECTED, gamepad=0))
+    osl.process_events(isys)
+    assert osl.gamepad(0) is None
+
+
+def test_os_clipboard_and_process():
+    from lumixengine_tpu.core.os import OSLayer
+
+    osl = OSLayer()
+    osl.copy_to_clipboard("hello")
+    assert osl.get_clipboard() == "hello"
+    assert OSLayer.get_cpus_count() >= 1
+    assert OSLayer.get_process_memory() > 0
