@@ -357,7 +357,7 @@ class PhysicsModule(IModule):
     def __init__(self, world: World, system: "PhysicsSystem",
                  max_actors: int = 256, max_joints: int = 64,
                  points_per_pair: int = 4, ground_slots_per_body: int = 4,
-                 solver_iterations: int = 12, position_iterations: int = 3,
+                 solver_iterations: int = 10, position_iterations: int = 3,
                  broadphase: str = "auto",
                  sap_neighbors: int = 16, sap_threshold: int = 256,
                  solver_backend: str = "auto",
