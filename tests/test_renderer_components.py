@@ -334,8 +334,11 @@ def test_render_plugins_and_pass_profiling():
 
     profiler.enable(True)
     profiler.clear()
-    stream.replay(Backend())
-    names = [b[0] for b in profiler.blocks()]
-    assert any(n == "gpu_pass:gbuffer" for n in names)
-    assert any(n == "gpu_pass:tonemap" for n in names)
-    profiler.enable(False)
+    try:
+        stream.replay(Backend())
+        names = [b[0] for b in profiler.blocks()]
+        assert any(n == "gpu_pass:gbuffer" for n in names)
+        assert any(n == "gpu_pass:tonemap" for n in names)
+    finally:
+        profiler.clear()
+        profiler.enable(True)  # module default — don't poison later tests
