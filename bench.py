@@ -111,8 +111,11 @@ def main_boxes(args):
     iib = np.tile(np.full((1, nb), 1.0 / (1.0 / 12 * 2.0), np.float32), (3, 1))
     fric = np.full(nb, 0.6, np.float32)
     rest = np.zeros(nb, np.float32)
-    step = PB.make_big_world_step(shape, radius, he, dyn, inv_mass, iib, fric, rest,
-                                  neighbors=24)
+    # banded sweep-order pipeline: gather-free solve (ops/physics_banded.py)
+    from lumixengine_tpu.ops import physics_banded as PBD
+
+    step = PBD.make_banded_world_step(shape, radius, he, dyn, inv_mass, iib,
+                                      fric, rest, neighbors=24)
     side = int(np.ceil(nb ** (1 / 3)))
     grid = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1).reshape(-1, 3)[:nb]
     pos = jnp.asarray((grid * 1.1 + rng.uniform(0, 0.05, (nb, 3)) + [0.0, 2.0, 0.0]).T.astype(np.float32))

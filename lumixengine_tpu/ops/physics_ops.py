@@ -235,7 +235,6 @@ def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
     """
     pa_i = jnp.asarray(pair_a)
     pb_i = jnp.asarray(pair_b)
-    P = int(pair_a.shape[0])
     k = points_per_pair
 
     def take(x, idx):
@@ -248,11 +247,6 @@ def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
     shape_a = shape[pair_a] if isinstance(shape, np.ndarray) else take(shape, pa_i)
     shape_b = shape[pair_b] if isinstance(shape, np.ndarray) else take(shape, pb_i)
 
-    # capsules participate as a moving sphere at the closest point of their
-    # axis segment to the other body (exact for capsule-sphere; tight
-    # approximation for capsule-box/capsule-capsule manifolds)
-    cap_a = shape_a == SHAPE_CAPSULE
-    cap_b = shape_b == SHAPE_CAPSULE
     # static membership check when the pair list is static; with traced pair
     # indices (physics_big.py) capsule handling is compiled unconditionally
     if isinstance(shape, np.ndarray) and isinstance(pair_a, np.ndarray):
@@ -260,6 +254,36 @@ def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
                         or np.any(shape[pair_b] == SHAPE_CAPSULE))
     else:
         any_caps = True
+    point, normal, depth, active = pair_contacts_from_data(
+        pos_a, rot_a, rad_a, he_a, shape_a,
+        pos_b, rot_b, rad_b, he_b, shape_b,
+        points_per_pair=k, any_caps=any_caps)
+    if isinstance(pair_a, np.ndarray):
+        body_a = np.tile(np.asarray(pair_a, np.int32), k)
+        body_b = np.tile(np.asarray(pair_b, np.int32), k)
+    else:  # traced pair lists (dynamic broadphase)
+        body_a = jnp.tile(pair_a, k)
+        body_b = jnp.tile(pair_b, k)
+    return Contacts(body_a=body_a, body_b=body_b, point=point, normal=normal,
+                    depth=depth, active=active)
+
+
+def pair_contacts_from_data(pos_a, rot_a, rad_a, he_a, shape_a,
+                            pos_b, rot_b, rad_b, he_b, shape_b,
+                            points_per_pair: int = 4, any_caps: bool = True):
+    """Narrowphase CORE on pre-gathered per-pair arrays (all [.., P] /
+    [.., 3/4, P]) → (point, normal, depth, active), each with C = k·P slots
+    in slot-major [k, P] flattened layout. Callers that can build the pair
+    data without gathers (the banded sweep-order path, physics_banded.py)
+    come here directly."""
+    P = pos_a.shape[-1]
+    k = points_per_pair
+
+    # capsules participate as a moving sphere at the closest point of their
+    # axis segment to the other body (exact for capsule-sphere; tight
+    # approximation for capsule-box/capsule-capsule manifolds)
+    cap_a = shape_a == SHAPE_CAPSULE
+    cap_b = shape_b == SHAPE_CAPSULE
     if any_caps:
         hh_a = he_a[..., 1, :]  # half_extents.y doubles as capsule half-height
         hh_b = he_b[..., 1, :]
@@ -409,18 +433,11 @@ def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
     depth = jnp.where(m_bb_c, flat(bb_d),
                       jnp.where(m_sb_c, flat(sb_ds),
                                 jnp.where(m_bs_c, flat(bs_ds), flat(ss_ds))))
-    if isinstance(pair_a, np.ndarray):
-        body_a = np.tile(np.asarray(pair_a, np.int32), k)
-        body_b = np.tile(np.asarray(pair_b, np.int32), k)
-    else:  # traced pair lists (dynamic broadphase)
-        body_a = jnp.tile(pair_a, k)
-        body_b = jnp.tile(pair_b, k)
     # slot layout: [k, P] flattened row-major → tile matches reshape order
     active = depth > 0.0
     nlen = jnp.sum(normal * normal, axis=AX)
     active = active & (nlen > 1e-6)
-    return Contacts(body_a=body_a, body_b=body_b, point=point, normal=normal,
-                    depth=depth, active=active)
+    return point, normal, depth, active
 
 
 def concat_contacts(a: Contacts, b: Contacts) -> Contacts:

@@ -8,7 +8,19 @@ import os
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
-    path = path or os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".jax_cache")
+    if path is None:
+        # ONE CACHE DIR PER BACKEND: the tunneled TPU backend remote-compiles
+        # on a machine with different host CPU features; loading its CPU AOT
+        # artifacts locally SIGILLs/segfaults (cpu_aot_loader warns about
+        # +prefer-no-scatter feature mismatch before dying)
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            backend = "any"
+        suffix = "" if backend not in ("cpu",) else "-cpu"
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            ".jax_cache" + suffix)
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

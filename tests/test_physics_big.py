@@ -90,3 +90,60 @@ def test_dynamic_solver_matches_static_solver():
     )
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=5e-3)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=5e-3)
+
+
+def test_banded_step_matches_dynamic_step():
+    """The gather-free banded sweep-order pipeline must reproduce the
+    segment_sum dynamic pipeline (same window K, full budget): identical
+    candidate pairs, same math — only accumulation order differs."""
+    from lumixengine_tpu.ops import physics_banded as PBD
+    from lumixengine_tpu.ops import physics_big as PB
+    from lumixengine_tpu.ops import physics_ops as P
+
+    nb = 64
+    rng = np.random.default_rng(3)
+    shape = np.full(nb, P.SHAPE_BOX, np.int32)
+    radius = np.full(nb, 0.5, np.float32)
+    he = np.full((3, nb), 0.5, np.float32)
+    dyn = np.ones(nb, bool)
+    inv_mass = np.ones(nb, np.float32)
+    iib = np.tile(np.full((1, nb), 1.0 / (1.0 / 12 * 2.0), np.float32), (3, 1))
+    fric = np.full(nb, 0.6, np.float32)
+    rest = np.zeros(nb, np.float32)
+    args = (shape, radius, he, dyn, inv_mass, iib, fric, rest)
+    import jax
+
+    K = 16
+    step_dyn = jax.jit(PB.make_big_world_step(*args, neighbors=K,
+                                              pair_budget=nb * K))  # full list
+    step_band = jax.jit(PBD.make_banded_world_step(*args, neighbors=K))
+
+    side = 4
+    grid = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"),
+                    -1).reshape(-1, 3)[:nb]
+    pos0 = jnp.asarray((grid * 1.08 + rng.uniform(0, 0.04, (nb, 3))
+                        + [0.0, 1.0, 0.0]).T.astype(np.float32))
+    rot0 = jnp.zeros((4, nb)).at[3].set(1.0)
+    v0 = jnp.zeros((3, nb))
+    w0 = jnp.zeros((3, nb))
+
+    pa, ra, va, wa = pos0, rot0, v0, w0
+    pb_, rb, vb, wb = pos0, rot0, v0, w0
+    for i in range(20):
+        pa, ra, va, wa, ca = step_dyn(pa, ra, va, wa, jnp.float32(1 / 60))
+        pb_, rb, vb, wb, cb = step_band(pb_, rb, vb, wb, jnp.float32(1 / 60))
+    # same contact census and close trajectories (fp reassociation only)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb_), atol=2e-2)
+    assert abs(int(ca["active_contacts"]) - int(cb["active_contacts"])) <= 8
+    assert not np.any(np.isnan(np.asarray(pb_)))
+    # long run: banded pile settles above ground (same simmer profile as the
+    # dynamic pipeline at this config — median velocity near zero, no body
+    # below resting depth, no NaN)
+    for i in range(380):
+        pb_, rb, vb, wb, cb = step_band(pb_, rb, vb, wb, jnp.float32(1 / 60))
+    y = np.asarray(pb_)[1]
+    assert y.min() > 0.42 and not np.any(np.isnan(y))
+    speeds = np.linalg.norm(np.asarray(vb), axis=0)
+    # Jacobi piles simmer at this config (the dynamic pipeline shows the same
+    # profile — see the head-to-head above); gate on bounded motion, not rest
+    assert float(np.median(speeds)) < 0.5
