@@ -640,9 +640,11 @@ class PhysicsModule(IModule):
             self.mesh_colliders.remove(entity)
 
     def sap_active(self) -> bool:
+        """True for the LARGE-world modes (dynamic pairs, no static slot
+        structure): banded rank-space (default) or segment_sum SAP."""
         if self.broadphase == "auto":
             return self.actors.capacity > self.sap_threshold
-        return self.broadphase == "sap"
+        return self.broadphase in ("sap", "banded")
 
     def invalidate_statics(self):
         self._statics = None
@@ -770,10 +772,21 @@ class PhysicsModule(IModule):
         miss = jnp.int32(0)
         proj = None  # position-projection closure, applied after integration
         if st.sap:
-            for sc in sdf_streams:  # per-body static streams ride with ground
-                gc = sc if gc is None else P.concat_contacts(gc, sc)
-            vel, angvel, n_active, miss, proj = self._sap_solve(
-                st, pos, rot, vel, angvel, shape, radius, he, dyn, gc, dt_c)
+            # banded rank-space solve is the default at this scale (50x the
+            # segment_sum path); it requires per-body streams in body-major
+            # layout, so SDF colliders (dyn-subset streams) fall back to SAP
+            use_banded = (self.broadphase in ("auto", "banded")
+                          and not st.sdf_colliders)
+            if use_banded:
+                vel, angvel, n_active, miss, proj = self._banded_solve(
+                    st, pos, rot, vel, angvel, shape, radius, he, dyn, gc,
+                    dt_c)
+            else:
+                for sc in sdf_streams:  # per-body streams ride with ground
+                    gc = sc if gc is None else P.concat_contacts(gc, sc)
+                vel, angvel, n_active, miss, proj = self._sap_solve(
+                    st, pos, rot, vel, angvel, shape, radius, he, dyn, gc,
+                    dt_c)
         else:
             # stream order MUST match PhysStatics' slot structure:
             # [ground | simple pairs | convex pairs | convex ground | sdf];
@@ -964,6 +977,144 @@ class PhysicsModule(IModule):
         cfric = jnp.sqrt(jnp.maximum(fricb[bodies_a] * fricb[bodies_b], 0.0))
         crest = jnp.maximum(restb[bodies_a], restb[bodies_b])
         return cc, onehot_a, onehot_b, cfric, crest, miss
+
+    def _banded_solve(self, st: PhysStatics, pos, rot, vel, angvel,
+                      shape, radius, he, dyn, gc, dt_c):
+        """Large-world contact pipeline in x-sorted rank space (see
+        ops/physics_banded.py): every SAP candidate pair connects rank i to
+        rank i+d, so the solver runs gather-free on banded slot grids — the
+        segment_sum path this replaces was 50x slower at 5k+ actors.
+        Per-body streams (ground/heightfield) are re-ranked; convex actors
+        degrade to bounding spheres exactly like SAP mode."""
+        from lumixengine_tpu.ops import physics_banded as PBD
+
+        K = self.sap_neighbors
+        k = self.points_per_pair
+        nb = pos.shape[-1]
+        occ = jnp.asarray(st.occupied)
+        mn, mx = P.world_aabb(pos, rot, shape, radius, he)
+        far = jnp.where(occ, 0.0, 1e9)   # unoccupied slots sort to the end
+        mn = mn + far[None, :]
+        mx = mx + far[None, :]
+        order = jnp.argsort(mn[..., 0, :], axis=-1).astype(jnp.int32)
+
+        def rank(x):
+            return jnp.take(x, order, axis=-1)
+
+        sp, sr = rank(pos), rank(rot)
+        sv, sw = rank(vel), rank(angvel)
+        s_shape = rank(shape)
+        s_rad = rank(radius)
+        s_he = rank(he)
+        s_dyn = rank(dyn)
+        s_occ = rank(occ)
+        s_im = rank(jnp.asarray(st.inv_mass))
+        s_iib = rank(jnp.asarray(st.inv_inertia_body))
+        s_fric = rank(jnp.asarray(st.friction_body))
+        s_rest = rank(jnp.asarray(st.restitution_body))
+        s_layer = rank(jnp.asarray(st.layer))
+        s_mn, s_mx = rank(mn), rank(mx)
+
+        # window-miss diagnostic
+        beyond = jnp.arange(nb) + K + 1
+        in_range = beyond < nb
+        mn_beyond = jnp.take(s_mn[..., 0, :], jnp.minimum(beyond, nb - 1))
+        miss = jnp.sum((s_mx[..., 0, :] >= mn_beyond) & in_range
+                       & s_occ).astype(jnp.int32)
+
+        iota = jnp.arange(nb)
+        valid_rank = jnp.stack([iota + d < nb for d in range(1, K + 1)])
+        bmn = PBD.banded_pair_data(s_mn, K)
+        bmx = PBD.banded_pair_data(s_mx, K)
+        overlap = jnp.all((s_mn[:, None, :] <= bmx) & (bmn <= s_mx[:, None, :]),
+                          axis=-3)
+        lmx = jnp.asarray(self.system.layer_matrix)
+        layer_b = PBD.banded_pair_data(s_layer, K)
+        layer_ok = lmx.reshape(-1)[s_layer[None, :] * MAX_LAYERS + layer_b]
+        dyn_b = PBD.banded_pair_data(s_dyn, K)
+        occ_b = PBD.banded_pair_data(s_occ, K)
+        ok = (overlap & valid_rank & layer_ok & (s_dyn[None, :] | dyn_b)
+              & s_occ[None, :] & occ_b)
+
+        def bcast(x):
+            return jnp.broadcast_to(x[..., :, None, :],
+                                    x.shape[:-1] + (K, nb)).reshape(
+                x.shape[:-1] + (K * nb,))
+
+        point, normal, depth, active = P.pair_contacts_from_data(
+            bcast(sp), bcast(sr),
+            jnp.broadcast_to(s_rad[None, :], (K, nb)).reshape(K * nb),
+            bcast(s_he),
+            jnp.broadcast_to(s_shape[None, :], (K, nb)).reshape(K * nb),
+            PBD.banded_pair_data(sp, K).reshape(sp.shape[:-1] + (K * nb,)),
+            PBD.banded_pair_data(sr, K).reshape(sr.shape[:-1] + (K * nb,)),
+            PBD.banded_pair_data(s_rad, K).reshape(K * nb),
+            PBD.banded_pair_data(s_he, K).reshape(s_he.shape[:-1] + (K * nb,)),
+            PBD.banded_pair_data(s_shape, K).reshape(K * nb),
+            points_per_pair=k, any_caps=True)
+
+        def grid(x):
+            return x.reshape(x.shape[:-1] + (k, K, nb))
+
+        p_point = grid(point)
+        p_normal = grid(normal)
+        p_depth = grid(depth)
+        p_active = grid(active) & ok[None, :, :]
+        fric_b = PBD.banded_pair_data(s_fric, K)
+        rest_b = PBD.banded_pair_data(s_rest, K)
+        p_fric = jnp.broadcast_to(
+            jnp.sqrt(jnp.maximum(s_fric[None, :] * fric_b, 0.0))[None],
+            p_depth.shape)
+        p_rest = jnp.broadcast_to(
+            jnp.maximum(s_rest[None, :], rest_b)[None], p_depth.shape)
+
+        # per-body streams (ground/heightfield [+ sdf], slot-major [G, NB] in
+        # BODY order) → re-rank columns
+        if gc is not None:
+            gsl = gc.depth.shape[-1] // nb
+            g_point = rank(gc.point.reshape(gc.point.shape[:-1] + (gsl, nb)))
+            g_normal = rank(gc.normal.reshape(g_point.shape))
+            g_depth = rank(gc.depth.reshape(gc.depth.shape[:-1] + (gsl, nb)))
+            g_active = rank(gc.active.reshape(g_depth.shape)) & s_occ[None, :]
+            g_fric = jnp.broadcast_to(jnp.sqrt(jnp.maximum(
+                s_fric * self.system.ground_friction, 0.0))[None, :],
+                g_depth.shape)
+            g_rest = jnp.broadcast_to(
+                jnp.maximum(s_rest, self.system.ground_restitution)[None, :],
+                g_depth.shape)
+        else:
+            zg = jnp.zeros(pos.shape[:-2] + (1, nb))
+            g_point = jnp.zeros(pos.shape[:-2] + (3, 1, nb))
+            g_normal = jnp.zeros_like(g_point).at[..., 1, :, :].set(-1.0)
+            g_depth = zg - 1.0
+            g_active = zg > 0.0
+            g_fric = zg
+            g_rest = zg
+
+        iiw = P.inv_inertia_world_diag(sr, s_iib)
+        sv, sw = PBD.solve_contacts_banded(
+            sv, sw, s_im, iiw,
+            g_point, g_normal, g_depth, g_active, g_fric, g_rest,
+            p_point, p_normal, p_depth, p_active, p_fric, p_rest,
+            sp, dt_c, iterations=self.solver_iterations,
+            baumgarte=0.0 if self.position_iterations > 0 else 0.2)
+
+        def unrank(x):
+            return jnp.zeros_like(x).at[..., order].set(x)
+
+        vel_out = unrank(sv)
+        ang_out = unrank(sw)
+
+        def proj(p):
+            p_r = rank(p)
+            p_r = PBD.project_positions_banded(
+                p_r, g_normal, g_depth, g_active,
+                p_normal, p_depth, p_active, s_im,
+                iterations=self.position_iterations)
+            return unrank(p_r)
+
+        n_active = (jnp.sum(p_active) + jnp.sum(g_active)).astype(jnp.int32)
+        return vel_out, ang_out, n_active, miss, proj
 
     def _sap_solve(self, st: PhysStatics, pos, rot, vel, angvel,
                    shape, radius, he, dyn, gc, dt_c):

@@ -147,3 +147,41 @@ def test_banded_step_matches_dynamic_step():
     # Jacobi piles simmer at this config (the dynamic pipeline shows the same
     # profile — see the head-to-head above); gate on bounded motion, not rest
     assert float(np.median(speeds)) < 0.5
+
+
+def test_engine_banded_mode_matches_sap_mode():
+    """The engine's banded rank-space solve (default at SAP scale) matches
+    the segment_sum SAP path on the same scene."""
+    import jax.numpy as jnp
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.physics.module import PhysicsSystem
+
+    def run(broadphase):
+        engine = Engine()
+        engine.module_capacities = {"actors": 32}
+        phys = PhysicsSystem(engine)
+        engine.add_system(phys)
+        world = engine.create_world(capacity=64)
+        rng = np.random.default_rng(9)
+        for i in range(24):
+            p = rng.uniform(-3, 3, 2)
+            e = world.create_entity(position=(float(p[0]), 1.0 + 0.6 * i,
+                                              float(p[1])))
+            world.create_component(e, "rigid_actor", motion="dynamic",
+                                   shape=["box", "sphere", "capsule"][i % 3],
+                                   half_extents=(0.4, 0.4, 0.4), radius=0.35,
+                                   mass=1.0)
+        pm = world.modules["physics"]
+        pm.broadphase = broadphase
+        pm.sap_neighbors = 23   # full window at 24 actors: same candidates
+        pm.invalidate_statics()
+        step = engine.build_step(world, donate=False)
+        s = world.device_state()
+        for _ in range(90):
+            s = step(s, jnp.float32(1 / 60))
+        return np.asarray(s.modules["physics"].pos)
+
+    pos_sap = run("sap")
+    pos_band = run("banded")
+    assert not np.any(np.isnan(pos_band))
+    np.testing.assert_allclose(pos_band, pos_sap, atol=5e-2)
