@@ -747,22 +747,27 @@ class PhysicsModule(IModule):
                                    slots_per_body=self.ground_slots_per_body)
         else:
             gc = None
-        # SDF mesh-collider streams (work under both broadphases): candidate
-        # points are every dynamic body's polytope vertices
+        # SDF mesh-collider streams (work under every broadphase): candidate
+        # points are the dynamic bodies' polytope vertices. The banded
+        # rank-space path needs BODY-MAJOR [V, NB] grids over all slots, the
+        # static-slot paths use the compact dynamic subset.
         sdf_streams = []
         if st.sdf_colliders:
             from lumixengine_tpu.ops import convex_ops as CV
-            didx = jnp.asarray(st.dyn_idx)
-            pv = st.poly_verts[:, :, st.dyn_idx]          # np [3,V,Nd]
-            vmask = st.poly_vert_valid[:, st.dyn_idx]     # np [V,Nd]
-            nd = len(st.dyn_idx)
+            body_sel = (np.arange(pos.shape[-1], dtype=np.int32)
+                        if st.sap else st.dyn_idx)
+            didx = jnp.asarray(body_sel)
+            pv = st.poly_verts[:, :, body_sel]            # np [3,V,Nd]
+            vmask = (st.poly_vert_valid[:, body_sel]
+                     & st.dyn_mask[None, body_sel])       # np [V,Nd]
+            nd = len(body_sel)
             v_slots = pv.shape[1]
             pd = jnp.take(pos, didx, axis=-1)
             qd = jnp.take(rot, didx, axis=-1)
             vw = CV.polytope_world_verts(pd, qd, pv)      # [..,3,V,Nd]
             pts = vw.reshape(vw.shape[:-2] + (v_slots * nd,))
-            eff_r = np.tile(st.poly_rad[st.dyn_idx], v_slots)
-            body_idx = np.tile(st.dyn_idx, v_slots)
+            eff_r = np.tile(st.poly_rad[body_sel], v_slots)
+            body_idx = np.tile(body_sel, v_slots)
             valid = jnp.asarray(vmask.reshape(-1))
             for grid, origin, cell, mpos, mrot in st.sdf_colliders:
                 sc = CV.sdf_contacts(pts, jnp.asarray(eff_r), body_idx,
@@ -773,17 +778,15 @@ class PhysicsModule(IModule):
         proj = None  # position-projection closure, applied after integration
         if st.sap:
             # banded rank-space solve is the default at this scale (50x the
-            # segment_sum path); it requires per-body streams in body-major
-            # layout, so SDF colliders (dyn-subset streams) fall back to SAP
-            use_banded = (self.broadphase in ("auto", "banded")
-                          and not st.sdf_colliders)
-            if use_banded:
+            # segment_sum path); all per-body streams (ground/heightfield/
+            # SDF) are body-major [G, NB] grids it re-ranks wholesale
+            for sc in sdf_streams:
+                gc = sc if gc is None else P.concat_contacts(gc, sc)
+            if self.broadphase in ("auto", "banded"):
                 vel, angvel, n_active, miss, proj = self._banded_solve(
                     st, pos, rot, vel, angvel, shape, radius, he, dyn, gc,
                     dt_c)
             else:
-                for sc in sdf_streams:  # per-body streams ride with ground
-                    gc = sc if gc is None else P.concat_contacts(gc, sc)
                 vel, angvel, n_active, miss, proj = self._sap_solve(
                     st, pos, rot, vel, angvel, shape, radius, he, dyn, gc,
                     dt_c)

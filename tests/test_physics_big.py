@@ -185,3 +185,44 @@ def test_engine_banded_mode_matches_sap_mode():
     pos_band = run("banded")
     assert not np.any(np.isnan(pos_band))
     np.testing.assert_allclose(pos_band, pos_sap, atol=5e-2)
+
+
+def test_engine_banded_with_sdf_collider():
+    """SDF mesh colliders work under the banded large-world mode (body-major
+    candidate grids): spheres dropped on a slab mesh rest on it."""
+    import jax.numpy as jnp
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.physics.module import PhysicsSystem
+
+    sv = np.array([[sx, sy, sz] for sx in (-4, 4) for sy in (0, 1)
+                   for sz in (-4, 4)], np.float32)
+    st_ = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
+    engine = Engine()
+    engine.module_capacities = {"actors": 16}
+    phys = PhysicsSystem(engine)
+    phys.ground_plane = False
+    engine.add_system(phys)
+    world = engine.create_world(capacity=32)
+    mc = world.create_entity()
+    world.create_component(mc, "mesh_collider", vertices=sv, triangles=st_,
+                           resolution=24)
+    ents = []
+    for i in range(6):
+        e = world.create_entity(position=(-2.0 + i * 0.8, 2.5 + 0.2 * i, 0.0))
+        world.create_component(e, "rigid_actor", motion="dynamic",
+                               shape="sphere", radius=0.3, mass=1.0)
+        ents.append(e)
+    pm = world.modules["physics"]
+    pm.broadphase = "banded"
+    pm.invalidate_statics()
+    step = engine.build_step(world, donate=False)
+    s = world.device_state()
+    for _ in range(240):
+        s = step(s, jnp.float32(1 / 60))
+    ms = s.modules["physics"]
+    ys = np.asarray(ms.pos)[1][[pm.actors.slot_of(e) for e in ents]]
+    # resting on the slab top (y=1) + radius, SDF-cell tolerance
+    assert (ys > 1.0).all() and (ys < 1.6).all(), ys
