@@ -95,13 +95,40 @@ class ScriptEnv:
     def __init__(self, module: "ScriptModule", entity: int, source: str, name: str):
         self.entity = entity
         self.name = name
+        w = module.world
+
+        def find_entity(name):
+            e = w.find_by_name(name)
+            return EntityHandle(w, e) if e >= 0 else None
+
+        def create_entity(**kw):
+            return EntityHandle(w, w.create_entity(**kw))
+
+        def instantiate_prefab(blob, position=None):
+            from lumixengine_tpu.engine import serialize as ser
+            roots = ser.instantiate_prefab(w, blob, position=position)
+            return [EntityHandle(w, e) for e in roots]
+
         self.globals: Dict[str, Any] = {
-            "this": EntityHandle(module.world, entity),
-            "world": module.world,
+            "this": EntityHandle(w, entity),
+            "world": w,
             "engine_api": module.api,
             "log_info": lambda msg: log.log_info("script", str(msg)),
             "log_error": lambda msg: log.log_error("script", str(msg)),
             "np": np,
+            # ≙ lua_api.cpp world/entity surface
+            "find_entity": find_entity,
+            "create_entity": create_entity,
+            "destroy_entity": lambda h: w.destroy_entity(
+                h.id if isinstance(h, EntityHandle) else int(h)),
+            "instantiate_prefab": instantiate_prefab,
+            # ≙ LuaScript timers (setTimer → callback after t seconds)
+            "set_timer": lambda t, fn: module.set_timer(float(t), fn),
+            # ≙ getScriptEnvironment: peer script globals for cross-script calls
+            "get_script_env": module.get_script_env,
+            # ≙ lua input API
+            "is_key_down": lambda key, device=0:
+                module.system.engine.input.is_down(key, device),
         }
         self.error = None
         try:
@@ -134,6 +161,19 @@ class ScriptModule(IModule):
         super().__init__(world, system)
         self.scripts: Dict[int, List[ScriptEnv]] = {}
         self._started = False
+        self._timers: List[tuple] = []   # (remaining_s, callback)
+
+    def set_timer(self, t: float, fn) -> None:
+        """≙ LuaScriptModule::setTimer — fire fn once after t seconds."""
+        self._timers.append((t, fn))
+
+    def get_script_env(self, entity, name: str = None):
+        """≙ getScriptEnvironment: a peer entity's script globals."""
+        e = entity.id if isinstance(entity, EntityHandle) else int(entity)
+        for env in self.scripts.get(e, []):
+            if name is None or env.name == name:
+                return env.globals
+        return None
 
     def component_types(self):
         return ["script", "inline_script"]
@@ -174,6 +214,16 @@ class ScriptModule(IModule):
     def update_host(self, dt: float) -> None:
         """Called by the app runner each frame BEFORE the device step
         (≙ LuaScriptModule::update pcall loop — scripting is host work)."""
+        if self._timers:
+            due, keep = [], []
+            for t, fn in self._timers:
+                (due if t - dt <= 0.0 else keep).append((t - dt, fn))
+            self._timers = keep
+            for _, fn in due:
+                try:
+                    fn()
+                except Exception:
+                    log.log_error("script", f"timer: {traceback.format_exc()}")
         for envs in self.scripts.values():
             for env in envs:
                 env.call("update", dt)

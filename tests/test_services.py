@@ -303,3 +303,82 @@ def test_os_clipboard_and_process():
     assert osl.get_clipboard() == "hello"
     assert OSLayer.get_cpus_count() >= 1
     assert OSLayer.get_process_memory() > 0
+
+
+# ---------------------------------------------------------------------------
+# widened script API (≙ lua_api.cpp: entity surface, timers, prefab
+# instantiation, cross-script environments, input queries)
+
+def _script_world():
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.script.module import ScriptSystem
+
+    engine = Engine()
+    engine.add_system(ScriptSystem(engine))
+    world = engine.create_world(capacity=32)
+    return engine, world, world.modules["script"]
+
+
+def test_script_api_entities_and_timers():
+    engine, world, sm = _script_world()
+    target = world.create_entity(position=(1, 2, 3), name="target")
+    host = world.create_entity(name="host")
+    src = """
+hits = []
+def start():
+    e = find_entity("target")
+    hits.append(tuple(e.position))
+    spawned = create_entity(position=(9.0, 0.0, 0.0), name="spawned")
+    hits.append(spawned.name)
+    set_timer(0.05, lambda: hits.append("timer"))
+
+def update(dt):
+    pass
+"""
+    world.create_component(host, "inline_script", source=src, name="s1")
+    sm.start_game()
+    env = sm.scripts[host][0]
+    assert env.error is None
+    assert env.globals["hits"][0] == (1.0, 2.0, 3.0)
+    assert env.globals["hits"][1] == "spawned"
+    assert world.find_by_name("spawned") >= 0
+    # timer fires once after its delay
+    sm.update_host(0.03)
+    assert "timer" not in env.globals["hits"]
+    sm.update_host(0.03)
+    assert "timer" in env.globals["hits"]
+    sm.update_host(0.1)
+    assert env.globals["hits"].count("timer") == 1
+
+
+def test_script_cross_environment_and_prefab():
+    from lumixengine_tpu.engine import serialize as ser
+
+    engine, world, sm = _script_world()
+    a = world.create_entity(name="a")
+    b = world.create_entity(name="b")
+    world.create_component(a, "inline_script", source="shared = {'gold': 7}",
+                           name="inv")
+    src_b = """
+def start():
+    env = get_script_env(find_entity("a"), "inv")
+    global gold
+    gold = env["shared"]["gold"]
+"""
+    world.create_component(b, "inline_script", source=src_b, name="reader")
+    sm.start_game()
+    assert sm.scripts[b][0].globals["gold"] == 7
+
+    # prefab instantiation from a script
+    p = world.create_entity(position=(0, 0, 0), name="proto")
+    blob = ser.make_prefab(world, [p])
+    c = world.create_entity()
+    world.create_component(c, "inline_script", name="spawner", source="""
+def start():
+    roots = instantiate_prefab(PREFAB, position=(5.0, 0.0, 0.0))
+    global spawned_x
+    spawned_x = float(roots[0].position[0])
+""")
+    sm.scripts[c][0].globals["PREFAB"] = blob
+    sm.scripts[c][0].call("start")
+    assert abs(sm.scripts[c][0].globals["spawned_x"] - 5.0) < 1e-5
