@@ -167,6 +167,32 @@ def polytope_ground_contacts(pos, rot, verts, rad, body_idx, ground_y: float,
                     active=depth > 0.0)
 
 
+def raycast_convex(origin, direction, pos, rot, axes, lo, hi, mask):
+    """Exact ray vs convex hulls by slab clipping over the hulls' face axes
+    (the convex intersection of F slabs IS the hull when the axes cover all
+    face normals; support intervals [lo, hi] handle both sides of deduped
+    axes). origin/direction [..,3]; pos [..,3,NB]; rot [..,4,NB]; axes np/jnp
+    [3,F,NB] local unit; lo/hi np [F,NB] support intervals; → (hit, t, idx)."""
+    qinv = lm.quat_conjugate(rot, axis=-2)
+    o_l = lm.quat_rotate(qinv, origin[..., :, None] - pos, axis=-2)  # [..,3,NB]
+    d_l = lm.quat_rotate(qinv, jnp.broadcast_to(direction[..., :, None],
+                                                o_l.shape), axis=-2)
+    a = jnp.asarray(axes)                              # [3,F,NB]
+    od = jnp.sum(o_l[..., :, None, :] * a, axis=-3)    # [..,F,NB]
+    dd = jnp.sum(d_l[..., :, None, :] * a, axis=-3)
+    safe = jnp.where(jnp.abs(dd) < 1e-9,
+                     jnp.where(dd >= 0, 1e-9, -1e-9), dd)
+    t1 = (jnp.asarray(lo) - od) / safe
+    t2 = (jnp.asarray(hi) - od) / safe
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-2)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-2)
+    valid = (tmax >= jnp.maximum(tmin, 0.0)) & mask
+    t = jnp.where(valid, jnp.maximum(tmin, 0.0), jnp.inf)
+    idx = jnp.argmin(t, axis=-1)
+    tm = jnp.min(t, axis=-1)
+    return jnp.isfinite(tm), tm, idx.astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # SDF mesh colliders
 

@@ -182,6 +182,14 @@ class PhysStatics:
             self.poly_vert_valid = pvv
             self.poly_axes = pax
             self.poly_rad = prad
+            # support intervals per face axis (exact convex raycasts):
+            # hull lies within [lo, hi] along each of its axes
+            dots = np.einsum("cfn,cvn->fvn", pax, pv)
+            big = 1e9
+            lo = np.where(pvv[None, :, :], dots, big).min(axis=1) - prad[None, :]
+            hi = np.where(pvv[None, :, :], dots, -big).max(axis=1) + prad[None, :]
+            self.poly_axis_lo = lo.astype(np.float32)
+            self.poly_axis_hi = hi.astype(np.float32)
             self.dyn_idx = np.nonzero(self.dyn_mask)[0].astype(np.int32)
         else:
             self.dyn_idx = np.zeros(0, np.int32)
@@ -1472,16 +1480,29 @@ class PhysicsModule(IModule):
     # -- queries (host-visible, also traceable) ---------------------------------
 
     def raycast(self, ms: PhysicsState, origin, direction, layer_mask: int = -1):
-        """Batched ray vs every actor: exact spheres + OBB slab tests
+        """Batched ray vs every actor: exact spheres + OBB slab tests + exact
+        convex hulls via support-interval slab clipping
         (≙ PhysicsModule::raycast with layer filtering)."""
         st = self.statics()
         mask = jnp.asarray(st.occupied)
         if layer_mask != -1:
             mask = mask & jnp.asarray((1 << st.layer) & layer_mask != 0)
-        return P.raycast_all(jnp.asarray(origin), jnp.asarray(direction),
-                             ms.pos, ms.rot, jnp.asarray(st.shape),
-                             jnp.asarray(st.radius),
-                             jnp.asarray(st.half_extents), mask)
+        o = jnp.asarray(origin)
+        d = jnp.asarray(direction)
+        is_cvx = jnp.asarray(st.shape == P.SHAPE_CONVEX)
+        hit, t, idx = P.raycast_all(o, d, ms.pos, ms.rot, jnp.asarray(st.shape),
+                                    jnp.asarray(st.radius),
+                                    jnp.asarray(st.half_extents),
+                                    mask & ~is_cvx)
+        if st.has_convex:
+            from lumixengine_tpu.ops import convex_ops as CV
+            hc, tc, ic = CV.raycast_convex(o, d, ms.pos, ms.rot, st.poly_axes,
+                                           st.poly_axis_lo, st.poly_axis_hi,
+                                           mask & is_cvx)
+            pick_c = tc < t
+            hit, t = hit | hc, jnp.minimum(t, tc)
+            idx = jnp.where(pick_c, ic, idx)
+        return hit, t, idx
 
     def sweep(self, ms: PhysicsState, origin, direction, sweep_radius: float,
               layer_mask: int = -1):

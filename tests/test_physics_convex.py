@@ -170,8 +170,10 @@ def test_sdf_mesh_collider_box_rest():
     assert 1.15 < y < 1.5, y
 
 
-def test_raycast_convex_bounding():
-    # raycast treats convex via its bounding data (documented approximation)
+def test_raycast_convex_exact():
+    """Convex raycasts are exact (support-interval slab clipping), not
+    bounding-sphere: the cube hull face at z=-0.5 is hit at t=4.5, and a
+    ray grazing past the corner (inside the bounding sphere) misses."""
     engine, world = _engine()
     e = world.create_entity(position=(0.0, 1.0, 0.0))
     world.create_component(e, "rigid_actor", motion="static", shape="convex",
@@ -182,7 +184,25 @@ def test_raycast_convex_bounding():
                              jnp.asarray([0.0, 1.0, -5.0]),
                              jnp.asarray([0.0, 0.0, 1.0]))
     assert bool(hit)
-    assert 3.5 < float(t) < 5.0
+    assert abs(float(t) - 4.5) < 1e-3, float(t)   # exact face, not bound sphere
+    # x=0.7: outside the unit cube (hx=0.5) but inside its bounding sphere
+    hit2, t2, _ = pm.raycast(s.modules["physics"],
+                             jnp.asarray([0.7, 1.0, -5.0]),
+                             jnp.asarray([0.0, 0.0, 1.0]))
+    assert not bool(hit2)
+    # tetra: asymmetric hull, ray from above hits the apex-side face exactly
+    tet = np.array([[0.0, 0.5, 0.0], [0.5, -0.5, 0.5],
+                    [-0.5, -0.5, 0.5], [0.0, -0.5, -0.5]], np.float32)
+    e2 = world.create_entity(position=(5.0, 1.0, 0.0))
+    world.create_component(e2, "rigid_actor", motion="static", shape="convex",
+                           points=tet)
+    pm.invalidate_statics()
+    s = world.device_state()
+    hit3, t3, i3 = pm.raycast(s.modules["physics"],
+                              jnp.asarray([5.0, 4.0, 0.0]),
+                              jnp.asarray([0.0, -1.0, 0.0]))
+    assert bool(hit3)
+    assert abs(float(t3) - 2.5) < 5e-2, float(t3)  # apex at y=1.5
 
 
 def test_ccd_prevents_tunneling_through_thin_mesh():
