@@ -118,6 +118,10 @@ class Runner:
         dt_raw = self._fixed_dt if dt_raw is None else dt_raw
         with profiler.block("frame"):
             self.os.process_events(self.engine.input)
+            rsys = getattr(self.world.modules.get("renderer"), "system", None)
+            if rsys is not None:
+                for p in getattr(rsys, "plugins", ()):  # ≙ RenderPlugin::frame
+                    p.frame(rsys)
             dt = self.engine.update_host(dt_raw)
             sm = self.world.modules.get("script")
             if sm is not None:

@@ -144,8 +144,14 @@ class OSLayer:
 
         evs = self.backend.poll()
         for ev in evs:
+            # backend-state maintenance runs regardless of an attached
+            # InputSystem (connection registry is OS state, not input routing)
             if ev.type == EventType.QUIT:
                 self.quit_requested = True
+            elif ev.type == EventType.GAMEPAD_CONNECTED:
+                self.backend.gamepads[ev.gamepad] = GamepadState(connected=True)
+            elif ev.type == EventType.GAMEPAD_DISCONNECTED:
+                self.backend.gamepads.pop(ev.gamepad, None)
             if input_system is None:
                 continue
             if ev.type == EventType.KEY:
@@ -154,12 +160,12 @@ class OSLayer:
                 input_system.inject_button(inp.DEVICE_MOUSE, ev.button, ev.down)
             elif ev.type == EventType.MOUSE_MOVE:
                 input_system.inject_axis(inp.DEVICE_MOUSE, float(ev.x), float(ev.y))
+            elif ev.type == EventType.MOUSE_WHEEL:
+                # wheel rides the mouse device's axis 1 (x = amount)
+                input_system.inject_axis(inp.DEVICE_MOUSE, float(ev.amount),
+                                         0.0, axis_id=1)
             elif ev.type == EventType.TEXT_INPUT:
                 input_system.inject_text(ev.text)
-            elif ev.type == EventType.GAMEPAD_CONNECTED:
-                self.backend.gamepads[ev.gamepad] = GamepadState(connected=True)
-            elif ev.type == EventType.GAMEPAD_DISCONNECTED:
-                self.backend.gamepads.pop(ev.gamepad, None)
         return evs
 
     # -- gamepads (≙ XInput poll per frame) --------------------------------

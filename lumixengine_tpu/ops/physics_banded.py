@@ -75,6 +75,58 @@ def _ang0(r, d, II):
     return jnp.sum(lm.cross(II * rxd, r, axis=0) * d, axis=0)
 
 
+def window_miss(s_mn, s_mx, K: int, occ=None):
+    """Bodies whose x-extent overlaps past the K-th successor — candidates the
+    bounded window may prune (0 ⇒ the window was wide enough this step)."""
+    nb = s_mn.shape[-1]
+    beyond = jnp.arange(nb) + K + 1
+    in_range = beyond < nb
+    mn_beyond = jnp.take(s_mn[..., 0, :], jnp.minimum(beyond, nb - 1))
+    m = (s_mx[..., 0, :] >= mn_beyond) & in_range
+    if occ is not None:
+        m = m & occ
+    return jnp.sum(m).astype(jnp.int32)
+
+
+def banded_pair_grids(sp, sr, s_rad, s_he, s_shape, s_mn, s_mx,
+                      K: int, k: int, any_caps: bool):
+    """Shared banded narrowphase plumbing (used by make_banded_world_step and
+    the engine's PhysicsModule._banded_solve): shift-built pair data through
+    pair_contacts_from_data → ([.., k, K, NB] point/normal/depth/raw-active
+    grids, ok = rank-validity & AABB-overlap [K, NB]). Callers AND their own
+    masks (layers, occupancy, dynamics) into the active grid."""
+    nb = sp.shape[-1]
+    iota = jnp.arange(nb)
+    valid_rank = jnp.stack([iota + d < nb for d in range(1, K + 1)])
+    bmn = banded_pair_data(s_mn, K)
+    bmx = banded_pair_data(s_mx, K)
+    overlap = jnp.all((s_mn[:, None, :] <= bmx) & (bmn <= s_mx[:, None, :]),
+                      axis=-3)
+    ok = overlap & valid_rank
+
+    def bcast(x):
+        return jnp.broadcast_to(x[..., :, None, :],
+                                x.shape[:-1] + (K, nb)).reshape(
+            x.shape[:-1] + (K * nb,))
+
+    def bcast1(x):
+        return jnp.broadcast_to(x[..., None, :], (K, nb)).reshape(K * nb)
+
+    point, normal, depth, active = P.pair_contacts_from_data(
+        bcast(sp), bcast(sr), bcast1(s_rad), bcast(s_he), bcast1(s_shape),
+        banded_pair_data(sp, K).reshape(sp.shape[:-1] + (K * nb,)),
+        banded_pair_data(sr, K).reshape(sr.shape[:-1] + (K * nb,)),
+        banded_pair_data(s_rad, K).reshape(K * nb),
+        banded_pair_data(s_he, K).reshape(s_he.shape[:-1] + (K * nb,)),
+        banded_pair_data(s_shape, K).reshape(K * nb),
+        points_per_pair=k, any_caps=any_caps)
+
+    def grid(x):
+        return x.reshape(x.shape[:-1] + (k, K, nb))
+
+    return grid(point), grid(normal), grid(depth), grid(active), ok
+
+
 def solve_contacts_banded(
     vel, angvel, inv_mass, iiw,
     # ground slots [G, NB]: no partner
@@ -300,45 +352,12 @@ def make_banded_world_step(
         s_mn = to_rank(mn)
         s_mx = to_rank(mx)
 
-        # window-miss diagnostic (x-overlap beyond the K-th successor)
-        beyond = jnp.arange(nb) + K + 1
-        in_range = beyond < nb
-        mn_beyond = jnp.take(s_mn[..., 0, :], jnp.minimum(beyond, nb - 1))
-        miss = jnp.sum((s_mx[..., 0, :] >= mn_beyond) & in_range).astype(jnp.int32)
-
-        # banded pair validity: rank in range + AABB overlap
-        iota = jnp.arange(nb)
-        valid_rank = jnp.stack([iota + d < nb for d in range(1, K + 1)])  # [K,NB]
-        bmn = banded_pair_data(s_mn, K)      # [3, K, NB]
-        bmx = banded_pair_data(s_mx, K)
-        overlap = jnp.all((s_mn[:, None, :] <= bmx) & (bmn <= s_mx[:, None, :]),
-                          axis=-3)
-        ok = overlap & valid_rank
-
-        # narrowphase on shift-built pair data (NO gathers)
-        flat = lambda x: x.reshape(x.shape[:-2] + (K * nb,))  # noqa: E731
-        point, normal, depth, active = P.pair_contacts_from_data(
-            jnp.broadcast_to(sp[..., :, None, :], sp.shape[:-1] + (K, nb)).reshape(sp.shape[:-1] + (K * nb,)),
-            jnp.broadcast_to(sr[..., :, None, :], sr.shape[:-1] + (K, nb)).reshape(sr.shape[:-1] + (K * nb,)),
-            jnp.broadcast_to(s_rad[..., None, :], (K, nb)).reshape(K * nb),
-            jnp.broadcast_to(s_he[..., :, None, :], s_he.shape[:-1] + (K, nb)).reshape(s_he.shape[:-1] + (K * nb,)),
-            jnp.broadcast_to(s_shape[..., None, :], (K, nb)).reshape(K * nb),
-            flat(banded_pair_data(sp, K)),
-            flat(banded_pair_data(sr, K)),
-            banded_pair_data(s_rad, K).reshape(K * nb),
-            flat(banded_pair_data(s_he, K)),
-            banded_pair_data(s_shape, K).reshape(K * nb),
-            points_per_pair=k, any_caps=bool(np.any(shape_np == P.SHAPE_CAPSULE)))
-        # reshape to [.., k, K, NB] slot grids
-        def grid(x):
-            return x.reshape(x.shape[:-1] + (k, K, nb))
-
-        p_point = grid(point)
-        p_normal = grid(normal)
-        p_depth = grid(depth)
-        ok_k = ok[None, :, :]
+        miss = window_miss(s_mn, s_mx, K)
+        p_point, p_normal, p_depth, p_raw_active, ok = banded_pair_grids(
+            sp, sr, s_rad, s_he, s_shape, s_mn, s_mx, K, k,
+            any_caps=bool(np.any(shape_np == P.SHAPE_CAPSULE)))
         either_dyn = (s_dyn[None, None, :] | banded_pair_data(s_dyn, K)[None, :, :])
-        p_active = grid(active) & ok_k & either_dyn
+        p_active = p_raw_active & ok[None, :, :] & either_dyn
         fric_b = banded_pair_data(s_fric, K)
         rest_b = banded_pair_data(s_rest, K)
         p_fric = jnp.broadcast_to(

@@ -961,15 +961,10 @@ class PhysicsModule(IModule):
         bmn = jnp.take(mn, jnp.asarray(pb_np), axis=-1)
         bmx = jnp.take(mx, jnp.asarray(pb_np), axis=-1)
         overlap = jnp.all((amn <= bmx + m) & (bmn <= amx + m), axis=-2)  # [P]
-        pn = len(pa_np)
-        iota = jnp.arange(pn, dtype=jnp.int32)
-        # actives first, each group in candidate order (stable compaction)
-        prio = jnp.where(overlap, pn - iota, -iota)
-        _, idx = jax.lax.top_k(prio, B)
-        cpa = jnp.take(jnp.asarray(pa_np), idx)
-        cpb = jnp.take(jnp.asarray(pb_np), idx)
-        valid = jnp.take(overlap, idx)
-        miss = jnp.maximum(jnp.sum(overlap.astype(jnp.int32)) - B, 0)
+        # stable compaction shared with the big-world pipeline
+        from lumixengine_tpu.ops.physics_big import compact_pairs
+        cpa, cpb, valid, miss = compact_pairs(
+            jnp.asarray(pa_np), jnp.asarray(pb_np), overlap, B)
 
         cc = P.pair_contacts(pos, rot, shape, radius, he, cpa, cpb,
                              points_per_pair=k)
@@ -1026,51 +1021,18 @@ class PhysicsModule(IModule):
         s_layer = rank(jnp.asarray(st.layer))
         s_mn, s_mx = rank(mn), rank(mx)
 
-        # window-miss diagnostic
-        beyond = jnp.arange(nb) + K + 1
-        in_range = beyond < nb
-        mn_beyond = jnp.take(s_mn[..., 0, :], jnp.minimum(beyond, nb - 1))
-        miss = jnp.sum((s_mx[..., 0, :] >= mn_beyond) & in_range
-                       & s_occ).astype(jnp.int32)
-
-        iota = jnp.arange(nb)
-        valid_rank = jnp.stack([iota + d < nb for d in range(1, K + 1)])
-        bmn = PBD.banded_pair_data(s_mn, K)
-        bmx = PBD.banded_pair_data(s_mx, K)
-        overlap = jnp.all((s_mn[:, None, :] <= bmx) & (bmn <= s_mx[:, None, :]),
-                          axis=-3)
+        miss = PBD.window_miss(s_mn, s_mx, K, occ=s_occ)
+        p_point, p_normal, p_depth, p_raw_active, ok = PBD.banded_pair_grids(
+            sp, sr, s_rad, s_he, s_shape, s_mn, s_mx, K, k, any_caps=True)
+        # engine-level pair filters on top: layer matrix, occupancy, dynamics
         lmx = jnp.asarray(self.system.layer_matrix)
         layer_b = PBD.banded_pair_data(s_layer, K)
         layer_ok = lmx.reshape(-1)[s_layer[None, :] * MAX_LAYERS + layer_b]
         dyn_b = PBD.banded_pair_data(s_dyn, K)
         occ_b = PBD.banded_pair_data(s_occ, K)
-        ok = (overlap & valid_rank & layer_ok & (s_dyn[None, :] | dyn_b)
+        ok = (ok & layer_ok & (s_dyn[None, :] | dyn_b)
               & s_occ[None, :] & occ_b)
-
-        def bcast(x):
-            return jnp.broadcast_to(x[..., :, None, :],
-                                    x.shape[:-1] + (K, nb)).reshape(
-                x.shape[:-1] + (K * nb,))
-
-        point, normal, depth, active = P.pair_contacts_from_data(
-            bcast(sp), bcast(sr),
-            jnp.broadcast_to(s_rad[None, :], (K, nb)).reshape(K * nb),
-            bcast(s_he),
-            jnp.broadcast_to(s_shape[None, :], (K, nb)).reshape(K * nb),
-            PBD.banded_pair_data(sp, K).reshape(sp.shape[:-1] + (K * nb,)),
-            PBD.banded_pair_data(sr, K).reshape(sr.shape[:-1] + (K * nb,)),
-            PBD.banded_pair_data(s_rad, K).reshape(K * nb),
-            PBD.banded_pair_data(s_he, K).reshape(s_he.shape[:-1] + (K * nb,)),
-            PBD.banded_pair_data(s_shape, K).reshape(K * nb),
-            points_per_pair=k, any_caps=True)
-
-        def grid(x):
-            return x.reshape(x.shape[:-1] + (k, K, nb))
-
-        p_point = grid(point)
-        p_normal = grid(normal)
-        p_depth = grid(depth)
-        p_active = grid(active) & ok[None, :, :]
+        p_active = p_raw_active & ok[None, :, :]
         fric_b = PBD.banded_pair_data(s_fric, K)
         rest_b = PBD.banded_pair_data(s_rest, K)
         p_fric = jnp.broadcast_to(

@@ -54,6 +54,8 @@ def load_tga(blob: bytes, name: str = "tga") -> Texture:
     else:
         raise ValueError(f"tga: unsupported image type {img_type}")
 
+    if bpp not in (1, 3, 4):
+        raise ValueError(f"tga: unsupported depth {bpp * 8} bpp")
     if not top_down:
         px = px[::-1]
     if bpp == 1:
@@ -119,19 +121,32 @@ def sample_bilinear(tex, u, v, wrap: str = "repeat"):
     t = jnp.asarray(tex)
     h, w = t.shape[0], t.shape[1]
     if wrap == "repeat":
-        u = jnp.mod(u, 1.0)
-        v = jnp.mod(v, 1.0)
+        # texel-center convention with modulo neighbors: the seam blends
+        # texel w-1 with texel 0 (clamping there would double the edge texel
+        # and show a visible seam on tiling textures)
+        x = jnp.mod(u, 1.0) * w - 0.5
+        y = jnp.mod(v, 1.0) * h - 0.5
+        x0f = jnp.floor(x)
+        y0f = jnp.floor(y)
+        x0 = jnp.mod(x0f.astype(jnp.int32), w)
+        y0 = jnp.mod(y0f.astype(jnp.int32), h)
+        x1 = jnp.mod(x0 + 1, w)
+        y1 = jnp.mod(y0 + 1, h)
+        fx_ = (x - x0f)[..., None]
+        fy_ = (y - y0f)[..., None]
     else:
         u = jnp.clip(u, 0.0, 1.0)
         v = jnp.clip(v, 0.0, 1.0)
-    x = u * (w - 1)
-    y = v * (h - 1)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
+        x = u * (w - 1)
+        y = v * (h - 1)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        fx_ = (x - x0)[..., None]
+        fy_ = (y - y0)[..., None]
+    fx = fx_
+    fy = fy_
     tf = t.astype(jnp.float32)
     c00 = tf[y0, x0]
     c10 = tf[y0, x1]

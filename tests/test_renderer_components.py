@@ -342,3 +342,27 @@ def test_render_plugins_and_pass_profiling():
     finally:
         profiler.clear()
         profiler.enable(True)  # module default — don't poison later tests
+
+
+def test_bilinear_repeat_wraps_seam():
+    """Review fix: repeat sampling blends across the tile seam instead of
+    doubling the edge texel."""
+    import jax.numpy as jnp
+    from lumixengine_tpu.renderer.texture import sample_bilinear
+
+    t = np.zeros((1, 4, 1), np.float32)
+    t[0, 0, 0] = 1.0                         # texel 0 bright, others dark
+    # just inside the right edge: the blend partner must be texel 0 (wrapped)
+    s_edge = float(sample_bilinear(jnp.asarray(t), jnp.asarray(0.999),
+                                   jnp.asarray(0.5), wrap="repeat")[0])
+    assert s_edge > 0.4, s_edge              # sees the wrapped bright texel
+    # 16-bit TGA depth is rejected, not silently emptied
+    import pytest
+    from lumixengine_tpu.renderer.texture import load_tga
+    hdr = bytearray(18)
+    hdr[2] = 2
+    hdr[12:14] = (2).to_bytes(2, "little")
+    hdr[14:16] = (2).to_bytes(2, "little")
+    hdr[16] = 16
+    with pytest.raises(ValueError):
+        load_tga(bytes(hdr) + b"\x00" * 16)

@@ -382,3 +382,20 @@ def start():
     sm.scripts[c][0].globals["PREFAB"] = blob
     sm.scripts[c][0].call("start")
     assert abs(sm.scripts[c][0].globals["spawned_x"] - 5.0) < 1e-5
+
+
+def test_os_gamepad_registry_without_input_system_and_wheel():
+    """Review fixes: gamepad connect/disconnect maintains the registry even
+    with no InputSystem attached; mouse wheel forwards as mouse axis 1."""
+    from lumixengine_tpu.core.os import Event, EventType, OSLayer
+    from lumixengine_tpu.engine.input import DEVICE_MOUSE, InputSystem
+
+    osl = OSLayer()
+    osl.backend.push(Event(EventType.GAMEPAD_CONNECTED, gamepad=2))
+    osl.process_events()                       # no input system
+    assert osl.gamepad(2) is not None and osl.gamepad(2).connected
+    isys = InputSystem()
+    osl.backend.push(Event(EventType.MOUSE_WHEEL, amount=-3.0))
+    osl.process_events(isys)
+    isys.update()
+    assert isys.axis(1, DEVICE_MOUSE) == (-3.0, 0.0)
