@@ -45,7 +45,10 @@ def main(n_devices: int) -> int:
         shard_world_batch,
     )
 
-    engine, world, renderer = demo_scenes.headless_demo_world(num_entities=128)
+    # the FULL fused frame (transforms+cull+animation+physics+particles) —
+    # the sharded step must cover every subsystem, not just the render path
+    engine, world, *_ = demo_scenes.full_frame_world(
+        num_entities=128, num_characters=4, num_bodies=8, particle_capacity=64)
     rmod = world.modules["renderer"]
 
     def extra(ws, dt):
