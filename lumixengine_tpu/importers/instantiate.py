@@ -172,10 +172,17 @@ class SceneAssets:
     # -- particle scripts -------------------------------------------------------
 
     def particle_script(self, path: str) -> Optional[str]:
-        """Register the .pat source under its path name; None if unusable."""
+        """Register the .pat source under its path name; None if unusable.
+        Emitters may reference the COMPILED `.par` — resolve to the sibling
+        `.pat` source like the AssetCompiler's source↔product mapping."""
         if path in self.renderer.particle_scripts:
             return path
         real = self.find_file(path)
+        if real is None and path.endswith(".par"):
+            real = self.find_file(path[:-4] + ".pat")
+        elif real is not None and real.endswith(".par"):
+            src_side = self.find_file(path[:-4] + ".pat")
+            real = src_side or None
         if real is None:
             self.report["particle_missing"] += 1
             return None
