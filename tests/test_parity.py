@@ -239,11 +239,14 @@ def test_impact_momentum_and_restitution_law():
 # -- tier (c): box-drop statistics ----------------------------------------------
 
 @pytest.mark.slow
-def test_box_drop_statistics():
+@pytest.mark.parametrize("pipeline", ["dynamic", "banded"])
+def test_box_drop_statistics(pipeline):
     """Box-drop scene (BASELINE config 3, scaled for CPU CI): free fall
     conserves horizontal momentum; settled pile has bounded penetration and
-    zero SAP-window misses."""
+    zero SAP-window misses. Gates BOTH large-world pipelines — the banded
+    sweep-order one is what bench --config boxes runs."""
     from lumixengine_tpu.ops import physics_big as PB
+    from lumixengine_tpu.ops import physics_banded as PBD
     from lumixengine_tpu.ops import physics_ops as P
 
     nb = 512
@@ -256,9 +259,11 @@ def test_box_drop_statistics():
     iib = np.tile(np.full((1, nb), 1.0 / (1.0 / 12 * 2.0), np.float32), (3, 1))
     fric = np.full(nb, 0.6, np.float32)
     rest = np.zeros(nb, np.float32)
-    step = PB.make_big_world_step(shape, radius, he, dyn, inv_mass, iib, fric,
-                                  rest, neighbors=32, iterations=16,
-                                  position_iterations=6)
+    make = (PB.make_big_world_step if pipeline == "dynamic"
+            else PBD.make_banded_world_step)
+    step = make(shape, radius, he, dyn, inv_mass, iib, fric,
+                rest, neighbors=32, iterations=16,
+                position_iterations=6)
     # jittered non-overlapping grid, long axis = x so each x-plane holds 16
     # boxes — well inside the SAP window (the miss counter gates it below)
     grid = np.stack(np.meshgrid(np.arange(32), np.arange(4), np.arange(4),
