@@ -126,6 +126,7 @@ class Runner:
             sm = self.world.modules.get("script")
             if sm is not None:
                 with profiler.block("scripts"):
+                    sm.latest_state = self.state   # last frame's sim results
                     sm.update_host(dt)
                     for ev in self.engine.input.events:
                         sm.on_input(ev)

@@ -129,6 +129,8 @@ class ScriptEnv:
             # ≙ lua input API
             "is_key_down": lambda key, device=0:
                 module.system.engine.input.is_down(key, device),
+            # ≙ lua physics API: raycast against the last frame's sim state
+            "raycast": module.raycast_host,
         }
         self.error = None
         try:
@@ -162,6 +164,27 @@ class ScriptModule(IModule):
         self.scripts: Dict[int, List[ScriptEnv]] = {}
         self._started = False
         self._timers: List[tuple] = []   # (remaining_s, callback)
+        # last frame's device state, set by the Runner before script update —
+        # scripts query against the previous sim results like the reference's
+        # Lua physics API does
+        self.latest_state = None
+
+    def raycast_host(self, origin, direction, layer_mask: int = -1):
+        """≙ the Lua physics raycast: → (EntityHandle, t) or None."""
+        pm = self.world.modules.get("physics")
+        if pm is None or self.latest_state is None:
+            return None
+        ms = self.latest_state.modules.get("physics")
+        if ms is None:
+            return None
+        d = np.asarray(direction, np.float32)
+        d = d / max(float(np.linalg.norm(d)), 1e-9)
+        hit, t, idx = pm.raycast(ms, np.asarray(origin, np.float32), d,
+                                 layer_mask=layer_mask)
+        if not bool(hit):
+            return None
+        e = int(pm.actors.entity[int(idx)])
+        return EntityHandle(self.world, e), float(t)
 
     def set_timer(self, t: float, fn) -> None:
         """≙ LuaScriptModule::setTimer — fire fn once after t seconds."""

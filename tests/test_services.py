@@ -399,3 +399,39 @@ def test_os_gamepad_registry_without_input_system_and_wheel():
     osl.process_events(isys)
     isys.update()
     assert isys.axis(1, DEVICE_MOUSE) == (-3.0, 0.0)
+
+
+def test_script_raycast_against_sim_state():
+    """Scripts raycast against the previous frame's physics state
+    (≙ the Lua physics API's raycast)."""
+    import jax.numpy as jnp
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.physics.module import PhysicsSystem
+    from lumixengine_tpu.script.module import ScriptSystem
+
+    engine = Engine()
+    engine.module_capacities = {"actors": 8}
+    engine.add_system(PhysicsSystem(engine))
+    engine.add_system(ScriptSystem(engine))
+    world = engine.create_world(capacity=16)
+    wall = world.create_entity(position=(0.0, 1.0, 5.0), name="wall")
+    world.create_component(wall, "rigid_actor", motion="static", shape="box",
+                           half_extents=(2.0, 2.0, 0.5))
+    h = world.create_entity()
+    world.create_component(h, "inline_script", name="scanner", source="""
+def update(dt):
+    global seen, dist
+    r = raycast((0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+    if r is not None:
+        seen = r[0].name
+        dist = r[1]
+""")
+    sm = world.modules["script"]
+    step = engine.build_step(world, donate=False)
+    s = step(world.device_state(), jnp.float32(1 / 60))
+    sm.latest_state = s
+    sm.update_host(1 / 60)
+    env = sm.scripts[h][0]
+    assert env.error is None
+    assert env.globals["seen"] == "wall"
+    assert abs(env.globals["dist"] - 4.5) < 1e-3
