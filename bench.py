@@ -152,10 +152,51 @@ def main_boxes(args):
     return 0
 
 
+def main_map(args):
+    """BASELINE config 1: tick a real reference demo map headlessly."""
+    import numpy as np
+
+    from lumixengine_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from lumixengine_tpu.importers.instantiate import load_world
+
+    path = args.map or "/root/reference/demo/maps/demo/demo.unv"
+    inst = load_world(path)
+    rmod = inst.world.modules["renderer"]
+    extra = ((lambda ws, dt: rmod.cull_pass(ws, dt))
+             if rmod.active_camera >= 0 else None)
+    step = inst.engine.build_step(inst.world, extra=extra, donate=False)
+    s = inst.world.device_state()
+    s = step(s, jnp.float32(args.dt))
+    jax.block_until_ready(s.world.pos)
+    best = float("inf")
+    for _ in range(max(args.trials, 1)):
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            s = step(s, jnp.float32(args.dt))
+        jax.block_until_ready(s.world.pos)
+        best = min(best, time.perf_counter() - t0)
+    ents = int(np.sum(inst.world.alive)) if hasattr(inst.world, "alive") else 0
+    ms = best / args.steps * 1e3
+    print(json.dumps({
+        "metric": "demo_map_ms_per_frame",
+        "value": ms,
+        "unit": "ms/frame",
+        "vs_baseline": (1000.0 / 60.0) / ms,   # frames of 60 FPS budget
+        "config": {"config": "map", "map": path, "steps": args.steps,
+                   "elapsed_s": round(best, 4),
+                   "backend": jax.default_backend()},
+    }))
+    return 0
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="full",
-                   choices=["full", "demo", "crowd", "particles", "boxes"])
+                   choices=["full", "demo", "crowd", "particles", "boxes",
+                            "map"])
+    p.add_argument("--map", default=None)
     # 4096 worlds x 10240 entities = the BASELINE.md flagship config. Fits in
     # 16G HBM since the narrowphase layout fix + bf16 incidence (1024 worlds
     # is ~20% faster per entity if HBM headroom matters more than scale)
@@ -176,6 +217,8 @@ def main():
             args.particles = 1_000_000
     if args.config == "boxes":
         return main_boxes(args)
+    if args.config == "map":
+        return main_map(args)
 
     run_steps, state_b = build(args)
     dt = jnp.float32(args.dt)
