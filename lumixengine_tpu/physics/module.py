@@ -304,6 +304,15 @@ class PhysStatics:
         self.joint_drive_vel = np.asarray(j.data["drive_velocity"], np.float32)[jo]
         self.joint_drive_force = np.asarray(j.data["drive_force"], np.float32)[jo]
         self.joint_rest_rel = np.asarray(j.data["rest_rel_rot"], np.float32)[jo].T.copy()
+        # d6 per-axis motions (frame-A axes); non-d6 point joints lock all
+        # linear axes and no angular axes
+        lin = np.asarray(j.data["d6_linear"], np.int32)[jo].T.copy()   # [3,NJ]
+        ang_ = np.asarray(j.data["d6_angular"], np.int32)[jo].T.copy()
+        is_d6 = (jt == 3)
+        self.joint_lin_mask = np.where(is_d6[None, :], lin, 1).astype(np.float32)
+        self.joint_ang_mask = np.where(is_d6[None, :], ang_, 0).astype(np.float32)
+        self.has_d6_config = bool(is_d6.any() and (
+            (lin[:, is_d6] == 0).any() or (ang_[:, is_d6] == 1).any()))
 
         # controllers
         c = module.controllers
@@ -433,7 +442,11 @@ class PhysicsModule(IModule):
              "drive_velocity": ((), np.float32, 0.0),
              "drive_force": ((), np.float32, 1e9),
              # rest relative rotation captured at creation (hinge angle ref)
-             "rest_rel_rot": ((4,), np.float32, (0.0, 0.0, 0.0, 1.0))},
+             "rest_rel_rot": ((4,), np.float32, (0.0, 0.0, 0.0, 1.0)),
+             # d6 per-axis motion config in the joint (frame-A) axes
+             # (≙ PxD6Joint setMotion): 1 = locked, 0 = free
+             "d6_linear": ((3,), np.int32, 1),
+             "d6_angular": ((3,), np.int32, 0)},
         )
         # capsule character controllers (custom gravity, ≙ Controller component)
         self.controllers = DenseStore(
@@ -570,7 +583,11 @@ class PhysicsModule(IModule):
                             drive_on=np.int32(1 if "drive_velocity" in props else 0),
                             drive_velocity=np.float32(props.get("drive_velocity", 0.0)),
                             drive_force=np.float32(props.get("drive_force", 1e9)),
-                            rest_rel_rot=np.asarray(rest, np.float32))
+                            rest_rel_rot=np.asarray(rest, np.float32),
+                            d6_linear=np.asarray(
+                                props.get("linear_motion", (1, 1, 1)), np.int32),
+                            d6_angular=np.asarray(
+                                props.get("angular_motion", (0, 0, 0)), np.int32))
         elif ctype == "physics_controller":
             self.controllers.add(entity,
                                  radius=np.float32(props.get("radius", 0.4)),
@@ -1227,6 +1244,22 @@ class PhysicsModule(IModule):
             lam_d = -(vn + beta * err_d / dt) / jnp.maximum(k_n, 1e-9) * relax * act_d
             imp_dist = n * lam_d[..., None, :]
             imp_point = -(vrel + beta * err_vec / dt) / jnp.maximum(k_axes, 1e-9) * relax
+            if st.has_d6_config:
+                # d6 per-axis linear motion (≙ PxD6Joint setMotion): solve the
+                # point constraint per frame-A axis and zero the free axes
+                frame_axes = [lm.quat_rotate(rot_a, jnp.asarray(b)[:, None],
+                                             axis=-2) for b in np.eye(3, dtype=np.float32)]
+                lmask = jnp.asarray(st.joint_lin_mask)
+                imp_d6 = jnp.zeros_like(imp_point)
+                for i, e in enumerate(frame_axes):
+                    k_e = jnp.maximum(im_a + im_b + ang_term(r_a, e, II_a)
+                                      + ang_term(r_b, e, II_b), 1e-9)
+                    verr = jnp.sum(vrel * e, axis=-2)
+                    perr = jnp.sum(err_vec * e, axis=-2)
+                    lam_e = -(verr + beta * perr / dt) / k_e * relax
+                    imp_d6 = imp_d6 + e * (lam_e * lmask[i])[..., None, :]
+                is_d6j = jnp.asarray((jt == 3).astype(np.float32))[..., None, :]
+                imp_point = imp_point * (1.0 - is_d6j) + imp_d6 * is_d6j
             imp = jnp.where(jnp.expand_dims(is_dist, -2), imp_dist, imp_point)
             dva = -jnp.einsum("nc,...kc->...kn", inc_a, imp)
             dvb = jnp.einsum("nc,...kc->...kn", inc_b, imp)
@@ -1284,6 +1317,31 @@ class PhysicsModule(IModule):
             ta2 = -jnp.einsum("nc,...kc->...kn", inc_ah, tau + imp_ax)
             tb2 = jnp.einsum("nc,...kc->...kn", inc_bh, tau + imp_ax)
             angvel = angvel + (ta2 + tb2) * iiw
+
+        # d6 locked angular axes (≙ PxD6Joint eLOCKED swing/twist): remove
+        # relative angular velocity along the locked frame-A axes
+        if st.has_d6_config and np.any(st.joint_ang_mask):
+            d6 = np.nonzero(jt == 3)[0]
+            if d6.size:
+                dj = jnp.asarray(d6.astype(np.int32))
+                rot_ad = jnp.take(rot_a, dj, axis=-1)
+                wa = jnp.take(angvel, ja[d6], axis=-1)
+                wb = jnp.take(angvel, jb[d6], axis=-1)
+                wrel = wb - wa
+                imw_a = jnp.take(iiw, ja[d6], axis=-1)
+                imw_b = jnp.take(iiw, jb[d6], axis=-1)
+                amask = jnp.asarray(st.joint_ang_mask[:, d6])
+                locked = jnp.zeros_like(wrel)
+                for i, b in enumerate(np.eye(3, dtype=np.float32)):
+                    e = lm.quat_rotate(rot_ad, jnp.asarray(b)[:, None], axis=-2)
+                    locked = locked + e * (jnp.sum(wrel * e, axis=-2)
+                                           * amask[i])[..., None, :]
+                tau6 = -locked / jnp.maximum(imw_a + imw_b, 1e-9)
+                inc_ad = inc_a[:, d6]
+                inc_bd = inc_b[:, d6]
+                ta3 = -jnp.einsum("nc,...kc->...kn", inc_ad, tau6)
+                tb3 = jnp.einsum("nc,...kc->...kn", inc_bd, tau6)
+                angvel = angvel + (ta3 + tb3) * iiw
         return vel, angvel
 
     def set_vehicle_input(self, state: WorldState, entity: int,

@@ -470,3 +470,46 @@ def test_pruned_budget_overflow_counter():
     s = world.device_state()
     s = step(s, jnp.float32(1 / 60))
     assert int(s.modules["physics"].counters["pruned_pair_miss"]) > 0
+
+
+def test_d6_per_axis_motion_config():
+    """d6 joints with per-axis motions (≙ PxD6Joint setMotion): a vertical
+    prismatic d6 (y free, x/z locked, all angular locked) slides down under
+    gravity while staying laterally pinned and unrotated."""
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.physics.module import PhysicsSystem
+
+    engine = Engine()
+    engine.module_capacities = {"actors": 4, "joints": 4}
+    phys = PhysicsSystem(engine)
+    phys.ground_plane = False
+    # anchor and slider share space: filter their collision (layer matrix)
+    phys.layer_matrix[0, 1] = phys.layer_matrix[1, 0] = False
+    engine.add_system(phys)
+    world = engine.create_world(capacity=8)
+    a = world.create_entity(position=(0.0, 5.0, 0.0))
+    world.create_component(a, "rigid_actor", motion="static", shape="box")
+    b = world.create_entity(position=(0.3, 5.0, 0.2))
+    world.create_component(b, "rigid_actor", motion="dynamic", shape="box",
+                           mass=1.0, layer=1)
+    j = world.create_entity()
+    world.create_component(j, "d6_joint", body_a=a, body_b=b,
+                           linear_motion=(1, 0, 1),     # y slides free
+                           angular_motion=(1, 1, 1))    # fully unrotating
+    pm = world.modules["physics"]
+    slot = pm.actors.slot_of(b)
+    step = engine.build_step(world, donate=False)
+    s = world.device_state()
+    ms0 = s.modules["physics"]
+    s = s.replace(modules={**s.modules, "physics": ms0.replace(
+        angvel=ms0.angvel.at[1, slot].set(2.0))})       # try to spin it
+    for _ in range(120):
+        s = step(s, jnp.float32(1 / 60))
+    ms = s.modules["physics"]
+    # fell freely along y
+    assert float(ms.pos[1, slot]) < 3.0
+    # pinned laterally to the anchor line (x/z locked pull toward the anchor)
+    assert abs(float(ms.pos[0, slot])) < 0.15
+    assert abs(float(ms.pos[2, slot])) < 0.15
+    # angular lock killed the injected spin
+    assert abs(float(ms.angvel[1, slot])) < 0.1
