@@ -546,10 +546,12 @@ def instantiate_scene(scene: Dict[str, Any],
                 extra["max_distance"] = j["max_distance"]
         if j["kind"] == "d6" and "motions" in j:
             # PxD6Motion per axis (x,y,z,twist,swing1,swing2):
-            # 0=LOCKED 1=LIMITED 2=FREE — LIMITED approximates as locked
+            # 0=LOCKED 1=LIMITED 2=FREE — LIMITED approximates as locked on
+            # BOTH linear and angular axes (the conservative reading of
+            # PxD6Joint::setMotion: a limited axis is constrained, not free)
             m = j["motions"]
             extra["linear_motion"] = tuple(int(v != 2) for v in m[0:3])
-            extra["angular_motion"] = tuple(int(v == 0) for v in m[3:6])
+            extra["angular_motion"] = tuple(int(v != 2) for v in m[3:6])
         world.create_component(world.create_entity(name=f"joint{e}"), kind,
                                body_a=e, body_b=ce,
                                anchor_a=np.asarray(f0["pos"], np.float32),

@@ -12,13 +12,16 @@ steps character controllers; lateUpdate feeds animator root motion into
 controllers. Collision layers filter pairs via a 32x32 matrix; raycast/sweep
 queries filter by layer.
 
-This build (round 1): RigidActor with sphere/box geoms (+static ground plane),
-dynamic/static/kinematic motion types, layer matrix, distance joints, sleeping,
-batched raycasts. Capsules/heightfields/character controllers/vehicles land
-next. Physics pose state is authoritative for dynamic actors: update() writes
-it back to entity LOCAL transforms (reference writes globals; identical for
-root-level actors, which is what the reference's dynamic actors are in
-practice).
+Implemented surface: RigidActor with sphere/box/capsule/convex/SDF-trimesh
+geoms across dynamic/static/kinematic motion types; layer matrix; distance/
+hinge/spherical/D6 joints (per-axis motions, limits, drives); sleeping; CCD;
+batched raycasts (exact for every shape) and sweeps; capsule character
+controllers; heightfields; vehicles + wheels. Three broadphase modes chosen by
+scene size: dense all-pairs, compacted SAP, and the banded rank-space pipeline
+(ops/physics_banded.py) — the default above `sap_threshold`. Physics pose
+state is authoritative for dynamic actors: update() writes it back to entity
+LOCAL transforms (reference writes globals; identical for root-level actors,
+which is what the reference's dynamic actors are in practice).
 """
 from __future__ import annotations
 

@@ -77,8 +77,11 @@ def fill_clusters(ws, module, cam_slot: int = 0, statics=None,
                   grid: Tuple[int, int, int] = GRID,
                   max_per_cluster: int = MAX_LIGHTS_PER_CLUSTER) -> ClusterLights:
     """Assign every point light to the clusters its range-sphere touches."""
+    from lumixengine_tpu.renderer.pipeline import resolve_cam_slot
+
     statics = statics or module.statics()
     rs = ws.modules[module.name]
+    cam_slot = resolve_cam_slot(statics, cam_slot)
     cam_e = max(int(statics.cam_slots[cam_slot]), 0)
     cpos = ws.world.pos[..., :, cam_e]
     crot = ws.world.rot[..., :, cam_e]

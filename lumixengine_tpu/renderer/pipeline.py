@@ -73,6 +73,7 @@ class ViewStatics:
         self.lod_dist2 = np.asarray(bank.lod_dist2)[:, mid]             # [4,K]
         self.material = np.asarray(bank.material_id)[mid]               # [K]
         self.cam_slots = w.to_slots(module.cameras.entity)              # [C]
+        self.cam_entities = np.asarray(module.cameras.entity, np.int64)  # [C]
         self.pl_slots = w.to_slots(module.point_lights.entity)          # [L]
         self.pl_mask = self.pl_slots >= 0
         # instanced-model chunks (≙ pipeline.cpp encodeInstancedModels):
@@ -96,8 +97,28 @@ class ViewStatics:
         self.im_radii = np.asarray(im_radii, np.float32)
 
 
+def resolve_cam_slot(statics: ViewStatics, cam_slot: int) -> int:
+    """Validate a camera slot index at every view entry point.
+
+    Accepts either a slot index into the camera store or a camera *entity* id
+    (RenderModule.active_camera stores an entity, and passing it here used to
+    raise a bare IndexError deep in the traced gather — see
+    crash_20260817_061512.txt). Raises a named ValueError otherwise."""
+    n = len(statics.cam_slots)
+    if 0 <= cam_slot < n:
+        return int(cam_slot)
+    hits = np.nonzero(statics.cam_entities == cam_slot)[0]
+    if hits.size:
+        return int(hits[0])
+    raise ValueError(
+        f"cam_slot {cam_slot} is neither a camera slot (world has {n} cameras)"
+        f" nor a camera entity id (cameras: {statics.cam_entities.tolist()})"
+    )
+
+
 def camera_frustum(ws: WorldState, rs, statics: ViewStatics, cam_slot: int) -> geom.Frustum:
     """Build the active camera's frustum from its entity world transform."""
+    cam_slot = resolve_cam_slot(statics, cam_slot)
     e = max(int(statics.cam_slots[cam_slot]), 0)
     pos = ws.world.pos[..., :, e]
     rot = ws.world.rot[..., :, e]
@@ -117,6 +138,7 @@ def _cull_and_lod(ws: WorldState, rs, statics: ViewStatics, cam_slot: int,
                   use_pallas: Optional[bool]):
     """One fused pass: a single static-index gather (pos|scale) per instance
     feeds both the sphere cull and the LOD pick."""
+    cam_slot = resolve_cam_slot(statics, cam_slot)
     frustum = camera_frustum(ws, rs, statics, cam_slot)
     cam_e = max(int(statics.cam_slots[cam_slot]), 0)
     cam_pos = ws.world.pos[..., :, cam_e]

@@ -95,6 +95,7 @@ def shadow_pass(ws, module, light_dir, cam_slot: int = 0,
 
     statics = statics or module.statics()
     rs = ws.modules[module.name]
+    cam_slot = pl.resolve_cam_slot(statics, cam_slot)
     cam_e = max(int(statics.cam_slots[cam_slot]), 0)
     pos = ws.world.pos[..., :, cam_e]
     rot = ws.world.rot[..., :, cam_e]

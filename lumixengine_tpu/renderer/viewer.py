@@ -45,9 +45,11 @@ def render_svg(
     state = runner.state
     rmod = world.modules["renderer"]
     renderer = rmod.system
+    st = rmod.statics()
+    from lumixengine_tpu.renderer.pipeline import resolve_cam_slot
+    cam_slot = resolve_cam_slot(st, cam_slot)
     view = runner.prepare_view(cam_slot)
 
-    st = rmod.statics()
     cam_e = max(int(st.cam_slots[cam_slot]), 0)
     cam_pos = np.asarray(state.world.pos[:, cam_e])
     cam_rot = np.asarray(state.world.rot[:, cam_e])

@@ -82,3 +82,23 @@ def test_step_under_vmap_batches_worlds():
     # perturbed worlds should still have similar visible counts
     counts = np.asarray(out.modules["renderer"].counters["visible_count"])
     assert counts.shape == (4,) and np.all(counts > 0)
+
+
+def test_resolve_cam_slot_validates_and_maps_entities():
+    # ≙ crash_20260817_061512.txt: RenderModule.active_camera stores an entity
+    # id; passing it as cam_slot used to IndexError inside the traced gather
+    import pytest
+
+    engine, world, renderer = build(16)
+    rmod = world.modules["renderer"]
+    st = rmod.statics()
+    assert pipe.resolve_cam_slot(st, 0) == 0
+    cam_entity = int(st.cam_entities[0])
+    if cam_entity >= len(st.cam_slots):  # entity ids map back to their slot
+        assert pipe.resolve_cam_slot(st, cam_entity) == 0
+    with pytest.raises(ValueError, match="cam_slot"):
+        pipe.resolve_cam_slot(st, 999999)
+    # the active_camera entity id is accepted at the view entry point
+    state = world.device_state()
+    view = pipe.prepare_view(state, rmod, cam_slot=rmod.active_camera)
+    assert int(view.visible_count) >= 0
