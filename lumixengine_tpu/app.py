@@ -103,14 +103,28 @@ class Runner:
         """Build the fused step and start the game (≙ startGame)."""
         assert self.world is not None, "load or set a world first"
         self._fixed_dt = fixed_dt
-        rmod = self.world.modules.get("renderer")
-        extra = (lambda ws, dt: rmod.cull_pass(ws, dt)) if rmod else None
         with profiler.block("build_step"):
-            self.step = self.engine.build_step(self.world, extra=extra, donate=False)
-            self.state = self.world.device_state()
+            self._build_and_snapshot()
         self.engine.start_game(self.world)
         if self.settings.get("profile_start"):
             profiler.enable(True)
+
+    def _build_and_snapshot(self) -> None:
+        rmod = self.world.modules.get("renderer")
+        extra = (lambda ws, dt: rmod.cull_pass(ws, dt)) if rmod else None
+        self.step = self.engine.build_step(self.world, extra=extra, donate=False)
+        self.state = self.world.device_state()
+        self._state_perm = self.world._slot_of.copy()
+
+    def _rebuild_after_structure_change(self, skip_entities) -> None:
+        """Script structural edits (spawn/destroy) re-trace the step: copy the
+        device runtime state back to host first (old snapshot's perm), so the
+        new snapshot resumes from current sim results — the documented slow
+        path for structural script edits."""
+        self.world.load_state(self.state, slot_of=self._state_perm,
+                              skip=skip_entities)
+        with profiler.block("rebuild_step"):
+            self._build_and_snapshot()
 
     # -- frame (≙ Runner::onIdle) ----------------------------------------------------
 
@@ -127,9 +141,16 @@ class Runner:
             if sm is not None:
                 with profiler.block("scripts"):
                     sm.latest_state = self.state   # last frame's sim results
+                    sm.poll_events(self.state)     # onPathFinished etc.
                     sm.update_host(dt)
                     for ev in self.engine.input.events:
                         sm.on_input(ev)
+                if sm.has_lua():
+                    rt = sm._lua_rt
+                    if sm.consume_structure_dirty():
+                        self._rebuild_after_structure_change(rt.dirty_transforms)
+                        rt.dirty_transforms.clear()
+                    self.state = sm.apply_pending(self.state, dt)
             with profiler.block("device_step"):
                 self.state = self.step(self.state, jnp.float32(dt))
         profiler.frame()

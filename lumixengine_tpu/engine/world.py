@@ -399,13 +399,30 @@ class World:
             time=jnp.float32(0.0),
         )
 
-    def load_state(self, state: WorldState) -> None:
-        """Copy a device snapshot's per-frame fields back to host (save path)."""
-        self._refresh_levels()
-        inv = self._slot_of
-        self.local_pos = np.asarray(state.local.pos).T[inv].copy()
-        self.local_rot = np.asarray(state.local.rot).T[inv].copy()
-        self.local_scale = np.asarray(state.local.scale).T[inv].copy()
+    def load_state(self, state: WorldState, slot_of=None, skip=None) -> None:
+        """Copy a device snapshot's per-frame fields back to host (save path).
+
+        slot_of: entity→slot permutation matching `state` — pass the one
+        captured at snapshot time when the topology has changed since (script
+        structural edits); defaults to the current permutation.
+        skip: entity ids whose HOST values are newer than the snapshot
+        (script transform writes this frame) — left untouched.
+        """
+        if slot_of is None:
+            self._refresh_levels()
+            slot_of = self._slot_of
+        inv = np.asarray(slot_of)
+        pos = np.asarray(state.local.pos).T[inv]
+        rot = np.asarray(state.local.rot).T[inv]
+        scale = np.asarray(state.local.scale).T[inv]
+        # only entities that existed in the snapshot carry meaningful columns
+        alive_then = np.asarray(state.alive)[inv]
+        keep = alive_then.copy()
+        if skip:
+            keep[list(skip)] = False
+        self.local_pos[keep] = pos[keep]
+        self.local_rot[keep] = rot[keep]
+        self.local_scale[keep] = scale[keep]
         for name, m in self.modules.items():
             if hasattr(m, "load_state") and name in state.modules:
                 m.load_state(state.modules[name])

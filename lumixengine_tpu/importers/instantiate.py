@@ -256,15 +256,20 @@ def build_engine_for_scene(scene: Dict[str, Any],
     a = scene.get("animation", {})
     p = scene.get("physics", {})
     n_ents = max(len(scene["entities"]), 1)
+    # running Lua content can SPAWN entities/components (createEntityEx —
+    # tetris pieces, nav-stress ybots); give script-bearing scenes headroom
+    lua_s = scene.get("lua_script", {})
+    has_scripts = bool(lua_s.get("scripts") or lua_s.get("inline_scripts"))
+    hr = 384 if has_scripts else 0
     engine.module_capacities = {
-        "model_instances": max(len(r.get("model_instances", [])) + 8, 16),
+        "model_instances": max(len(r.get("model_instances", [])) + 8, 16) + hr,
         "cameras": max(len(r.get("cameras", [])) + 1, 4),
         "point_lights": max(len(r.get("point_lights", [])) + 4, 8),
         "actors": max(len(p.get("actors", [])) + 4, 8),
         "joints": max(len(p.get("joints", [])) + 4, 8),
         "animables": max(len(a.get("animables", [])) + 4, 8),
-        "animators": max(len(a.get("animators", [])) + 4, 8),
-        "nav_agents": max(len(scene.get("navigation", {}).get("agents", [])) + 4, 8),
+        "animators": max(len(a.get("animators", [])) + 4, 8) + hr // 4,
+        "nav_agents": max(len(scene.get("navigation", {}).get("agents", [])) + 4, 8) + hr // 4,
         "gui_rects": max(len(scene.get("gui", {}).get("rects", [])) + 4, 8),
         "sounds": max(len(scene.get("audio", {}).get("ambient_sounds", [])) + 4, 8),
     }
@@ -290,7 +295,9 @@ def instantiate_scene(scene: Dict[str, Any],
                       ) -> InstantiatedScene:
     engine, assets, n_ents = build_engine_for_scene(scene, data_dirs)
     report = assets.report
-    world = engine.create_world(capacity=n_ents + 16)
+    lua_sc = scene.get("lua_script", {})
+    spawn_hr = 384 if (lua_sc.get("scripts") or lua_sc.get("inline_scripts")) else 0
+    world = engine.create_world(capacity=n_ents + 16 + spawn_hr)
 
     # pre-pass: entities that animate need their model path marked skinned so
     # placeholder models get skeletons
@@ -704,28 +711,56 @@ def instantiate_scene(scene: Dict[str, Any],
             world.create_component(e, "chorus_zone", radius=z["radius"])
             report["chorus_zone"] += 1
 
-    # -- scripts (Luau sources attach as inert records; the reference parity is
-    # the component + its reflected properties, not executing Luau) ------------
+    # -- scripts: the reference's Luau sources EXECUTE through the clean-room
+    # Lua interpreter (script/lua) behind the bridge API (script/lua_bridge),
+    # ≙ lua_script_system.cpp: env setup → chunk run → stored properties
+    # applied → start() on game start -----------------------------------------
     lua = scene.get("lua_script", {})
+    sm = world.modules.get("script")
+    if sm is not None:
+        sm.lua_search_dirs = list(data_dirs)
+        sm.set_asset_bank(assets)
+
+    def _lua_prop_value(pp):
+        v = pp.get("value")
+        t = pp.get("type")
+        if t == "ENTITY":
+            ids = v if isinstance(v, list) else [v]
+            handles = [sm.lua_entity(ent(i) if ent(i) is not None else -1)
+                       for i in ids]
+            return handles if isinstance(v, list) and pp.get("is_array") else handles[0]
+        if t == "RESOURCE":
+            return sm.lua_resource(str(v))
+        if t == "BOOLEAN":
+            return bool(v)
+        if t in ("FLOAT", "INT"):
+            return float(v)
+        return v
+
     for holder in lua.get("scripts", []):
         e = ent(holder["entity"])
-        if e is None:
+        if e is None or sm is None:
             continue
         for s in holder["scripts"]:
-            props = {pp["name"] or hex(pp["name_hash"]): pp.get("value")
-                     for pp in s["properties"]}
-            env = world.create_component(e, "script", source="",
-                                         name=s["path"] or "inline")
-            env.globals["lua_path"] = s["path"]
-            env.globals["properties"] = props
+            props = {}
+            for pp in s["properties"]:
+                name = pp["name"] or hex(pp["name_hash"])
+                try:
+                    props[name] = _lua_prop_value(pp)
+                except Exception:
+                    props[name] = None
+            sm.attach_lua_script(e, path=s["path"], properties=props)
             report["script"] += 1
     for isc in lua.get("inline_scripts", []):
         e = ent(isc["entity"])
-        if e is None:
+        if e is None or sm is None:
             continue
-        env = world.create_component(e, "inline_script", source="", name="inline")
-        env.globals["lua_source"] = isc["source"]
+        sm.attach_lua_script(e, source=isc["source"])
         report["inline_script"] += 1
+    if sm is not None and sm._lua_rt is not None:
+        # chunk execution is not a structural edit; spawns during play are
+        sm._lua_rt.structure_dirty = False
+        sm._lua_rt.dirty_transforms.clear()
 
     # -- core ----------------------------------------------------------------------
     core = scene.get("core", {})

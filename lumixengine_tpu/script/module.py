@@ -153,6 +153,84 @@ class ScriptEnv:
             return None
 
 
+class LuaScriptEnv:
+    """One LUA script instance: real Luau-content execution (≙ reference
+    lua_script_system.cpp ScriptInstance: env table with __index → globals,
+    chunk run inside the env, stored properties applied after)."""
+
+    def __init__(self, module: "ScriptModule", entity: int,
+                 path: str = "", source: Optional[str] = None):
+        from lumixengine_tpu.script.lua import LuaError
+        from lumixengine_tpu.script.lua_bridge import LuaEntity
+
+        rt = module.lua_runtime()
+        self._rt = rt
+        self.entity = entity
+        self.path = path
+        self.name = path or f"inline:{entity}"
+        self.error: Optional[str] = None
+        self.env = rt.interp.new_env()
+        self.env.set("this", LuaEntity(rt, entity))
+
+        def _inherit(p=None):
+            """≙ Lumix `inherit "path"`: run the base script in THIS env."""
+            sp = str(p)
+            src2 = module.read_lua_source(sp if sp.endswith(".lua") else sp + ".lua")
+            if src2 is None:
+                raise LuaError(f"inherit: script '{sp}' not found")
+            rt.interp.call(rt.interp.compile(src2, chunkname=sp, env=self.env), [])
+
+        self.env.set("inherit", _inherit)
+        if source is None and path:
+            source = module.read_lua_source(path)
+        self.source = source or ""
+        if self.source:
+            self._run_chunk(rt)
+
+    def _run_chunk(self, rt) -> None:
+        from lumixengine_tpu.script.lua import LuaError, LuaSyntaxError
+
+        try:
+            fn = rt.interp.compile(self.source, chunkname=self.name, env=self.env)
+            rt.interp.call(fn, [])
+        except (LuaError, LuaSyntaxError) as ex:
+            self.error = str(ex)
+            log.log_error("lua", f"{self.name}: {self.error}")
+
+    def apply_properties(self, props: Dict[str, Any]) -> None:
+        """Stored .unv property values overwrite chunk defaults
+        (≙ applyProperty after onScriptLoaded)."""
+        for k, v in props.items():
+            if v is not None:
+                self.env.set(k, v)
+
+    def call(self, fn_name: str, *args) -> Any:
+        from lumixengine_tpu.script.lua import LuaError, LuaFunction
+
+        fn = self.env.get(fn_name)
+        if not isinstance(fn, LuaFunction) and not callable(fn):
+            return None
+        try:
+            from lumixengine_tpu.script.lua_bridge import ScriptRuntime  # noqa: F401
+            rt = self._rt_of()
+            r = rt.interp.call_value(fn, list(args))
+            return r[0] if r else None
+        except LuaError as ex:
+            self.error = str(ex.value)
+            log.log_error("lua", f"{self.name}.{fn_name}: {self.error}")
+            return None
+        except Exception:
+            self.error = traceback.format_exc()
+            log.log_error("lua", f"{self.name}.{fn_name}: {self.error}")
+            return None
+
+    def _rt_of(self):
+        # env table's metatable __index is the shared interpreter's globals
+        return self._rt
+
+    _rt = None  # set by ScriptModule.attach_lua_script
+
+
 class ScriptModule(IModule):
     """≙ lua_script_system.h LuaScriptModule: Script + InlineScript components."""
 
@@ -162,12 +240,221 @@ class ScriptModule(IModule):
     def __init__(self, world: World, system: "ScriptSystem", max_scripts: int = 256):
         super().__init__(world, system)
         self.scripts: Dict[int, List[ScriptEnv]] = {}
+        self.lua_envs: Dict[int, List[LuaScriptEnv]] = {}
+        self._lua_rt = None
+        self._asset_bank = None
+        self.lua_search_dirs: List[str] = []
+        self.pending_sounds: List[tuple] = []
         self._started = False
         self._timers: List[tuple] = []   # (remaining_s, callback)
         # last frame's device state, set by the Runner before script update —
         # scripts query against the previous sim results like the reference's
         # Lua physics API does
         self.latest_state = None
+
+    # -- Lua runtime (≙ the module's lua_State) --------------------------------------
+
+    def lua_runtime(self):
+        if self._lua_rt is None:
+            from lumixengine_tpu.script.lua_bridge import ScriptRuntime
+
+            self._lua_rt = ScriptRuntime(self)
+        return self._lua_rt
+
+    def has_lua(self) -> bool:
+        return self._lua_rt is not None and bool(self.lua_envs)
+
+    def set_asset_bank(self, bank) -> None:
+        self._asset_bank = bank
+
+    def asset_bank(self):
+        if self._asset_bank is None:
+            from lumixengine_tpu.importers.instantiate import (
+                DEFAULT_DATA_DIRS, SceneAssets)
+
+            renderer = None
+            anim = None
+            for sysname in ("renderer_system", "animation_system"):
+                s = self.system.engine.system_manager.get_system(sysname)
+                if sysname.startswith("renderer"):
+                    renderer = s
+                else:
+                    anim = s
+            dirs = tuple(self.lua_search_dirs) or DEFAULT_DATA_DIRS
+            self._asset_bank = SceneAssets(renderer, anim=anim, data_dirs=dirs)
+        return self._asset_bank
+
+    def read_lua_source(self, path: str) -> Optional[str]:
+        """Script/module source by data-relative path (≙ FileSystem mounts)."""
+        import os as _os
+
+        for d in self.lua_search_dirs:
+            p = _os.path.join(d, path)
+            if _os.path.isfile(p):
+                with open(p, "r", encoding="utf-8", errors="replace") as f:
+                    return f.read()
+        try:
+            return self.system.engine.fs.read(path).decode()
+        except Exception:
+            return None
+
+    def attach_lua_script(self, entity: int, path: str = "",
+                          source: Optional[str] = None,
+                          properties: Optional[Dict[str, Any]] = None
+                          ) -> LuaScriptEnv:
+        env = LuaScriptEnv(self, entity, path=path, source=source)
+        env._rt = self.lua_runtime()
+        if properties:
+            env.apply_properties(properties)
+        self.lua_envs.setdefault(entity, []).append(env)
+        if self._started and env.source:
+            env.call("start")
+        return env
+
+    def set_lua_script_path(self, entity: int, index: int, path: str) -> None:
+        """≙ `e.lua_script.scripts[i].path = ...`: (re)load slot `index`."""
+        envs = self.lua_envs.get(entity, [])
+        if index >= len(envs):
+            self.attach_lua_script(entity, path=path)
+            return
+        rt = self.lua_runtime()
+        new_env = LuaScriptEnv(self, entity, path=path)
+        new_env._rt = rt
+        envs[index] = new_env
+        if self._started:
+            new_env.call("start")
+
+    def lua_entity(self, e: int):
+        from lumixengine_tpu.script.lua_bridge import LuaEntity
+
+        return LuaEntity(self.lua_runtime(), int(e))
+
+    def lua_resource(self, path: str):
+        from lumixengine_tpu.script.lua_bridge import LuaResource
+
+        return LuaResource(path)
+
+    def apply_pending(self, state, dt: float):
+        """Flush the frame's recorded script writes into the device state
+        (one batch before the fused step; see lua_bridge docstring)."""
+        rt = self._lua_rt
+        if rt is None:
+            return state
+        import jax.numpy as jnp
+
+        w = self.world
+        if rt.dirty_transforms and not rt.structure_dirty:
+            ents = [e for e in rt.dirty_transforms
+                    if 0 <= e < w.capacity and w.alive[e]]
+            slots = np.asarray([w.slot(e) for e in ents], np.int32)
+            ok = slots >= 0
+            if ok.any():
+                sl = slots[ok]
+                sel = np.asarray(ents)[ok]
+                local = state.local
+                local = local.replace(
+                    pos=local.pos.at[..., :, sl].set(jnp.asarray(w.local_pos[sel].T)),
+                    rot=local.rot.at[..., :, sl].set(jnp.asarray(w.local_rot[sel].T)),
+                    scale=local.scale.at[..., :, sl].set(jnp.asarray(w.local_scale[sel].T)),
+                )
+                state = state.replace(local=local)
+            # teleport physics bodies/controllers with their entity
+            # (≙ componentTransformed → PxActor::setGlobalPose)
+            pm = w.modules.get("physics")
+            if pm is not None:
+                ms = state.modules.get("physics")
+                for e in ents:
+                    aslot = pm.actors.slot_of(e)
+                    if aslot >= 0:
+                        gp, gr, _ = w.get_global_transform(e)
+                        ms = ms.replace(
+                            pos=ms.pos.at[..., :, aslot].set(jnp.asarray(gp)),
+                            rot=ms.rot.at[..., :, aslot].set(jnp.asarray(gr)),
+                            vel=ms.vel.at[..., :, aslot].set(0.0),
+                            angvel=ms.angvel.at[..., :, aslot].set(0.0))
+                    cslot = pm.controllers.slot_of(e)
+                    if cslot >= 0:
+                        gp = w.get_global_transform(e)[0]
+                        ms = ms.replace(
+                            ctrl_pos=ms.ctrl_pos.at[..., :, cslot].set(jnp.asarray(gp)))
+                if ms is not state.modules.get("physics"):
+                    state = state.replace(modules={**state.modules, "physics": ms})
+        rt.dirty_transforms.clear()
+
+        if rt.pending_anim_inputs:
+            ms = state.modules.get("animation")
+            if ms is not None:
+                rows = np.asarray([k[0] for k in rt.pending_anim_inputs], np.int32)
+                cols = np.asarray([k[1] for k in rt.pending_anim_inputs], np.int32)
+                vals = np.asarray(list(rt.pending_anim_inputs.values()), np.float32)
+                nrow = ms.ctrl_inputs.shape[0]
+                keep = rows < nrow
+                ci = ms.ctrl_inputs.at[rows[keep], cols[keep]].set(jnp.asarray(vals[keep]))
+                state = state.replace(modules={**state.modules,
+                                               "animation": ms.replace(ctrl_inputs=ci)})
+            rt.pending_anim_inputs.clear()
+
+        pm = w.modules.get("physics")
+        if pm is not None:
+            for e, disp in rt.pending_moves.items():
+                state = pm.move_controller(state, e, disp)
+            rt.pending_moves.clear()
+            if rt.pending_forces:
+                ms = state.modules["physics"]
+                vel = ms.vel
+                for e, force, impulse in rt.pending_forces:
+                    slot = pm.actors.slot_of(e)
+                    if slot < 0:
+                        continue
+                    mass = max(float(pm.actors.data["mass"][slot]), 1e-6)
+                    dv = np.asarray(force, np.float32) / mass
+                    if not impulse:     # ≙ PxRigidBody::addForce eFORCE: F·dt/m
+                        dv = dv * dt
+                    vel = vel.at[..., :, slot].add(jnp.asarray(dv))
+                state = state.replace(modules={**state.modules,
+                                               "physics": ms.replace(vel=vel)})
+                rt.pending_forces.clear()
+
+        nm = w.modules.get("navigation")
+        if nm is not None and rt.pending_nav:
+            for e, dst, speed, stop in rt.pending_nav:
+                slot = nm.agents.slot_of(e)
+                if slot < 0:
+                    continue
+                nm.agents.data["speed"][slot] = np.float32(speed)
+                ms = state.modules.get("navigation")
+                if ms is not None:
+                    state = state.replace(modules={
+                        **state.modules,
+                        "navigation": ms.replace(
+                            speed=ms.speed.at[slot].set(jnp.float32(speed)))})
+                state = nm.set_destination(state, e, (float(dst[0]), float(dst[2])))
+            rt.pending_nav.clear()
+
+        am = w.modules.get("audio")
+        if am is not None and self.pending_sounds:
+            for e, _path in self.pending_sounds:
+                if am.sounds.slot_of(e) >= 0:
+                    state = am.play(state, e)
+            self.pending_sounds.clear()
+        return state
+
+    def poll_events(self, state) -> None:
+        """Post-step event callbacks driven by sim results
+        (≙ onPathFinished / onControllerHit pcalls)."""
+        rt = self._lua_rt
+        if rt is None:
+            return
+        for e in rt.poll_path_finished(state):
+            for env in self.lua_envs.get(e, []):
+                env.call("onPathFinished")
+
+    def consume_structure_dirty(self) -> bool:
+        rt = self._lua_rt
+        if rt is not None and rt.structure_dirty:
+            rt.structure_dirty = False
+            return True
+        return False
 
     def raycast_host(self, origin, direction, layer_mask: int = -1):
         """≙ the Lua physics raycast: → (EntityHandle, t) or None."""
@@ -215,6 +502,7 @@ class ScriptModule(IModule):
 
     def destroy_component(self, entity: int, ctype: str) -> None:
         self.scripts.pop(entity, None)
+        self.lua_envs.pop(entity, None)
 
     @property
     def api(self) -> Dict[str, Any]:
@@ -227,12 +515,18 @@ class ScriptModule(IModule):
         for envs in self.scripts.values():
             for env in envs:
                 env.call("start")
+        for envs in list(self.lua_envs.values()):
+            for env in list(envs):
+                env.call("start")
 
     def stop_game(self) -> None:
         self._started = False
         for envs in self.scripts.values():
             for env in envs:
                 env.call("stop")
+        for envs in self.lua_envs.values():
+            for env in envs:
+                env.call("onDestroy")
 
     def update_host(self, dt: float) -> None:
         """Called by the app runner each frame BEFORE the device step
@@ -250,11 +544,19 @@ class ScriptModule(IModule):
         for envs in self.scripts.values():
             for env in envs:
                 env.call("update", dt)
+        for envs in list(self.lua_envs.values()):
+            for env in list(envs):
+                env.call("update", float(dt))
 
     def on_input(self, event) -> None:
         for envs in self.scripts.values():
             for env in envs:
                 env.call("on_input", event)
+        if self._lua_rt is not None and self.lua_envs:
+            lua_ev = self._lua_rt.event_to_lua(event)
+            for envs in list(self.lua_envs.values()):
+                for env in list(envs):
+                    env.call("onInputEvent", lua_ev)
 
     def serialize_components(self):
         out = []
