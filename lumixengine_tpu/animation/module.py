@@ -47,6 +47,7 @@ class AnimState:
     pose_pos: jnp.ndarray      # f32 [3, B, P] final model-space pose pool
     pose_rot: jnp.ndarray      # f32 [4, B, P]
     palette: jnp.ndarray       # f32 [8, B, P] dual-quat skinning palettes
+    pa_enabled: jnp.ndarray    # bool [PA] property-animator enable flags
     counters: Dict[str, jnp.ndarray]
 
 
@@ -162,6 +163,7 @@ class AnimationModule(IModule):
         )
         self.default_inputs = np.zeros((max_controller_inputs, max_animators), np.float32)
         self.property_animators: Dict[int, list] = {}
+        self.pa_default_enabled: Dict[int, bool] = {}
         self.build_palettes = build_palettes
         self._statics: Optional[AnimStatics] = None
         self._statics_version = -1
@@ -208,6 +210,7 @@ class AnimationModule(IModule):
                         f"property_animator target {cur['component']}.{cur['property']}"
                         " has no device row (host-side reflection animation instead)")
             self.property_animators[entity] = curves
+            self.pa_default_enabled[entity] = bool(props.get("enabled", True))
         else:
             raise KeyError(ctype)
 
@@ -284,6 +287,9 @@ class AnimationModule(IModule):
             pose_pos=jnp.zeros((3, b, p), jnp.float32),
             pose_rot=jnp.zeros((4, b, p), jnp.float32).at[3].set(1.0),
             palette=jnp.zeros((8, b, p), jnp.float32).at[3].set(1.0),
+            pa_enabled=jnp.asarray([self.pa_default_enabled.get(e, True)
+                                    for e in sorted(self.property_animators)]
+                                   or [True], bool),
             counters={"animated": jnp.int32(0)},
         )
 
@@ -459,7 +465,9 @@ class AnimationModule(IModule):
             rs = state.modules.get("renderer")
             local = state.local
             rs_dirty = local_dirty = False
+            pa_index = {e: i for i, e in enumerate(sorted(self.property_animators))}
             for e, curves in self.property_animators.items():
+                en = ms.pa_enabled[pa_index[e]]
                 for cur in curves:
                     key = (cur["component"], cur["property"])
                     times = cur["times"]
@@ -472,16 +480,19 @@ class AnimationModule(IModule):
                         if slot < 0:
                             continue
                         arr = getattr(local, field)
+                        v_g = jnp.where(en, v, arr[..., axis, slot])
                         local = local.replace(
-                            **{field: arr.at[..., axis, slot].set(v)})
+                            **{field: arr.at[..., axis, slot].set(v_g)})
                         local_dirty = True
                     elif rs is not None:
                         field, store_name = _DEVICE_PROP_TARGETS[key]
                         slot = getattr(rmod, store_name).slot_of(e)
                         if slot < 0:
                             continue
+                        cur_v = getattr(rs, field)
+                        v_g = jnp.where(en, v, cur_v[..., slot])
                         rs = rs.replace(
-                            **{field: getattr(rs, field).at[..., slot].set(v)})
+                            **{field: cur_v.at[..., slot].set(v_g)})
                         rs_dirty = True
             if local_dirty:
                 state = state.replace(local=local)

@@ -30,6 +30,7 @@ class GuiState:
     resolved: jnp.ndarray    # f32 [4, K] x0,y0,x1,y1 (canvas pixels)
     hovered: jnp.ndarray     # bool [K]
     clicked: jnp.ndarray     # bool [K] (this frame)
+    enabled: jnp.ndarray     # bool [K] per-rect enable (scripts toggle it)
     pointer: jnp.ndarray     # f32 [2] mouse x,y (data, injected per frame)
     pointer_down: jnp.ndarray  # bool []
     prev_down: jnp.ndarray     # bool []
@@ -179,6 +180,7 @@ class GuiModule(IModule):
         k = self.rects.capacity
         return GuiState(
             resolved=jnp.zeros((4, k), jnp.float32),
+            enabled=jnp.asarray(np.asarray(self.rects.data["enabled"], bool)),
             hovered=jnp.zeros(k, bool),
             clicked=jnp.zeros(k, bool),
             pointer=jnp.zeros(2, jnp.float32),
@@ -226,7 +228,7 @@ class GuiModule(IModule):
             (mx[..., None] >= resolved[..., 0, :]) & (mx[..., None] <= resolved[..., 2, :])
             & (my[..., None] >= resolved[..., 1, :]) & (my[..., None] <= resolved[..., 3, :])
         )
-        mask = jnp.asarray(st["mask"] & st["enabled"])
+        mask = jnp.asarray(st["mask"]) & gs.enabled
         hovered = inside & mask
         click_edge = gs.pointer_down & ~gs.prev_down
         clicked = hovered & click_edge & jnp.asarray(st["button_mask"]

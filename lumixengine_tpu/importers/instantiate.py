@@ -400,8 +400,21 @@ def instantiate_scene(scene: Dict[str, Any],
         if e is None or pe_ is None:
             continue
         rel = ba["relative_transform"]
+        # serialized bone reference is BoneNameHash (= XXH3 of the bone name,
+        # render_module.cpp:506); resolve against the parent's skeleton
+        bone_idx = ba.get("bone_index", 0)
+        h = int(ba.get("bone_name_hash", 0) or 0)
+        if h and ba.get("parent_entity", -1) in ent_model:
+            from lumixengine_tpu.core.hash import bone_name_hash as _bnh
+
+            sk = assets.model_skeleton(ent_model[ba["parent_entity"]])
+            if sk is not None:
+                for bi, bn in enumerate(getattr(sk, "bone_names", [])):
+                    if _bnh(bn) == h:
+                        bone_idx = bi
+                        break
         world.create_component(e, "bone_attachment", parent_entity=pe_,
-                               bone=ba.get("bone_index", 0),
+                               bone=bone_idx,
                                offset_pos=np.asarray(rel["pos"], np.float32),
                                offset_rot=np.asarray(rel["rot"], np.float32))
         report["bone_attachment"] += 1
@@ -744,7 +757,9 @@ def instantiate_scene(scene: Dict[str, Any],
         for s in holder["scripts"]:
             props = {}
             for pp in s["properties"]:
-                name = pp["name"] or hex(pp["name_hash"])
+                # named when the .unv carries a name table; else the
+                # StableHash64 of the name (resolved against chunk globals)
+                name = pp["name"] or int(pp["name_hash"])
                 try:
                     props[name] = _lua_prop_value(pp)
                 except Exception:

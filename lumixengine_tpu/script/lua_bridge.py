@@ -208,6 +208,15 @@ class LuaComponent:
 
     def lua_set(self, key, value):
         rt = self.rt
+        if self.ctype == "property_animator" and key == "enabled":
+            rt.set_property_animator_enabled(self.entity, bool(value))
+            return
+        if self.ctype in ("gui_rect", "gui_text") and key == "enabled":
+            rt.set_gui_enabled(self.entity, bool(value))
+            return
+        if self.ctype == "gui_text" and key == "text":
+            rt.set_gui_text(self.entity, lua_tostring(value))
+            return
         if isinstance(value, LuaTable):
             value = t2v(value, value.length())
         elif isinstance(value, bool):
@@ -433,6 +442,8 @@ class ScriptRuntime:
         self.pending_moves: Dict[int, np.ndarray] = {}    # entity → summed disp
         self.pending_forces: List[tuple] = []             # (entity, force, impulse)
         self.pending_nav: List[tuple] = []                # (entity, dst, speed, stop)
+        self.pending_pa_enabled: Dict[int, bool] = {}     # pa index → flag
+        self.pending_gui_enabled: Dict[int, bool] = {}    # rect slot → flag
         self.structure_dirty = False
         self.component_prop_dirty = False
         self.debug_lines: List[tuple] = []
@@ -730,6 +741,31 @@ class ScriptRuntime:
 
     def apply_force(self, e: int, force: np.ndarray, impulse: bool = False) -> None:
         self.pending_forces.append((e, force, impulse))
+
+    # -- per-component toggles (state arrays, no retrace) --------------------------------------
+
+    def set_property_animator_enabled(self, e: int, on: bool) -> None:
+        am = self._anim()
+        if am is None or e not in am.property_animators:
+            return
+        am.pa_default_enabled[e] = on
+        idx = sorted(am.property_animators).index(e)
+        self.pending_pa_enabled[idx] = on
+
+    def set_gui_enabled(self, e: int, on: bool) -> None:
+        gm = self.world.modules.get("gui")
+        if gm is None:
+            return
+        slot = gm.rects.slot_of(e)
+        if slot < 0:
+            return
+        gm.rects.data["enabled"][slot] = on       # host (draw_list) view
+        self.pending_gui_enabled[slot] = on       # device (layout/hit) view
+
+    def set_gui_text(self, e: int, text: str) -> None:
+        gm = self.world.modules.get("gui")
+        if gm is not None and e in gm.texts:
+            gm.texts[e]["text"] = text    # host text store feeds draw_list
 
     # -- navigation --------------------------------------------------------------------------------
 

@@ -197,12 +197,29 @@ class LuaScriptEnv:
             self.error = str(ex)
             log.log_error("lua", f"{self.name}: {self.error}")
 
-    def apply_properties(self, props: Dict[str, Any]) -> None:
+    def apply_properties(self, props: Dict[Any, Any]) -> None:
         """Stored .unv property values overwrite chunk defaults
-        (≙ applyProperty after onScriptLoaded)."""
+        (≙ applyProperty after onScriptLoaded). Keys may be property NAMES or
+        the serialized StableHash64 of the name — hashes resolve against the
+        chunk's declared globals (XXH3, bit-exact with the reference)."""
+        from lumixengine_tpu.core.hash import stable_hash64
+
+        by_hash = None
         for k, v in props.items():
-            if v is not None:
-                self.env.set(k, v)
+            if v is None:
+                continue
+            if isinstance(k, int):
+                if by_hash is None:
+                    by_hash = {stable_hash64(str(g)): str(g)
+                               for g in self.env.hash.keys()}
+                name = by_hash.get(k)
+                if name is None:
+                    log.log_error(
+                        "lua", f"{self.name}: property hash {k:#x} matches no "
+                               f"declared global")
+                    continue
+                k = name
+            self.env.set(k, v)
 
     def call(self, fn_name: str, *args) -> Any:
         from lumixengine_tpu.script.lua import LuaError, LuaFunction
@@ -430,6 +447,30 @@ class ScriptModule(IModule):
                             speed=ms.speed.at[slot].set(jnp.float32(speed)))})
                 state = nm.set_destination(state, e, (float(dst[0]), float(dst[2])))
             rt.pending_nav.clear()
+
+        if rt.pending_pa_enabled:
+            ms = state.modules.get("animation")
+            if ms is not None and ms.pa_enabled.shape[0]:
+                idx = np.asarray(list(rt.pending_pa_enabled), np.int32)
+                vals = np.asarray(list(rt.pending_pa_enabled.values()), bool)
+                keep = idx < ms.pa_enabled.shape[0]
+                state = state.replace(modules={
+                    **state.modules,
+                    "animation": ms.replace(
+                        pa_enabled=ms.pa_enabled.at[idx[keep]].set(
+                            jnp.asarray(vals[keep])))})
+            rt.pending_pa_enabled.clear()
+
+        if rt.pending_gui_enabled:
+            gs = state.modules.get("gui")
+            if gs is not None:
+                idx = np.asarray(list(rt.pending_gui_enabled), np.int32)
+                vals = np.asarray(list(rt.pending_gui_enabled.values()), bool)
+                state = state.replace(modules={
+                    **state.modules,
+                    "gui": gs.replace(
+                        enabled=gs.enabled.at[idx].set(jnp.asarray(vals)))})
+            rt.pending_gui_enabled.clear()
 
         am = w.modules.get("audio")
         if am is not None and self.pending_sounds:

@@ -257,3 +257,45 @@ def test_lua_property_application():
         properties={"point0": sm.lua_entity(target)})
     assert env.error is None
     assert env.call("check") == 5.0
+
+
+def test_demo_map_scripts_run_clean():
+    """demo.unv: all 11 shipped scripts (player, buttons, coroutine lib, AI,
+    color tickers) execute with zero runtime errors; stored entity properties
+    resolve via bit-exact XXH3 name hashes; W + mouse input reaches player.lua
+    (animator speed input + yaw rotation)."""
+    from lumixengine_tpu.engine.input import DEVICE_KEYBOARD, DEVICE_MOUSE
+
+    runner, scene = _fresh_runner_for("demo/demo.unv")
+    world, engine = scene.world, scene.engine
+    sm = world.modules["script"]
+    assert all(v.error is None
+               for envs in sm.lua_envs.values() for v in envs)
+    runner.start()
+    for _ in range(3):
+        runner.tick(1 / 30)
+    errs = [(v.path, v.error) for envs in sm.lua_envs.values()
+            for v in envs if v.error]
+    assert errs == [], errs
+
+    # player.lua: W sets the 'speed_y' animator input to 3, mouse yaws `this`
+    player = world.find_by_name("player")
+    if player < 0:  # name may differ: entity 1 holds player.lua per the map
+        player = next(e for e, envs in sm.lua_envs.items()
+                      if any("player" in v.path for v in envs))
+    am = world.modules["animation"]
+    aslot = am.animators.slot_of(player)
+    assert aslot >= 0
+    ctrl = am.system.controllers[int(am.animators.data["controller"][aslot])]
+    idx = ctrl.input_index("speed_y")
+    engine.input.inject_button(DEVICE_KEYBOARD, 87, True)   # W
+    engine.input.inject_axis(DEVICE_MOUSE, 5.0, 0.0)
+    runner.tick(1 / 30)
+    runner.tick(1 / 30)
+    ms = runner.state.modules["animation"]
+    assert float(ms.ctrl_inputs[idx, aslot]) == 3.0
+    rot = np.asarray(runner.state.world.rot[:, world.slot(player)])
+    assert abs(rot[1]) > 1e-5, "player did not yaw from mouse input"
+    errs = [(v.path, v.error) for envs in sm.lua_envs.values()
+            for v in envs if v.error]
+    assert errs == [], errs
