@@ -304,17 +304,473 @@ def project_positions_banded(pos_rank, g_normal, g_depth, g_active,
     return pos_rank + dpos
 
 
+def solve_contacts_banded_multi(
+    vel, angvel, inv_mass_body, iiw_body, pos_body,
+    sweeps, dt,
+    iterations: int = 8, baumgarte: float = 0.0, slop: float = 0.005,
+    relaxation: float = 0.75,
+):
+    """Multi-sweep PGS: velocities stay in BODY order; each iteration applies
+    every sweep's banded contact block in ITS rank space (rank/unrank of the
+    [6, NB] velocity pack per sweep — small next to the [k, K, NB] grids).
+
+    sweeps: list of dicts, each with
+      order [NB], and banded grids p_point/p_normal/p_depth/p_active/
+      p_fric/p_rest ([.., k, K, NB] / [k, K, NB]); the FIRST sweep may also
+      carry ground grids g_point/g_normal/g_depth/g_active/g_fric/g_rest.
+    Returns (vel, angvel, per-sweep pair lambda triples) in body order.
+    """
+    nb = vel.shape[-1]
+
+    # global per-body contact degree (Jacobi relaxation scaling) in body order
+    deg_body = jnp.zeros(vel.shape[:-2] + (nb,))
+    for sw in sweeps:
+        K = sw["p_normal"].shape[-2]
+        pa = sw["p_active"].astype(jnp.float32)
+        d_a = jnp.sum(pa, axis=(-3, -2))
+        d_b = jnp.zeros_like(d_a)
+        for d in range(1, K + 1):
+            d_b = d_b + _back(jnp.sum(pa[..., d - 1, :], axis=-2), d)
+        deg_rank = d_a + d_b
+        if "g_active" in sw:
+            deg_rank = deg_rank + jnp.sum(sw["g_active"].astype(jnp.float32),
+                                          axis=-2)
+        deg_body = deg_body + jnp.zeros_like(deg_body).at[
+            ..., sw["order"]].set(deg_rank)
+
+    # per-sweep constants in each sweep's rank space
+    consts = []
+    for sw in sweeps:
+        order = sw["order"]
+
+        def rank(x, _o=order):
+            return jnp.take(x, _o, axis=-1)
+
+        K = sw["p_normal"].shape[-2]
+        s_im = rank(inv_mass_body)
+        s_iiw = rank(iiw_body)
+        s_pos = rank(pos_body)
+        s_deg = rank(deg_body)
+        c = {"order": order, "K": K, "im": s_im, "iiw": s_iiw}
+        pos_b = banded_pair_data(s_pos, K)
+        iiw_b = banded_pair_data(s_iiw, K)
+        im_b = banded_pair_data(s_im, K)
+        c["p_ra"] = sw["p_point"] - s_pos[:, None, None, :]
+        c["p_rb"] = sw["p_point"] - pos_b[:, None, :, :]
+        c["p_t1"], c["p_t2"] = _tangents0(sw["p_normal"])
+        imab = s_im[None, None, :] + im_b[None, :, :]
+        II_a4 = s_iiw[:, None, None, :]
+        II_b4 = iiw_b[:, None, :, :]
+        c["p_kn"] = jnp.maximum(imab + _ang0(c["p_ra"], sw["p_normal"], II_a4)
+                                + _ang0(c["p_rb"], sw["p_normal"], II_b4), 1e-9)
+        c["p_kt1"] = jnp.maximum(imab + _ang0(c["p_ra"], c["p_t1"], II_a4)
+                                 + _ang0(c["p_rb"], c["p_t1"], II_b4), 1e-9)
+        c["p_kt2"] = jnp.maximum(imab + _ang0(c["p_ra"], c["p_t2"], II_a4)
+                                 + _ang0(c["p_rb"], c["p_t2"], II_b4), 1e-9)
+        deg_b = banded_pair_data(s_deg, K)
+        c["p_relax"] = jnp.minimum(relaxation, 1.6 / jnp.maximum(
+            jnp.maximum(s_deg[None, None, :], deg_b[None, :, :]), 1.0))
+        c["p_bias"] = (baumgarte / dt) * jnp.maximum(sw["p_depth"] - slop, 0.0)
+        if "g_active" in sw:
+            c["g_r"] = sw["g_point"] - s_pos[:, None, :]
+            c["g_t1"], c["g_t2"] = _tangents0(sw["g_normal"])
+            imn = s_im[None, :]
+            c["g_kn"] = jnp.maximum(imn + _ang0(c["g_r"], sw["g_normal"],
+                                                s_iiw[:, None, :]), 1e-9)
+            c["g_kt1"] = jnp.maximum(imn + _ang0(c["g_r"], c["g_t1"],
+                                                 s_iiw[:, None, :]), 1e-9)
+            c["g_kt2"] = jnp.maximum(imn + _ang0(c["g_r"], c["g_t2"],
+                                                 s_iiw[:, None, :]), 1e-9)
+            c["g_relax"] = jnp.minimum(relaxation, 1.6 / jnp.maximum(
+                s_deg[None, :], 1.0))
+            c["g_bias"] = (baumgarte / dt) * jnp.maximum(sw["g_depth"] - slop,
+                                                         0.0)
+        consts.append(c)
+
+    # restitution targets from pre-solve velocities (per sweep)
+    def rel_vels(c, sw, v_r, w_r):
+        K = c["K"]
+        vw = jnp.concatenate([v_r, w_r], axis=0)
+        va_p = vw[0:3][:, None, None, :] + lm.cross(
+            jnp.broadcast_to(vw[3:6][:, None, None, :], c["p_ra"].shape),
+            c["p_ra"], axis=0)
+        vw_b = banded_pair_data(vw, K)
+        vb_p = vw_b[0:3][:, None, :, :] + lm.cross(
+            jnp.broadcast_to(vw_b[3:6][:, None, :, :], c["p_rb"].shape),
+            c["p_rb"], axis=0)
+        p_vr = vb_p - va_p
+        g_vr = None
+        if "g_r" in c:
+            va_g = vw[0:3][:, None, :] + lm.cross(
+                jnp.broadcast_to(vw[3:6][:, None, :], c["g_r"].shape),
+                c["g_r"], axis=0)
+            g_vr = -va_g
+        return g_vr, p_vr
+
+    for c, sw in zip(consts, sweeps):
+        v_r = jnp.take(vel, c["order"], axis=-1)
+        w_r = jnp.take(angvel, c["order"], axis=-1)
+        g_vr0, p_vr0 = rel_vels(c, sw, v_r, w_r)
+        p_vn0 = jnp.sum(p_vr0 * sw["p_normal"], axis=0)
+        c["p_target"] = jnp.maximum(
+            c["p_bias"], jnp.where(p_vn0 < -0.5, -sw["p_rest"] * p_vn0, 0.0))
+        if g_vr0 is not None:
+            g_vn0 = jnp.sum(g_vr0 * sw["g_normal"], axis=0)
+            c["g_target"] = jnp.maximum(
+                c["g_bias"],
+                jnp.where(g_vn0 < -0.5, -sw["g_rest"] * g_vn0, 0.0))
+
+    def sweep_iter(c, sw, v, w, lams):
+        """One Jacobi pass over this sweep's slots; returns updated body-order
+        v/w and the sweep's new lambda carry."""
+        K = c["K"]
+        order = c["order"]
+        v_r = jnp.take(v, order, axis=-1)
+        w_r = jnp.take(w, order, axis=-1)
+        g_vr, p_vr = rel_vels(c, sw, v_r, w_r)
+        gl, gl1, gl2, pl, pl1, pl2 = lams
+        acc = 0.0
+        if g_vr is not None:
+            g_vn = jnp.sum(g_vr * sw["g_normal"], axis=0)
+            g_dln = (c["g_target"] - g_vn) / c["g_kn"] * c["g_relax"]
+            g_new = jnp.maximum(gl + g_dln, 0.0)
+            g_dln = jnp.where(sw["g_active"], g_new - gl, 0.0)
+            g_vt1 = jnp.sum(g_vr * c["g_t1"], axis=0)
+            g_vt2 = jnp.sum(g_vr * c["g_t2"], axis=0)
+            g_max = sw["g_fric"] * (gl + g_dln)
+            g_n1 = jnp.clip(gl1 + (-g_vt1 / c["g_kt1"]) * c["g_relax"],
+                            -g_max, g_max)
+            g_n2 = jnp.clip(gl2 + (-g_vt2 / c["g_kt2"]) * c["g_relax"],
+                            -g_max, g_max)
+            g_d1 = jnp.where(sw["g_active"], g_n1 - gl1, 0.0)
+            g_d2 = jnp.where(sw["g_active"], g_n2 - gl2, 0.0)
+            g_imp = (sw["g_normal"] * g_dln[None] + c["g_t1"] * g_d1[None]
+                     + c["g_t2"] * g_d2[None])
+            g_imp = jnp.where(sw["g_active"][None], g_imp, 0.0)
+            six_g = jnp.concatenate([g_imp, lm.cross(c["g_r"], g_imp, axis=0)],
+                                    axis=0)
+            acc = -jnp.sum(six_g, axis=-2)
+            gl, gl1, gl2 = gl + g_dln, gl1 + g_d1, gl2 + g_d2
+        p_vn = jnp.sum(p_vr * sw["p_normal"], axis=0)
+        p_dln = (c["p_target"] - p_vn) / c["p_kn"] * c["p_relax"]
+        p_new = jnp.maximum(pl + p_dln, 0.0)
+        p_dln = jnp.where(sw["p_active"], p_new - pl, 0.0)
+        p_vt1 = jnp.sum(p_vr * c["p_t1"], axis=0)
+        p_vt2 = jnp.sum(p_vr * c["p_t2"], axis=0)
+        p_max = sw["p_fric"] * (pl + p_dln)
+        p_n1 = jnp.clip(pl1 + (-p_vt1 / c["p_kt1"]) * c["p_relax"],
+                        -p_max, p_max)
+        p_n2 = jnp.clip(pl2 + (-p_vt2 / c["p_kt2"]) * c["p_relax"],
+                        -p_max, p_max)
+        p_d1 = jnp.where(sw["p_active"], p_n1 - pl1, 0.0)
+        p_d2 = jnp.where(sw["p_active"], p_n2 - pl2, 0.0)
+        p_imp = (sw["p_normal"] * p_dln[None] + c["p_t1"] * p_d1[None]
+                 + c["p_t2"] * p_d2[None])
+        p_imp = jnp.where(sw["p_active"][None], p_imp, 0.0)
+        six_pa = jnp.concatenate([p_imp, lm.cross(c["p_ra"], p_imp, axis=0)],
+                                 axis=0)
+        acc = acc - jnp.sum(six_pa, axis=(-3, -2))
+        six_pb = jnp.concatenate([p_imp, lm.cross(c["p_rb"], p_imp, axis=0)],
+                                 axis=0)
+        pb_sum = jnp.sum(six_pb, axis=-3)
+        for d in range(1, K + 1):
+            acc = acc + _back(pb_sum[..., d - 1, :], d)
+        v_r = v_r + acc[0:3] * c["im"][None, :]
+        w_r = w_r + acc[3:6] * c["iiw"]
+        v = jnp.zeros_like(v).at[..., order].set(v_r)
+        w = jnp.zeros_like(w).at[..., order].set(w_r)
+        return v, w, (gl, gl1, gl2, pl + p_dln, pl1 + p_d1, pl2 + p_d2)
+
+    def init_lams(sw):
+        zp = jnp.zeros_like(sw["p_depth"])
+        if "g_depth" in sw:
+            zg = jnp.zeros_like(sw["g_depth"])
+        else:
+            zg = jnp.zeros(())
+        return (zg, zg, zg, zp, zp, zp)
+
+    def body_fn(_, carry):
+        v, w = carry[0], carry[1]
+        lams = list(carry[2])
+        for i, (c, sw) in enumerate(zip(consts, sweeps)):
+            v, w, lams[i] = sweep_iter(c, sw, v, w, lams[i])
+        return (v, w, tuple(lams))
+
+    out = jax.lax.fori_loop(
+        0, iterations, body_fn,
+        (vel, angvel, tuple(init_lams(sw) for sw in sweeps)))
+    return out[0], out[1]
+
+
+def project_positions_banded_multi(pos_body, sweeps, inv_mass_body,
+                                   iterations: int = 3, slop: float = 0.005,
+                                   relaxation: float = 0.8):
+    """Multi-sweep split-impulse position projection (body-order positions;
+    per-sweep rank/unrank of the [3, NB] correction each iteration)."""
+    if iterations <= 0:
+        return pos_body
+
+    deg_body = jnp.zeros(pos_body.shape[:-2] + (pos_body.shape[-1],))
+    for sw in sweeps:
+        K = sw["p_normal"].shape[-2]
+        pa = sw["p_active"].astype(jnp.float32)
+        d_a = jnp.sum(pa, axis=(-3, -2))
+        d_b = jnp.zeros_like(d_a)
+        for d in range(1, K + 1):
+            d_b = d_b + _back(jnp.sum(pa[..., d - 1, :], axis=-2), d)
+        dr = d_a + d_b
+        if "g_active" in sw:
+            dr = dr + jnp.sum(sw["g_active"].astype(jnp.float32), axis=-2)
+        deg_body = deg_body + jnp.zeros_like(deg_body).at[
+            ..., sw["order"]].set(dr)
+
+    consts = []
+    for sw in sweeps:
+        order = sw["order"]
+        K = sw["p_normal"].shape[-2]
+        s_im = jnp.take(inv_mass_body, order, axis=-1)
+        s_deg = jnp.take(deg_body, order, axis=-1)
+        im_b = banded_pair_data(s_im, K)
+        deg_b = banded_pair_data(s_deg, K)
+        c = {"order": order, "K": K, "im": s_im,
+             "p_k": jnp.maximum(s_im[None, None, :] + im_b[None, :, :], 1e-9),
+             "p_e0": jnp.where(sw["p_active"],
+                               jnp.maximum(sw["p_depth"] - slop, 0.0), 0.0),
+             "p_rx": jnp.minimum(relaxation, 1.6 / jnp.maximum(
+                 jnp.maximum(s_deg[None, None, :], deg_b[None, :, :]), 1.0))}
+        if "g_active" in sw:
+            c["g_k"] = jnp.maximum(s_im[None, :], 1e-9)
+            c["g_e0"] = jnp.where(sw["g_active"],
+                                  jnp.maximum(sw["g_depth"] - slop, 0.0), 0.0)
+            c["g_rx"] = jnp.minimum(relaxation,
+                                    1.6 / jnp.maximum(s_deg[None, :], 1.0))
+        consts.append(c)
+
+    def init_lams(sw):
+        zp = jnp.zeros_like(sw["p_depth"])
+        zg = jnp.zeros_like(sw["g_depth"]) if "g_depth" in sw else jnp.zeros(())
+        return (zg, zp)
+
+    def body(_, carry):
+        dpos = carry[0]
+        lams = list(carry[1])
+        for i, (c, sw) in enumerate(zip(consts, sweeps)):
+            K = c["K"]
+            order = c["order"]
+            dp_r = jnp.take(dpos, order, axis=-1)
+            gl, pl = lams[i]
+            d_acc = 0.0
+            if "g_k" in c:
+                g_sep = jnp.sum((-dp_r[:, None, :]) * sw["g_normal"], axis=0)
+                g_dl = (c["g_e0"] - g_sep) / c["g_k"] * c["g_rx"]
+                g_new = jnp.maximum(gl + g_dl, 0.0)
+                g_dl = jnp.where(sw["g_active"], g_new - gl, 0.0)
+                step_g = jnp.where(sw["g_active"][None],
+                                   sw["g_normal"] * g_dl[None], 0.0)
+                d_acc = -jnp.sum(step_g, axis=-2)
+                gl = gl + g_dl
+            dp_b = banded_pair_data(dp_r, K)
+            p_sep = jnp.sum((dp_b[:, None, :, :] - dp_r[:, None, None, :])
+                            * sw["p_normal"], axis=0)
+            p_dl = (c["p_e0"] - p_sep) / c["p_k"] * c["p_rx"]
+            p_new = jnp.maximum(pl + p_dl, 0.0)
+            p_dl = jnp.where(sw["p_active"], p_new - pl, 0.0)
+            step_p = jnp.where(sw["p_active"][None],
+                               sw["p_normal"] * p_dl[None], 0.0)
+            d_acc = d_acc - jnp.sum(step_p, axis=(-3, -2))
+            pb = jnp.sum(step_p, axis=-3)
+            for d in range(1, K + 1):
+                d_acc = d_acc + _back(pb[..., d - 1, :], d)
+            dp_r = dp_r + d_acc * c["im"][None, :]
+            dpos = jnp.zeros_like(dpos).at[..., order].set(dp_r)
+            lams[i] = (gl, pl + p_dl)
+        return (dpos, tuple(lams))
+
+    dpos, _ = jax.lax.fori_loop(
+        0, iterations, body,
+        (jnp.zeros_like(pos_body), tuple(init_lams(sw) for sw in sweeps)))
+    return pos_body + dpos
+
+
+def sweep_orders(mn, mx, occ, n_sweeps: int):
+    """Sort orders for multi-axis banded sweeps.
+
+    A single min-x sort (classic SAP) is exact only while x-local density
+    stays under the rank window K — dense 3-D piles blow it (22³ boxes:
+    ~484 bodies per x-slab). The cell-column sweeps fix density: minor axis
+    y with x/z cell-quantized as major lexicographic keys, so bodies sharing
+    an (x, z) cell column are contiguous and sorted along y — any pair in
+    the same column is within O(bodies-per-level) ranks.
+
+    COVERAGE GUARANTEE: with cell C ≥ 2·max-extent, an overlapping pair's
+    centers differ by < C/2 per axis, so an interval of length < C/2
+    straddles at most ONE boundary of the half-shifted boundary lattice —
+    per axis, the pair shares a cell either at offset 0 or offset C/2.
+    Running all four (x, z) offset combos (0,0), (h,0), (0,h), (h,h)
+    therefore puts EVERY overlapping pair in the same column of exactly one
+    sweep (straddles choose the offset per axis independently — that's why
+    two diagonal offsets aren't enough). Residual risk is only K: a column
+    holds ~(C/ext)² ≈ 4-5 bodies per y-level, so K ≈ 2-3 levels ≫ any face
+    contact's rank distance; exact_window_miss measures the truth at runtime.
+
+    n_sweeps = 1: classic min-x only (back-compat; sparse scenes).
+    2: column sweeps at offsets (0,0), (h,h) — cheap, misses only
+       cross-axis double-straddlers.
+    4: all four offset combos — the guaranteed-coverage mode.
+    5: classic min-x + all four (adds the sparse SAP guarantee when
+       heterogeneous sizes inflate C and column density past K).
+
+    Returns (orders [each int32 [NB]], ranks body→rank per sweep, col_keys
+    [per sweep: int32 [NB] body-order packed (qx, qz) column id, or None for
+    the classic sweep] — feed to column_window_miss for the cheap per-step
+    exactness certificate).
+    """
+    c = 0.5 * (mn + mx)                                    # [.., 3, NB]
+    ext = mx - mn
+    max_ext = jnp.max(jnp.where(occ[..., None, :], ext, 0.0))
+    cell = jnp.maximum(2.02 * max_ext, 1e-3)
+    half = 0.5 * cell
+    far = jnp.where(occ, 0, jnp.int32(1 << 24))            # dead slots last
+    farf = jnp.where(occ, 0.0, 1e18)
+
+    def lex_order(minor_vals, key_mid, key_hi):
+        o = jnp.argsort(minor_vals + farf, axis=-1, stable=True)
+        for key in (key_mid, key_hi):
+            kk = jnp.take(key + far, o, axis=-1)
+            o = jnp.take(o, jnp.argsort(kk, axis=-1, stable=True), axis=-1)
+        return o.astype(jnp.int32)
+
+    def col_order(off_x, off_z):
+        qx = jnp.floor((c[..., 0, :] - off_x) / cell).astype(jnp.int32)
+        qz = jnp.floor((c[..., 2, :] - off_z) / cell).astype(jnp.int32)
+        # packed column id: wrapping (qx mod 2^16, qz mod 2^16) — collisions
+        # (cells 65536 apart) only ever declare two columns falsely EQUAL,
+        # which inflates the miss certificate (conservative, never unsound)
+        key = jnp.left_shift(qx, 16) | (qz & 0xFFFF)
+        return lex_order(mn[..., 1, :], qx, qz), key
+
+    classic = jnp.argsort(mn[..., 0, :] + farf, axis=-1).astype(jnp.int32)
+    if n_sweeps == 1:
+        orders, col_keys = [classic], [None]
+    elif n_sweeps == 2:
+        pairs = [col_order(0.0, 0.0), col_order(half, half)]
+        orders = [p[0] for p in pairs]
+        col_keys = [p[1] for p in pairs]
+    else:
+        offs = [(0.0, 0.0), (half, 0.0), (0.0, half), (half, half)]
+        orders = [classic] if n_sweeps >= 5 else []
+        col_keys = [None] if n_sweeps >= 5 else []
+        for ox, oz in offs:
+            o, key = col_order(ox, oz)
+            orders.append(o)
+            col_keys.append(key)
+    nb = mn.shape[-1]
+    iota = jnp.arange(nb, dtype=jnp.int32)
+    ranks = [jnp.zeros(nb, jnp.int32).at[o].set(iota) for o in orders]
+    return orders, ranks, col_keys
+
+
+def column_window_miss(s_mn, s_mx, s_col, K: int, occ=None):
+    """Cheap per-sweep exactness certificate for a column sweep: counts
+    bodies whose y-extent reaches their SAME-COLUMN rank-(i+K+1) successor.
+    Zero across all sweeps ⇒ the union of windows captured every overlapping
+    pair this step (each pair's guaranteed sweep — see sweep_orders — would
+    have flagged its anchor body otherwise). All inputs rank-ordered."""
+    nb = s_mn.shape[-1]
+    beyond = jnp.arange(nb) + K + 1
+    in_range = beyond < nb
+    idx = jnp.minimum(beyond, nb - 1)
+    mn_beyond = jnp.take(s_mn[..., 1, :], idx)
+    col_beyond = jnp.take(s_col, idx)
+    m = (s_mx[..., 1, :] >= mn_beyond) & (s_col == col_beyond) & in_range
+    if occ is not None:
+        m = m & occ
+    return jnp.sum(m).astype(jnp.int32)
+
+
+def cross_sweep_coverage(order_s, ranks_earlier, K: int):
+    """[K, NB] mask: banded slot (d-1, i) of THIS sweep already covered by an
+    earlier sweep's window (rank distance ≤ K there). Shift-built, no gathers
+    beyond the one rank permutation per earlier sweep."""
+    covered = None
+    for rk in ranks_earlier:
+        rr = jnp.take(rk, order_s, axis=-1)               # rank in sweep r
+        rr_b = banded_pair_data(rr, K)                    # partner's rank
+        dist = jnp.abs(rr_b - rr[None, :])
+        c = dist <= K
+        covered = c if covered is None else (covered | c)
+    if covered is None:
+        return None
+    return covered
+
+
+def exact_window_miss(mn, mx, occ, dyn, ranks, K: int, block: int = 512,
+                      min_overlap: float = 0.0):
+    """EXACT count of AABB-overlapping (occupied, at-least-one-dynamic) pairs
+    NOT within any sweep's rank window — the honest completeness measure for
+    the banded broadphase (window_miss above is a cheap per-body upper bound
+    that explodes on dense 3-D piles where most x-overlapping pairs don't
+    overlap in y/z).
+
+    Chunked all-pairs: row blocks of `block` bodies against all NB columns —
+    O(NB²/block) [block, NB] grids, no gathers. ~1-2 ms at 10k bodies on TPU;
+    a diagnostic (bench / tests / opt-in), not a per-step production cost.
+
+    min_overlap > 0 counts only misses whose MINIMUM per-axis AABB overlap
+    exceeds it: that minimum upper-bounds contact penetration (the pair
+    separates along that axis), so missed pairs below the solver slop are
+    physically negligible grazing contacts, not dropped physics.
+    """
+    nb = mn.shape[-1]
+    nblocks = -(-nb // block)
+    pad = nblocks * block - nb
+    if pad:
+        mn = jnp.pad(mn, [(0, 0)] * (mn.ndim - 1) + [(0, pad)])
+        mx = jnp.pad(mx, [(0, 0)] * (mx.ndim - 1) + [(0, pad)])
+        occ = jnp.pad(occ, (0, pad))
+        dyn = jnp.pad(dyn, (0, pad))
+        ranks = [jnp.pad(r, (0, pad), constant_values=1 << 24) for r in ranks]
+    iota = jnp.arange(nblocks * block, dtype=jnp.int32)
+
+    def body(ib, acc):
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, ib * block, block, axis=-1)
+
+        mn_r, mx_r = sl(mn), sl(mx)                       # [.., 3, block]
+        ov_amount = (jnp.minimum(mx_r[..., :, :, None], mx[..., :, None, :])
+                     - jnp.maximum(mn_r[..., :, :, None], mn[..., :, None, :]))
+        ov = jnp.min(ov_amount, axis=-3) > min_overlap    # [block, NB]
+        gi = sl(iota)
+        upper = gi[:, None] < iota[None, :]               # j > i once per pair
+        mask = ov & upper & (sl(occ)[:, None] & occ[None, :]) \
+            & (sl(dyn)[:, None] | dyn[None, :])
+        covered = jnp.zeros(mask.shape, bool)
+        for r in ranks:
+            covered = covered | (jnp.abs(sl(r)[:, None] - r[None, :]) <= K)
+        return acc + jnp.sum(mask & ~covered).astype(jnp.int32)
+
+    return jax.lax.fori_loop(0, nblocks, body, jnp.int32(0))
+
+
 def make_banded_world_step(
     shape_np: np.ndarray, radius_np, half_extents_np, dyn_mask_np,
     inv_mass_np, inv_inertia_body_np, friction_np, restitution_np,
     gravity=(0.0, -9.81, 0.0), neighbors: int = 24, points_per_pair: int = 4,
     iterations: int = 8, position_iterations: int = 3, ground_y: float = 0.0,
     lin_damping: float = 0.05, ang_damping: float = 0.05,
-    ground_friction: float = 0.6,
+    ground_friction: float = 0.6, n_sweeps: int = 1,
+    exact_miss: bool = False,
 ):
     """Drop-in alternative to physics_big.make_big_world_step: same physics,
     gather-free banded solve. step(pos, rot, vel, angvel, dt) → same outputs
-    (plus counters)."""
+    (plus counters).
+
+    n_sweeps > 1 runs the multi-axis sweep pipeline (sweep_orders): dense 3-D
+    piles blow any single-axis rank window (22³ boxes ⇒ ~484 bodies per
+    x-slab), but with y- and z-minor lexicographic sweeps every face contact
+    lands inside SOME sweep's window — the banded solve stays gather-free per
+    iteration (one [6, NB] rank permutation per sweep). exact_miss=True adds
+    the chunked all-pairs coverage diagnostic to the counters."""
     nb = shape_np.shape[0]
     shape_j = jnp.asarray(shape_np)
     radius_j = jnp.asarray(radius_np)
@@ -327,6 +783,90 @@ def make_banded_world_step(
     K = neighbors
     k = points_per_pair
     gslots = 4
+    any_caps = bool(np.any(shape_np == P.SHAPE_CAPSULE))
+    occ_j = jnp.ones(nb, bool)
+    dyn_b = jnp.asarray(np.asarray(dyn_mask_np, bool))
+
+    def ground_grids(sp, sr, s_shape, s_rad, s_he, s_dyn, s_fric, s_rest):
+        g = P.ground_contacts(sp, sr, s_shape, s_rad, s_he, s_dyn,
+                              ground_y=ground_y, slots_per_body=gslots)
+        g_point = g.point.reshape(g.point.shape[:-1] + (gslots, nb))
+        g_normal = g.normal.reshape(g_point.shape)
+        g_depth = g.depth.reshape(g.depth.shape[:-1] + (gslots, nb))
+        g_active = g.active.reshape(g_depth.shape)
+        g_fric = jnp.broadcast_to(
+            jnp.sqrt(jnp.maximum(s_fric * ground_friction, 0.0))[None, :],
+            g_depth.shape)
+        g_rest = jnp.broadcast_to(s_rest[None, :], g_depth.shape)
+        return (g_point, g_normal, g_depth, g_active, g_fric, g_rest)
+
+    def step_multi(pos, rot, vel, angvel, dt):
+        vel, angvel = P.integrate_velocities(vel, angvel, dt, gravity,
+                                             lin_damping, ang_damping, dyn_j)
+        mn, mx = P.world_aabb(pos, rot, shape_j, radius_j, he_j)
+        orders, ranks, col_keys = sweep_orders(mn, mx, occ_j, n_sweeps)
+        sweeps = []
+        for s, order in enumerate(orders):
+            def rk(x, _o=order):
+                return jnp.take(x, _o, axis=-1)
+
+            sp, sr = rk(pos), rk(rot)
+            s_shape, s_rad, s_he = rk(shape_j), rk(radius_j), rk(he_j)
+            s_dyn, s_fric, s_rest = rk(dyn_j), rk(fric_j), rk(rest_j)
+            s_mn, s_mx = rk(mn), rk(mx)
+            p_point, p_normal, p_depth, p_raw_active, ok = banded_pair_grids(
+                sp, sr, s_rad, s_he, s_shape, s_mn, s_mx, K, k, any_caps)
+            either_dyn = (rk(dyn_b)[None, :] | banded_pair_data(rk(dyn_b), K))
+            act_kn = ok & either_dyn
+            if s > 0:
+                cov = cross_sweep_coverage(order, ranks[:s], K)
+                act_kn = act_kn & ~cov
+            sw = {"order": order, "p_point": p_point, "p_normal": p_normal,
+                  "p_depth": p_depth,
+                  "p_active": p_raw_active & act_kn[None, :, :],
+                  "p_fric": jnp.broadcast_to(jnp.sqrt(jnp.maximum(
+                      s_fric[None, :] * banded_pair_data(s_fric, K),
+                      0.0))[None], p_depth.shape),
+                  "p_rest": jnp.broadcast_to(jnp.maximum(
+                      s_rest[None, :],
+                      banded_pair_data(s_rest, K))[None], p_depth.shape)}
+            if s == 0:
+                (sw["g_point"], sw["g_normal"], sw["g_depth"], sw["g_active"],
+                 sw["g_fric"], sw["g_rest"]) = ground_grids(
+                    sp, sr, s_shape, s_rad, s_he, s_dyn, s_fric, s_rest)
+            sweeps.append(sw)
+
+        iiw_body = P.inv_inertia_world_diag(rot, iib_j)
+        vel, angvel = solve_contacts_banded_multi(
+            vel, angvel, im_j, iiw_body, pos, sweeps, dt,
+            iterations=iterations, baumgarte=0.0)
+        pos, rot = P.integrate_positions(pos, rot, vel, angvel, dt, dyn_j)
+        pos = project_positions_banded_multi(
+            pos, sweeps, im_j, iterations=position_iterations)
+        if exact_miss:
+            miss = exact_window_miss(mn, mx, occ_j, dyn_b, ranks, K,
+                                     min_overlap=0.005)
+        else:
+            # cheap soundness certificate: zero ⇒ broadphase exact this step
+            # (only the column sweeps certify — every overlapping pair is
+            # guaranteed to share a column in one of them; the classic sweep
+            # is a bonus catcher, its x-window bound would only inflate this)
+            miss = jnp.int32(0)
+            for order, ck in zip(orders, col_keys):
+                if ck is None:
+                    continue
+                s_mn_o = jnp.take(mn, order, axis=-1)
+                s_mx_o = jnp.take(mx, order, axis=-1)
+                miss = miss + column_window_miss(
+                    s_mn_o, s_mx_o, jnp.take(ck, order, axis=-1), K)
+        n_act = sum(jnp.sum(sw["p_active"]) for sw in sweeps) \
+            + jnp.sum(sweeps[0]["g_active"])
+        counters = {"active_contacts": n_act.astype(jnp.int32),
+                    "sap_window_miss": miss}
+        return pos, rot, vel, angvel, counters
+
+    if n_sweeps > 1:
+        return step_multi
 
     def step(pos, rot, vel, angvel, dt):
         vel, angvel = P.integrate_velocities(vel, angvel, dt, gravity,
@@ -352,7 +892,13 @@ def make_banded_world_step(
         s_mn = to_rank(mn)
         s_mx = to_rank(mx)
 
-        miss = window_miss(s_mn, s_mx, K)
+        if exact_miss:
+            iota = jnp.arange(nb, dtype=jnp.int32)
+            rank0 = jnp.zeros(nb, jnp.int32).at[order].set(iota)
+            miss = exact_window_miss(mn, mx, occ_j, dyn_b, [rank0], K,
+                                     min_overlap=0.005)
+        else:
+            miss = window_miss(s_mn, s_mx, K)
         p_point, p_normal, p_depth, p_raw_active, ok = banded_pair_grids(
             sp, sr, s_rad, s_he, s_shape, s_mn, s_mx, K, k,
             any_caps=bool(np.any(shape_np == P.SHAPE_CAPSULE)))

@@ -380,6 +380,7 @@ class PhysicsModule(IModule):
                  solver_iterations: int = 10, position_iterations: int = 3,
                  broadphase: str = "auto",
                  sap_neighbors: int = 16, sap_threshold: int = 256,
+                 sap_sweeps: int = 4,
                  solver_backend: str = "auto",
                  pair_budget: Optional[int] = None,
                  pruned_threshold: int = 192,
@@ -391,6 +392,12 @@ class PhysicsModule(IModule):
         self.broadphase = broadphase
         self.sap_neighbors = sap_neighbors
         self.sap_threshold = sap_threshold
+        # banded-mode sweep count (ops/physics_banded.sweep_orders): 1 =
+        # classic min-x SAP (exact only under K-bounded x-density), 4 =
+        # guaranteed-coverage cell-column sweeps (the default — dense piles
+        # keep every overlapping pair inside some sweep's window), 5 adds the
+        # classic sweep for heterogeneous-size scenes
+        self.sap_sweeps = sap_sweeps
         # "auto": fused Pallas PGS on TPU, jnp oracle elsewhere;
         # "pallas"/"jnp" force (see update_parallel dispatch)
         self.solver_backend = solver_backend
@@ -1006,12 +1013,18 @@ class PhysicsModule(IModule):
 
     def _banded_solve(self, st: PhysStatics, pos, rot, vel, angvel,
                       shape, radius, he, dyn, gc, dt_c):
-        """Large-world contact pipeline in x-sorted rank space (see
+        """Large-world contact pipeline in sorted rank space (see
         ops/physics_banded.py): every SAP candidate pair connects rank i to
         rank i+d, so the solver runs gather-free on banded slot grids — the
         segment_sum path this replaces was 50x slower at 5k+ actors.
-        Per-body streams (ground/heightfield) are re-ranked; convex actors
-        degrade to bounding spheres exactly like SAP mode."""
+        Per-body streams (ground/heightfield) are re-ranked. sap_sweeps > 1
+        (the default) runs the guaranteed-coverage multi-sweep pipeline:
+        dense piles keep every overlapping pair inside some sweep's window
+        (sweep_orders offset-column theorem), with a per-step zero-miss
+        certificate in the counters."""
+        if self.sap_sweeps > 1:
+            return self._banded_solve_multi(st, pos, rot, vel, angvel,
+                                            shape, radius, he, dyn, gc, dt_c)
         from lumixengine_tpu.ops import physics_banded as PBD
 
         K = self.sap_neighbors
@@ -1108,6 +1121,100 @@ class PhysicsModule(IModule):
 
         n_active = (jnp.sum(p_active) + jnp.sum(g_active)).astype(jnp.int32)
         return vel_out, ang_out, n_active, miss, proj
+
+    def _banded_solve_multi(self, st: PhysStatics, pos, rot, vel, angvel,
+                            shape, radius, he, dyn, gc, dt_c):
+        """Multi-sweep banded pipeline (sap_sweeps > 1): one banded grid per
+        sweep order (sweep_orders — offset cell columns guarantee every
+        overlapping pair lands in some sweep's window), solved jointly by
+        solve_contacts_banded_multi with velocities in body order. The miss
+        counter is the per-step zero-miss certificate (column_window_miss):
+        zero ⇒ no contact was dropped this step, at any density."""
+        from lumixengine_tpu.ops import physics_banded as PBD
+
+        K = self.sap_neighbors
+        k = self.points_per_pair
+        nb = pos.shape[-1]
+        occ = jnp.asarray(st.occupied)
+        mn, mx = P.world_aabb(pos, rot, shape, radius, he)
+        far = jnp.where(occ, 0.0, 1e9)   # dead slots park far +x, never pair
+        mn = mn + far[None, :]
+        mx = mx + far[None, :]
+        orders, ranks, col_keys = PBD.sweep_orders(mn, mx, occ,
+                                                   self.sap_sweeps)
+        lmx = jnp.asarray(self.system.layer_matrix)
+        fric_body = jnp.asarray(st.friction_body)
+        rest_body = jnp.asarray(st.restitution_body)
+        layer = jnp.asarray(st.layer)
+        im_body = jnp.asarray(st.inv_mass)
+
+        sweeps = []
+        miss = jnp.int32(0)
+        n_active = jnp.int32(0)
+        for s, (order, ck) in enumerate(zip(orders, col_keys)):
+            def rk(x, _o=order):
+                return jnp.take(x, _o, axis=-1)
+
+            sp, sr = rk(pos), rk(rot)
+            s_shape, s_rad, s_he = rk(shape), rk(radius), rk(he)
+            s_dyn, s_occ = rk(dyn), rk(occ)
+            s_fric, s_rest = rk(fric_body), rk(rest_body)
+            s_layer = rk(layer)
+            s_mn, s_mx = rk(mn), rk(mx)
+            p_point, p_normal, p_depth, p_raw, ok = PBD.banded_pair_grids(
+                sp, sr, s_rad, s_he, s_shape, s_mn, s_mx, K, k, any_caps=True)
+            layer_b = PBD.banded_pair_data(s_layer, K)
+            layer_ok = lmx.reshape(-1)[s_layer[None, :] * MAX_LAYERS + layer_b]
+            dyn_b = PBD.banded_pair_data(s_dyn, K)
+            occ_b = PBD.banded_pair_data(s_occ, K)
+            ok = (ok & layer_ok & (s_dyn[None, :] | dyn_b)
+                  & s_occ[None, :] & occ_b)
+            if s > 0:
+                cov = PBD.cross_sweep_coverage(order, ranks[:s], K)
+                ok = ok & ~cov
+            fric_b = PBD.banded_pair_data(s_fric, K)
+            rest_b = PBD.banded_pair_data(s_rest, K)
+            sw = {"order": order, "p_point": p_point, "p_normal": p_normal,
+                  "p_depth": p_depth, "p_active": p_raw & ok[None, :, :],
+                  "p_fric": jnp.broadcast_to(jnp.sqrt(jnp.maximum(
+                      s_fric[None, :] * fric_b, 0.0))[None], p_depth.shape),
+                  "p_rest": jnp.broadcast_to(jnp.maximum(
+                      s_rest[None, :], rest_b)[None], p_depth.shape)}
+            if s == 0 and gc is not None:
+                gsl = gc.depth.shape[-1] // nb
+                sw["g_point"] = rk(
+                    gc.point.reshape(gc.point.shape[:-1] + (gsl, nb)))
+                sw["g_normal"] = rk(gc.normal.reshape(sw["g_point"].shape))
+                sw["g_depth"] = rk(
+                    gc.depth.reshape(gc.depth.shape[:-1] + (gsl, nb)))
+                sw["g_active"] = rk(gc.active.reshape(sw["g_depth"].shape)) \
+                    & s_occ[None, :]
+                sw["g_fric"] = jnp.broadcast_to(jnp.sqrt(jnp.maximum(
+                    s_fric * self.system.ground_friction, 0.0))[None, :],
+                    sw["g_depth"].shape)
+                sw["g_rest"] = jnp.broadcast_to(
+                    jnp.maximum(s_rest,
+                                self.system.ground_restitution)[None, :],
+                    sw["g_depth"].shape)
+                n_active = n_active + jnp.sum(sw["g_active"]).astype(jnp.int32)
+            if ck is not None:
+                miss = miss + PBD.column_window_miss(s_mn, s_mx, rk(ck), K,
+                                                     occ=s_occ)
+            n_active = n_active + jnp.sum(sw["p_active"]).astype(jnp.int32)
+            sweeps.append(sw)
+
+        iiw_body = P.inv_inertia_world_diag(rot,
+                                            jnp.asarray(st.inv_inertia_body))
+        vel, angvel = PBD.solve_contacts_banded_multi(
+            vel, angvel, im_body, iiw_body, pos, sweeps, dt_c,
+            iterations=self.solver_iterations,
+            baumgarte=0.0 if self.position_iterations > 0 else 0.2)
+
+        def proj(p):
+            return PBD.project_positions_banded_multi(
+                p, sweeps, im_body, iterations=self.position_iterations)
+
+        return vel, angvel, n_active, miss, proj
 
     def _sap_solve(self, st: PhysStatics, pos, rot, vel, angvel,
                    shape, radius, he, dyn, gc, dt_c):
