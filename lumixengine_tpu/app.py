@@ -80,6 +80,7 @@ class Runner:
         self.step = None
         self.frame_index = 0
         self._fixed_dt = None
+        self._miss_warned = False
 
     # -- boot (≙ Runner::onInit) --------------------------------------------------
 
@@ -155,6 +156,24 @@ class Runner:
                 self.state = self.step(self.state, jnp.float32(dt))
         profiler.frame()
         self.frame_index += 1
+        # broadphase-integrity watchdog (scalar readback every 64 frames —
+        # negligible): nonzero window/budget miss means the configured
+        # broadphase dropped real contact pairs this frame, i.e. the sim is
+        # silently incomplete — warn loudly so the config gets fixed
+        # (raise sap_sweeps / sap_neighbors / pair budget)
+        if self.frame_index % 64 == 0 and not self._miss_warned:
+            pm = self.state.modules.get("physics")
+            ctr = getattr(pm, "counters", None) or {}
+            for key in ("sap_window_miss", "pruned_pair_miss"):
+                if key in ctr and int(ctr[key]) > 0:
+                    from lumixengine_tpu.core.log import log_warning
+                    log_warning(
+                        "physics",
+                        f"broadphase dropped pairs ({key}={int(ctr[key])} "
+                        f"at frame {self.frame_index}): simulation is "
+                        "incomplete — raise sap_sweeps/sap_neighbors "
+                        "(banded) or pair budget (pruned)")
+                    self._miss_warned = True
 
     def run(self, frames: int) -> None:
         for _ in range(frames):

@@ -52,9 +52,6 @@ def polytope_pair_contacts(pos, rot, verts, axes, rad, pair_a, pair_b,
     as physics_ops.pair_contacts: slot-major [k, P] flattened).
     """
     k = points_per_pair
-    P_ = int(pair_a.shape[0])
-    pa_i = jnp.asarray(pair_a)
-    pb_i = jnp.asarray(pair_b)
 
     def take(x, idx_np):
         if isinstance(x, np.ndarray):
@@ -69,6 +66,26 @@ def polytope_pair_contacts(pos, rot, verts, axes, rad, pair_a, pair_b,
     fb_l = jnp.asarray(axes[:, :, pair_b])
     ra = jnp.asarray(rad[pair_a])             # [P]
     rb = jnp.asarray(rad[pair_b])
+    point, normal, depth, active = polytope_pair_contacts_from_data(
+        pos_a, rot_a, va_l, fa_l, ra, pos_b, rot_b, vb_l, fb_l, rb,
+        points_per_pair=k)
+    body_a = np.tile(np.asarray(pair_a, np.int32), k)
+    body_b = np.tile(np.asarray(pair_b, np.int32), k)
+    return Contacts(body_a=body_a, body_b=body_b, point=point, normal=normal,
+                    depth=depth, active=active)
+
+
+def polytope_pair_contacts_from_data(pos_a, rot_a, va_l, fa_l, ra,
+                                     pos_b, rot_b, vb_l, fb_l, rb,
+                                     points_per_pair: int = 4):
+    """SAT narrowphase CORE on pre-gathered padded-polytope pair data —
+    va_l/vb_l [.., 3, V, P] local verts, fa_l/fb_l [.., 3, F, P] local unit
+    face axes (padded by repetition), ra/rb [.., P] support radii →
+    (point, normal, depth, active), each with C = k·P slots in slot-major
+    [k, P] flattened layout (the physics_ops.pair_contacts_from_data
+    contract). The banded rank-space path builds its pair data with shifts
+    (physics_banded.banded_polytope_grids) and comes here directly."""
+    k = points_per_pair
 
     # world-space vertex offsets from each center and world face axes
     va = lm.quat_rotate(rot_a[..., :, None, :], va_l, axis=-3)  # [..,3,V,P]
@@ -125,15 +142,11 @@ def polytope_pair_contacts(pos, rot, verts, axes, rad, pair_a, pair_b,
     pts = select_points_onehot(oh, all_pts)                        # [..,3,k,P]
     dep = jnp.moveaxis(top_d, -1, -2)                              # [..,k,P]
 
-    c = P_ * k
+    c = pts.shape[-1] * k
     point = pts.reshape(pts.shape[:-2] + (c,))
     depth = dep.reshape(dep.shape[:-2] + (c,))
     normal = jnp.broadcast_to(n[..., :, None, :], pts.shape).reshape(point.shape)
-    body_a = np.tile(np.asarray(pair_a, np.int32), k)
-    body_b = np.tile(np.asarray(pair_b, np.int32), k)
-    active = depth > 0.0
-    return Contacts(body_a=body_a, body_b=body_b, point=point, normal=normal,
-                    depth=depth, active=active)
+    return point, normal, depth, depth > 0.0
 
 
 def polytope_ground_contacts(pos, rot, verts, rad, body_idx, ground_y: float,
@@ -165,6 +178,32 @@ def polytope_ground_contacts(pos, rot, verts, rad, body_idx, ground_y: float,
     return Contacts(body_a=body_a, body_b=np.full(c, -1, np.int32),
                     point=point, normal=normal, depth=depth,
                     active=depth > 0.0)
+
+
+def polytope_ground_grids(pos, rot, pverts, prad, sel_mask, ground_y: float):
+    """Ground-plane contacts for ALL actor slots as padded polytopes, in the
+    body-minor per-body stream layout ([V blocks of NB] flattened — the same
+    contract as physics_ops.ground_contacts, so the banded rank-space path
+    re-ranks it wholesale and concat_contacts appends it to other streams).
+    Every polytope vertex is a candidate slot (no top-k: V ≈ 16 stays cheap
+    and the solver ignores inactive slots); sel_mask [NB] gates which bodies
+    use this stream (convex dynamics — simple shapes keep the analytic one).
+    """
+    vw = polytope_world_verts(pos, rot, jnp.asarray(pverts))    # [..,3,V,NB]
+    rj = jnp.asarray(prad)
+    nb = vw.shape[-1]
+    v = vw.shape[-2]
+    depth = ground_y - (vw[..., 1, :, :] - rj[..., None, :])    # [..,V,NB]
+    pts = vw - (jnp.zeros_like(vw).at[..., 1, :, :].set(1.0)
+                * rj[..., None, None, :])
+    c = v * nb
+    point = pts.reshape(pts.shape[:-2] + (c,))
+    depth = depth.reshape(depth.shape[:-2] + (c,))
+    normal = jnp.zeros(point.shape).at[..., 1, :].set(-1.0)
+    active = (depth > 0.0) & jnp.tile(jnp.asarray(sel_mask), v)
+    body_a = np.tile(np.arange(nb, dtype=np.int32), v)
+    return Contacts(body_a=body_a, body_b=np.full(c, -1, np.int32),
+                    point=point, normal=normal, depth=depth, active=active)
 
 
 def raycast_convex(origin, direction, pos, rot, axes, lo, hi, mask):

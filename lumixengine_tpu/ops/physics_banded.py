@@ -127,6 +127,40 @@ def banded_pair_grids(sp, sr, s_rad, s_he, s_shape, s_mn, s_mx,
     return grid(point), grid(normal), grid(depth), grid(active), ok
 
 
+def banded_polytope_grids(sp, sr, s_pv, s_pax, s_prad, K: int, k: int):
+    """EXACT-polytope banded narrowphase: the padded-polytope SAT
+    (convex_ops.polytope_pair_contacts_from_data — the same narrowphase the
+    static-pair convex path runs) over shift-built partner views, so banded
+    mode keeps PhysX-grade convex exactness at any scale (≙ PhysX PCM,
+    reference physics_module.cpp:1870). Inputs are RANK-ORDERED: s_pv
+    [.., 3, V, NB] local verts, s_pax [.., 3, F, NB] local unit face axes,
+    s_prad [.., NB] support radii. Returns [.., (3,) k, K, NB] grids
+    (point, normal, depth, active) — same contract as banded_pair_grids minus
+    the ok mask (callers reuse the AABB/rank ok they already computed).
+    Cost gates on has_convex: [V, 2F+1, K·NB] SAT intermediates (~150 MB at
+    the stress map's 5.9k actors, V=16/F=12) never appear for simple scenes.
+    """
+    nb = sp.shape[-1]
+    from lumixengine_tpu.ops import convex_ops as CV
+
+    def bcast(x):
+        return jnp.broadcast_to(x[..., None, :], x.shape[:-1] + (K, nb)
+                                ).reshape(x.shape[:-1] + (K * nb,))
+
+    def shift(x):
+        return banded_pair_data(x, K).reshape(x.shape[:-1] + (K * nb,))
+
+    point, normal, depth, active = CV.polytope_pair_contacts_from_data(
+        bcast(sp), bcast(sr), bcast(s_pv), bcast(s_pax), bcast(s_prad),
+        shift(sp), shift(sr), shift(s_pv), shift(s_pax), shift(s_prad),
+        points_per_pair=k)
+
+    def grid(x):
+        return x.reshape(x.shape[:-1] + (k, K, nb))
+
+    return grid(point), grid(normal), grid(depth), grid(active)
+
+
 def solve_contacts_banded(
     vel, angvel, inv_mass, iiw,
     # ground slots [G, NB]: no partner
@@ -308,7 +342,7 @@ def solve_contacts_banded_multi(
     vel, angvel, inv_mass_body, iiw_body, pos_body,
     sweeps, dt,
     iterations: int = 8, baumgarte: float = 0.0, slop: float = 0.005,
-    relaxation: float = 0.75,
+    relaxation: float = 0.75, warm=None, return_lams: bool = False,
 ):
     """Multi-sweep PGS: velocities stay in BODY order; each iteration applies
     every sweep's banded contact block in ITS rank space (rank/unrank of the
@@ -318,7 +352,17 @@ def solve_contacts_banded_multi(
       order [NB], and banded grids p_point/p_normal/p_depth/p_active/
       p_fric/p_rest ([.., k, K, NB] / [k, K, NB]); the FIRST sweep may also
       carry ground grids g_point/g_normal/g_depth/g_active/g_fric/g_rest.
-    Returns (vel, angvel, per-sweep pair lambda triples) in body order.
+
+    warm (PhysX-style warm starting, ≙ ops/physics_ops.solve_contacts'
+    warm_lambdas): optional per-sweep dicts {"p": (pl, pl1, pl2) [k, K, NB]
+    grids in THIS frame's rank space — see match_warm_lams — and optionally
+    "g": (gl, gl1, gl2) for the sweep that carries ground grids}. The
+    accumulated impulses are applied to the velocities up front and seed the
+    accumulators, so persistent contacts converge from last frame's solution
+    instead of from zero — piles rest at slop instead of sagging.
+
+    return_lams=True additionally returns the per-sweep final lambda tuples
+    (gl, gl1, gl2, pl, pl1, pl2) for the caller to carry to the next frame.
     """
     nb = vel.shape[-1]
 
@@ -481,13 +525,54 @@ def solve_contacts_banded_multi(
         w = jnp.zeros_like(w).at[..., order].set(w_r)
         return v, w, (gl, gl1, gl2, pl + p_dln, pl1 + p_d1, pl2 + p_d2)
 
-    def init_lams(sw):
+    init = []
+    for i, (c, sw) in enumerate(zip(consts, sweeps)):
         zp = jnp.zeros_like(sw["p_depth"])
-        if "g_depth" in sw:
-            zg = jnp.zeros_like(sw["g_depth"])
-        else:
-            zg = jnp.zeros(())
-        return (zg, zg, zg, zp, zp, zp)
+        zg = jnp.zeros_like(sw["g_depth"]) if "g_depth" in sw else jnp.zeros(())
+        lams = [zg, zg, zg, zp, zp, zp]
+        w_s = warm[i] if warm is not None else None
+        if w_s:
+            if w_s.get("p") is not None:
+                lams[3:] = [jnp.where(sw["p_active"], x, 0.0)
+                            for x in w_s["p"]]
+            if w_s.get("g") is not None and "g_depth" in sw:
+                lams[:3] = [jnp.where(sw["g_active"], x, 0.0)
+                            for x in w_s["g"]]
+        init.append(tuple(lams))
+
+    # warm starting: apply the carried impulses up front — the accumulators
+    # start at the carried values, so iteration deltas stay incremental
+    if warm is not None:
+        for c, sw, lams in zip(consts, sweeps, init):
+            gl, gl1, gl2, pl, pl1, pl2 = lams
+            order = c["order"]
+            v_r = jnp.take(vel, order, axis=-1)
+            w_r = jnp.take(angvel, order, axis=-1)
+            acc = 0.0
+            if "g_r" in c and gl.ndim:
+                g_imp = jnp.where(sw["g_active"][None],
+                                  sw["g_normal"] * gl[None]
+                                  + c["g_t1"] * gl1[None]
+                                  + c["g_t2"] * gl2[None], 0.0)
+                six_g = jnp.concatenate(
+                    [g_imp, lm.cross(c["g_r"], g_imp, axis=0)], axis=0)
+                acc = -jnp.sum(six_g, axis=-2)
+            p_imp = jnp.where(sw["p_active"][None],
+                              sw["p_normal"] * pl[None]
+                              + c["p_t1"] * pl1[None]
+                              + c["p_t2"] * pl2[None], 0.0)
+            six_pa = jnp.concatenate(
+                [p_imp, lm.cross(c["p_ra"], p_imp, axis=0)], axis=0)
+            acc = acc - jnp.sum(six_pa, axis=(-3, -2))
+            six_pb = jnp.concatenate(
+                [p_imp, lm.cross(c["p_rb"], p_imp, axis=0)], axis=0)
+            pb_sum = jnp.sum(six_pb, axis=-3)
+            for d in range(1, c["K"] + 1):
+                acc = acc + _back(pb_sum[..., d - 1, :], d)
+            v_r = v_r + acc[0:3] * c["im"][None, :]
+            w_r = w_r + acc[3:6] * c["iiw"]
+            vel = jnp.zeros_like(vel).at[..., order].set(v_r)
+            angvel = jnp.zeros_like(angvel).at[..., order].set(w_r)
 
     def body_fn(_, carry):
         v, w = carry[0], carry[1]
@@ -497,9 +582,47 @@ def solve_contacts_banded_multi(
         return (v, w, tuple(lams))
 
     out = jax.lax.fori_loop(
-        0, iterations, body_fn,
-        (vel, angvel, tuple(init_lams(sw) for sw in sweeps)))
+        0, iterations, body_fn, (vel, angvel, tuple(init)))
+    if return_lams:
+        return out[0], out[1], out[2]
     return out[0], out[1]
+
+
+def match_warm_lams(prev_lams, prev_rank, order, K: int):
+    """Carry accumulated pair impulses across frames in rank space (banded
+    warm starting — persistent contact identity, ≙ PhysX warm start; closes
+    the VERDICT-r2 'banded path can't keep contact identity' gap).
+
+    prev_lams: [L, k, K, NB] lambda grids in the PREVIOUS frame's rank space
+    (L channels: λn, λt1, λt2); prev_rank: int32 [NB] previous body→rank map
+    (-1 ⇒ cold); order: int32 [NB] CURRENT rank→body map for this sweep.
+    Returns [L, k, K, NB] grids in the CURRENT rank space: slot (d-1, i)
+    holds the previous accumulated lambdas of body pair (order[i],
+    order[i+d]) if that pair sat inside the previous window in either
+    orientation, else zero. ONE flat gather of L·k·K·NB elements — the same
+    per-step cost class as the state rank gather, nothing inside the solver
+    loop.
+
+    Orientation: matched-swapped pairs (ranks crossed since last frame) keep
+    λn and λt1 and FLIP λt2 — with n' = -n, _tangents0 gives t1' = -t1,
+    t2' = +t2, so the impulse each body received is preserved exactly by
+    (λn, λt1, -λt2).
+    """
+    nb = order.shape[-1]
+    r2p = jnp.take(prev_rank, order, axis=-1)
+    r2p_safe = jnp.where(r2p < 0, -(1 << 20), r2p)
+    partner = banded_pair_data(r2p_safe, K)            # [K, NB]
+    delta = partner - r2p_safe[None, :]
+    fwd = (delta >= 1) & (delta <= K)
+    bwd = (delta <= -1) & (delta >= -K)
+    valid = (fwd | bwd) & (r2p[None, :] >= 0) & (partner >= 0)
+    didx = jnp.where(fwd, delta, -delta) - 1
+    base = jnp.where(fwd, r2p_safe[None, :], partner)
+    flat = jnp.clip(didx * nb + base, 0, K * nb - 1)
+    src = prev_lams.reshape(prev_lams.shape[:-2] + (K * nb,))
+    out = jnp.take(src, flat.reshape(-1), axis=-1).reshape(prev_lams.shape)
+    out = jnp.where(valid, out, 0.0)
+    return out.at[2].multiply(jnp.where(bwd, -1.0, 1.0))
 
 
 def project_positions_banded_multi(pos_body, sweeps, inv_mass_body,
@@ -759,7 +882,7 @@ def make_banded_world_step(
     iterations: int = 8, position_iterations: int = 3, ground_y: float = 0.0,
     lin_damping: float = 0.05, ang_damping: float = 0.05,
     ground_friction: float = 0.6, n_sweeps: int = 1,
-    exact_miss: bool = False,
+    exact_miss: bool = False, warm_start: bool = False,
 ):
     """Drop-in alternative to physics_big.make_big_world_step: same physics,
     gather-free banded solve. step(pos, rot, vel, angvel, dt) → same outputs
@@ -770,7 +893,13 @@ def make_banded_world_step(
     x-slab), but with y- and z-minor lexicographic sweeps every face contact
     lands inside SOME sweep's window — the banded solve stays gather-free per
     iteration (one [6, NB] rank permutation per sweep). exact_miss=True adds
-    the chunked all-pairs coverage diagnostic to the counters."""
+    the chunked all-pairs coverage diagnostic to the counters.
+
+    warm_start=True (any n_sweeps; routes through the multi pipeline) makes
+    the step carry accumulated contact impulses across frames
+    (match_warm_lams): step(pos, rot, vel, angvel, dt, carry) →
+    (..., counters, carry'), with the cold carry from step.init_carry().
+    Persistent piles rest at ~slop instead of a few cm deep."""
     nb = shape_np.shape[0]
     shape_j = jnp.asarray(shape_np)
     radius_j = jnp.asarray(radius_np)
@@ -800,11 +929,19 @@ def make_banded_world_step(
         g_rest = jnp.broadcast_to(s_rest[None, :], g_depth.shape)
         return (g_point, g_normal, g_depth, g_active, g_fric, g_rest)
 
-    def step_multi(pos, rot, vel, angvel, dt):
+    n_s = n_sweeps if n_sweeps in (1, 2) else (5 if n_sweeps >= 5 else 4)
+
+    def init_carry():
+        return (jnp.zeros((n_s, 3, k, K, nb), jnp.float32),
+                jnp.zeros((3, gslots, nb), jnp.float32),
+                jnp.full((n_s, nb), -1, jnp.int32))
+
+    def step_multi(pos, rot, vel, angvel, dt, carry=None):
         vel, angvel = P.integrate_velocities(vel, angvel, dt, gravity,
                                              lin_damping, ang_damping, dyn_j)
         mn, mx = P.world_aabb(pos, rot, shape_j, radius_j, he_j)
         orders, ranks, col_keys = sweep_orders(mn, mx, occ_j, n_sweeps)
+        warm_in = [] if (warm_start and carry is not None) else None
         sweeps = []
         for s, order in enumerate(orders):
             def rk(x, _o=order):
@@ -830,16 +967,24 @@ def make_banded_world_step(
                   "p_rest": jnp.broadcast_to(jnp.maximum(
                       s_rest[None, :],
                       banded_pair_data(s_rest, K))[None], p_depth.shape)}
+            if warm_in is not None:
+                wl = match_warm_lams(carry[0][s], carry[2][s], order, K)
+                warm_in.append({"p": (wl[0], wl[1], wl[2])})
             if s == 0:
                 (sw["g_point"], sw["g_normal"], sw["g_depth"], sw["g_active"],
                  sw["g_fric"], sw["g_rest"]) = ground_grids(
                     sp, sr, s_shape, s_rad, s_he, s_dyn, s_fric, s_rest)
+                if warm_in is not None:
+                    warm_in[0]["g"] = tuple(
+                        jnp.take(carry[1][c], order, axis=-1)
+                        for c in range(3))
             sweeps.append(sw)
 
         iiw_body = P.inv_inertia_world_diag(rot, iib_j)
-        vel, angvel = solve_contacts_banded_multi(
+        vel, angvel, lams = solve_contacts_banded_multi(
             vel, angvel, im_j, iiw_body, pos, sweeps, dt,
-            iterations=iterations, baumgarte=0.0)
+            iterations=iterations, baumgarte=0.0, warm=warm_in,
+            return_lams=True)
         pos, rot = P.integrate_positions(pos, rot, vel, angvel, dt, dyn_j)
         pos = project_positions_banded_multi(
             pos, sweeps, im_j, iterations=position_iterations)
@@ -853,19 +998,33 @@ def make_banded_world_step(
             # is a bonus catcher, its x-window bound would only inflate this)
             miss = jnp.int32(0)
             for order, ck in zip(orders, col_keys):
-                if ck is None:
-                    continue
                 s_mn_o = jnp.take(mn, order, axis=-1)
                 s_mx_o = jnp.take(mx, order, axis=-1)
+                if ck is None:
+                    if len(orders) == 1:
+                        # classic single sweep: x-window bound IS the
+                        # certificate
+                        miss = miss + window_miss(s_mn_o, s_mx_o, K)
+                    continue
                 miss = miss + column_window_miss(
                     s_mn_o, s_mx_o, jnp.take(ck, order, axis=-1), K)
         n_act = sum(jnp.sum(sw["p_active"]) for sw in sweeps) \
             + jnp.sum(sweeps[0]["g_active"])
         counters = {"active_contacts": n_act.astype(jnp.int32),
                     "sap_window_miss": miss}
+        if warm_start:
+            new_lam = jnp.stack(
+                [jnp.stack(l[3:6], axis=0) for l in lams], axis=0)
+            glam_rank = jnp.stack(lams[0][0:3], axis=0)
+            new_glam = jnp.zeros_like(glam_rank).at[
+                ..., orders[0]].set(glam_rank)
+            carry_out = (new_lam, new_glam,
+                         jnp.stack(ranks, axis=0).astype(jnp.int32))
+            return pos, rot, vel, angvel, counters, carry_out
         return pos, rot, vel, angvel, counters
 
-    if n_sweeps > 1:
+    if n_sweeps > 1 or warm_start:
+        step_multi.init_carry = init_carry
         return step_multi
 
     def step(pos, rot, vel, angvel, dt):

@@ -63,6 +63,19 @@ class PhysicsState:
     lam_n: jnp.ndarray
     lam_t1: jnp.ndarray
     lam_t2: jnp.ndarray
+    # pruned-mode compacted-slot identity: a*NB+b key per budget slot last
+    # frame (-1 = empty). Warm lambdas for a slot are zeroed when its pair
+    # changed — top-k compaction renumbers slots when the overlap set churns,
+    # and stale impulses applied to the wrong pair pop. [0]-sized outside
+    # pruned mode.
+    pair_key: jnp.ndarray
+    # banded-mode warm-start carry (ops/physics_banded.match_warm_lams):
+    # pair lambdas per sweep in that sweep's previous rank space, ground-
+    # stream lambdas in body order, and the previous body→rank maps that
+    # recover pair identity next frame. [0]-sized outside banded mode.
+    sap_lam: jnp.ndarray    # f32 [S, 3, k, K, NB]
+    sap_glam: jnp.ndarray   # f32 [3, G, NB]
+    sap_rank: jnp.ndarray   # int32 [S, NB], -1 ⇒ cold
     # vehicle driver inputs [NV]: throttle (-1..1), steer (radians)
     veh_throttle: jnp.ndarray
     veh_steer: jnp.ndarray
@@ -86,10 +99,44 @@ class PhysStatics:
         friction = np.asarray(st.data["friction"], np.float32)
         restitution = np.asarray(st.data["restitution"], np.float32)
         mass = np.asarray(st.data["mass"], np.float32)
+        ccd_flags = np.asarray(st.data["ccd"], bool)
+        hull_ids = np.asarray(st.data["hull"], np.int32)
 
+        # instanced static actors (InstancedCube/InstancedMesh): extra frozen
+        # slots appended past the store capacity — they join every broadphase
+        # and the pair narrowphase like any static actor, but never sync from
+        # an entity transform (poses frozen at statics build, ≙ the
+        # reference's startGame-time PxCreateStatic actors)
+        inst = module._expand_instanced()
+        self.n_instanced = 0 if inst is None else inst["shape"].shape[0]
+        if inst is not None:
+            n_i = self.n_instanced
+            occupied = np.concatenate([occupied, np.ones(n_i, bool)])
+            motion = np.concatenate(
+                [motion, np.full(n_i, MOTION_STATIC, np.int32)])
+            self.entity_slots = np.concatenate(
+                [self.entity_slots,
+                 w.to_slots(inst["owner"])]).astype(np.int32)
+            self.shape = np.concatenate([self.shape, inst["shape"]])
+            self.radius = np.concatenate([self.radius, inst["radius"]])
+            self.half_extents = np.concatenate(
+                [self.half_extents, inst["half_extents"]], axis=1)
+            self.layer = np.concatenate([self.layer, inst["layer"]])
+            friction = np.concatenate(
+                [friction, np.full(n_i, 0.5, np.float32)])
+            restitution = np.concatenate(
+                [restitution, np.zeros(n_i, np.float32)])
+            mass = np.concatenate([mass, np.ones(n_i, np.float32)])
+            ccd_flags = np.concatenate([ccd_flags, np.zeros(n_i, bool)])
+            hull_ids = np.concatenate([hull_ids, inst["hull"]])
+            self.inst_pos = inst["pos"]     # [3, E] world, frozen
+            self.inst_rot = inst["rot"]     # [4, E]
+            nb = nb + n_i
+
+        self.nb = nb
         self.occupied = occupied
         self.dyn_mask = occupied & (motion == MOTION_DYNAMIC)
-        self.ccd_mask = self.dyn_mask & np.asarray(st.data["ccd"], bool)
+        self.ccd_mask = self.dyn_mask & ccd_flags
         self.has_ccd = bool(self.ccd_mask.any())
         # conservative CCD thickness: sphere/capsule radius, box/hull min extent
         self.ccd_r = np.where(
@@ -97,6 +144,11 @@ class PhysStatics:
             np.where(self.shape == P.SHAPE_CAPSULE, self.radius,
                      np.abs(self.half_extents).min(axis=0))).astype(np.float32)
         self.kin_mask = occupied & (motion != MOTION_DYNAMIC)
+        if self.n_instanced:
+            # instanced statics are FROZEN at their materialized pose — they
+            # must not track the owning entity's transform like ordinary
+            # static/kinematic actors do
+            self.kin_mask[-self.n_instanced:] = False
         self.inv_mass = np.where(self.dyn_mask, 1.0 / np.maximum(mass, 1e-6), 0.0).astype(np.float32)
         # per-body materials (SAP mode combines per-contact on device)
         self.friction_body = friction.copy()
@@ -105,7 +157,6 @@ class PhysStatics:
         # body-space inverse inertia (diagonal): sphere 2/5·m·r²; box
         # m/12·(e²+e²); convex uses the cooked hull inertia scaled to mass
         he = self.half_extents
-        hull_ids = np.asarray(st.data["hull"], np.int32)
         self.hull_ids = hull_ids
         is_convex = self.shape == P.SHAPE_CONVEX
         conv_inertia = np.ones((3, nb), np.float32)
@@ -398,6 +449,9 @@ class PhysicsModule(IModule):
         # keep every overlapping pair inside some sweep's window), 5 adds the
         # classic sweep for heterogeneous-size scenes
         self.sap_sweeps = sap_sweeps
+        # banded-mode cross-frame impulse carry (match_warm_lams); off is
+        # only for A/B debugging against the cold-start legacy paths
+        self.warm_starting = True
         # "auto": fused Pallas PGS on TPU, jnp oracle elsewhere;
         # "pallas"/"jnp" force (see update_parallel dispatch)
         self.solver_backend = solver_backend
@@ -502,6 +556,14 @@ class PhysicsModule(IModule):
              "slot": ((), np.int32, 0),
              "anchor": ((3,), np.float32, 0.0)},  # chassis-local attach point
         )
+        # instanced static collision (≙ physics_module.h:342,349
+        # //@ component InstancedCube / InstancedMesh): one static actor per
+        # render InstancedModel instance, materialized as extra frozen static
+        # slots at statics build (≙ initInstancedCubes/initInstancedMeshes,
+        # physics_module.cpp:2173-2244)
+        self.instanced_cubes: Dict[int, dict] = {}
+        self.instanced_meshes: Dict[int, dict] = {}
+        self._inst_hull_cache: Dict[tuple, int] = {}
         self.points_per_pair = points_per_pair
         self.ground_slots_per_body = ground_slots_per_body
         self.solver_iterations = solver_iterations
@@ -515,7 +577,8 @@ class PhysicsModule(IModule):
     def component_types(self):
         return ["rigid_actor", "distance_joint", "spherical_joint",
                 "hinge_joint", "d6_joint", "physics_controller", "heightfield",
-                "vehicle", "wheel", "mesh_collider"]
+                "vehicle", "wheel", "mesh_collider", "instanced_cube",
+                "instanced_mesh"]
 
     def register_hull(self, cooked) -> int:
         """Register a CookedHull (physics/cooking.py) → hull id."""
@@ -654,6 +717,23 @@ class PhysicsModule(IModule):
                 slot=np.int32(props.get("slot", 0)),
                 anchor=anchor,
             )
+        elif ctype == "instanced_cube":
+            # ≙ //@ component InstancedCube id physical_instanced_cube
+            # (physics_module.h:342): one static box per render InstancedModel
+            # instance, half-extents scaled by the instance scale
+            self.instanced_cubes[entity] = {
+                "half_extents": np.asarray(
+                    props.get("half_extents", (0.5, 0.5, 0.5)), np.float32),
+                "layer": int(props.get("layer", 0))}
+        elif ctype == "instanced_mesh":
+            # ≙ //@ component InstancedMesh id physical_instanced_mesh
+            # (physics_module.h:349): one static cooked-convex actor per
+            # instance (reference prefers the cooked convex_mesh of the .phy
+            # resource, physics_module.cpp:2233-2237); `mesh` names the model
+            # whose geometry to cook — empty means the render instanced model
+            self.instanced_meshes[entity] = {
+                "mesh": props.get("mesh", ""),
+                "layer": int(props.get("layer", 0))}
         else:
             raise KeyError(ctype)
 
@@ -673,6 +753,103 @@ class PhysicsModule(IModule):
             self.wheels.remove(entity)
         elif ctype == "mesh_collider":
             self.mesh_colliders.remove(entity)
+        elif ctype == "instanced_cube":
+            self.instanced_cubes.pop(entity, None)
+        elif ctype == "instanced_mesh":
+            self.instanced_meshes.pop(entity, None)
+
+    def serialize_components(self):
+        from lumixengine_tpu.utils.store import dump_stores
+
+        out = dump_stores(self)
+        for e, r in self.instanced_cubes.items():
+            out.append({"type": "instanced_cube", "entity": e, "props": {
+                "half_extents": r["half_extents"].tolist(),
+                "layer": r["layer"]}})
+        for e, r in self.instanced_meshes.items():
+            out.append({"type": "instanced_mesh", "entity": e,
+                        "props": dict(r)})
+        return out
+
+    def _expand_instanced(self):
+        """Materialize instanced static actors: for every instanced_cube /
+        instanced_mesh component whose entity also carries a render
+        InstancedModel, one frozen static actor per instance (≙
+        initInstancedCubes/initInstancedMeshes, physics_module.cpp:2173-2244:
+        instance pose = owner translation + instance offset with
+        owner_rot·instance_rot; cube half-extents and cooked mesh geometry
+        scale by the per-instance scale). Returns None or a dict of
+        column-stacked arrays for PhysStatics to append as extra slots."""
+        rmod = self.world.modules.get("renderer")
+        if rmod is None or not (self.instanced_cubes or self.instanced_meshes):
+            return None
+        from lumixengine_tpu.core import host_math as hm
+
+        rows = []   # (pos3, rot4, shape, radius, he3, layer, hull_id, owner)
+
+        def instances_of(e):
+            im = getattr(rmod, "instanced_models", {}).get(e)
+            if im is None or not len(im["pos"]):
+                return None
+            opos, orot, _ = self.world.get_global_transform(e)
+            return im, np.asarray(opos, np.float32), np.asarray(orot, np.float32)
+
+        for e, rec in self.instanced_cubes.items():
+            got = instances_of(e)
+            if got is None:
+                continue
+            im, opos, orot = got
+            for i in range(len(im["pos"])):
+                he = rec["half_extents"] * im["scale"][i]
+                rows.append((opos + im["pos"][i],
+                             hm.quat_mul(orot, im["rot"][i]),
+                             P.SHAPE_BOX, float(np.linalg.norm(he)), he,
+                             rec["layer"], -1, e))
+        for e, rec in self.instanced_meshes.items():
+            got = instances_of(e)
+            if got is None:
+                continue
+            im, opos, orot = got
+            # the reference binds a cooked .phy PhysicsGeometry; here `mesh`
+            # names a registered model — unresolvable names (e.g. raw .phy
+            # paths) fall back to the render instanced model's geometry
+            mid = int(im["model"])
+            if rec["mesh"]:
+                try:
+                    mid = rmod.system.models.get_id(rec["mesh"])
+                except KeyError:
+                    pass
+            model = rmod.system.models.get(int(mid))
+            pts = getattr(model, "vertex_positions", None)
+            if pts is None or not len(pts):
+                continue
+            from lumixengine_tpu.physics.cooking import cook_convex_cached
+            for i in range(len(im["pos"])):
+                s = np.asarray(im["scale"][i], np.float32)
+                key = (int(mid), tuple(np.round(s, 6).tolist()))
+                hid = self._inst_hull_cache.get(key)
+                if hid is None:
+                    hid = self.register_hull(
+                        cook_convex_cached(np.asarray(pts, np.float32) * s))
+                    self._inst_hull_cache[key] = hid
+                hull = self.hulls[hid]
+                he = np.abs(hull.verts).max(axis=0).astype(np.float32)
+                rows.append((opos + im["pos"][i],
+                             hm.quat_mul(orot, im["rot"][i]),
+                             P.SHAPE_CONVEX, float(hull.bound_radius), he,
+                             rec["layer"], hid, e))
+        if not rows:
+            return None
+        return {
+            "pos": np.stack([r[0] for r in rows], axis=1).astype(np.float32),
+            "rot": np.stack([r[1] for r in rows], axis=1).astype(np.float32),
+            "shape": np.asarray([r[2] for r in rows], np.int32),
+            "radius": np.asarray([r[3] for r in rows], np.float32),
+            "half_extents": np.stack([r[4] for r in rows], axis=1).astype(np.float32),
+            "layer": np.asarray([r[5] for r in rows], np.int32),
+            "hull": np.asarray([r[6] for r in rows], np.int32),
+            "owner": np.asarray([r[7] for r in rows], np.int32),
+        }
 
     def sap_active(self) -> bool:
         """True for the LARGE-world modes (dynamic pairs, no static slot
@@ -680,6 +857,22 @@ class PhysicsModule(IModule):
         if self.broadphase == "auto":
             return self.actors.capacity > self.sap_threshold
         return self.broadphase in ("sap", "banded")
+
+    def _banded_ground_slots(self, st: PhysStatics) -> int:
+        """Per-body ground-stream slot count in banded mode — MUST mirror
+        update_parallel's gc construction (generic ground/heightfield stream
+        + polytope convex-ground grids + one V-slot stream per SDF collider)
+        so the warm-start carry in PhysicsState is sized for the traced
+        step."""
+        g = 0
+        if st.heightfield_terrain >= 0 or self.system.ground_plane:
+            g += self.ground_slots_per_body
+        v = st.poly_verts.shape[1] \
+            if (st.has_convex or st.sdf_colliders) else 0
+        if st.has_convex and self.system.ground_plane:
+            g += v
+        g += len(st.sdf_colliders) * v
+        return g
 
     def invalidate_statics(self):
         self._statics = None
@@ -700,16 +893,19 @@ class PhysicsModule(IModule):
 
     def device_state(self) -> PhysicsState:
         st = self.statics()
-        nb = self.actors.capacity
+        nb = st.nb  # store capacity + instanced static slots
         # initial body poses from entity world transforms
         pos = np.zeros((3, nb), np.float32)
         rot = np.tile(np.array([[0.0], [0.0], [0.0], [1.0]], np.float32), (1, nb))
-        for slot in range(nb):
+        for slot in range(self.actors.capacity):
             e = int(self.actors.entity[slot])
             if e >= 0:
                 p, r, _ = self.world.get_global_transform(e)
                 pos[:, slot] = p
                 rot[:, slot] = r
+        if st.n_instanced:
+            pos[:, -st.n_instanced:] = st.inst_pos
+            rot[:, -st.n_instanced:] = st.inst_rot
         nc = self.controllers.capacity
         cpos = np.zeros((3, nc), np.float32)
         for slot in range(nc):
@@ -717,6 +913,20 @@ class PhysicsModule(IModule):
             if e >= 0:
                 cpos[:, slot] = self.world.get_global_transform(e)[0]
         n_lam = 0 if st.sap else st.n_contact_slots
+        banded = st.sap and self.broadphase in ("auto", "banded") \
+            and self.warm_starting
+        if banded:
+            ns = self.sap_sweeps
+            S = ns if ns in (1, 2) else (5 if ns >= 5 else 4)
+            K, k = self.sap_neighbors, self.points_per_pair
+            G = self._banded_ground_slots(st)
+            sap_lam = jnp.zeros((S, 3, k, K, nb), jnp.float32)
+            sap_glam = jnp.zeros((3, G, nb), jnp.float32)
+            sap_rank = jnp.full((S, nb), -1, jnp.int32)
+        else:
+            sap_lam = jnp.zeros((0,), jnp.float32)
+            sap_glam = jnp.zeros((0,), jnp.float32)
+            sap_rank = jnp.zeros((0,), jnp.int32)
         return PhysicsState(
             pos=jnp.asarray(pos),
             rot=jnp.asarray(rot),
@@ -728,8 +938,11 @@ class PhysicsModule(IModule):
             ctrl_disp=jnp.zeros((3, nc), jnp.float32),
             ctrl_grounded=jnp.zeros(nc, bool),
             lam_n=jnp.zeros(n_lam, jnp.float32),
+            sap_lam=sap_lam, sap_glam=sap_glam, sap_rank=sap_rank,
             lam_t1=jnp.zeros(n_lam, jnp.float32),
             lam_t2=jnp.zeros(n_lam, jnp.float32),
+            pair_key=(jnp.full(st.pair_budget, -1, jnp.int32)
+                      if st.pruned else jnp.zeros(0, jnp.int32)),
             veh_throttle=jnp.zeros(self.vehicles.capacity, jnp.float32),
             veh_steer=jnp.zeros(self.vehicles.capacity, jnp.float32),
             counters={"active_contacts": jnp.int32(0),
@@ -764,9 +977,12 @@ class PhysicsModule(IModule):
         shape = jnp.asarray(st.shape)
         radius = jnp.asarray(st.radius)
         he = jnp.asarray(st.half_extents)
-        # convex actors get exact polytope ground contacts (all-pairs path);
-        # mask them out of the generic sphere-fallback ground stream there
-        has_conv_gnd = (not st.sap) and st.has_convex and sys.ground_plane
+        # convex actors get exact polytope ground contacts (all-pairs path AND
+        # the banded rank-space default — polytope_ground_grids streams);
+        # mask them out of the generic sphere-fallback ground stream
+        banded_bp = st.sap and self.broadphase in ("auto", "banded")
+        has_conv_gnd = st.has_convex and sys.ground_plane \
+            and ((not st.sap) or banded_bp)
         gc_dyn = dyn & ~jnp.asarray(st.shape == P.SHAPE_CONVEX) \
             if has_conv_gnd else dyn
         if st.heightfield_terrain >= 0:
@@ -814,13 +1030,26 @@ class PhysicsModule(IModule):
         if st.sap:
             # banded rank-space solve is the default at this scale (50x the
             # segment_sum path); all per-body streams (ground/heightfield/
-            # SDF) are body-major [G, NB] grids it re-ranks wholesale
+            # SDF/convex-ground) are body-major [G, NB] grids it re-ranks
+            # wholesale
+            if has_conv_gnd and st.sap:
+                from lumixengine_tpu.ops import convex_ops as CV
+                sel = jnp.asarray(st.dyn_mask
+                                  & (st.shape == P.SHAPE_CONVEX))
+                cg = CV.polytope_ground_grids(pos, rot, st.poly_verts,
+                                              st.poly_rad, sel, sys.ground_y)
+                gc = cg if gc is None else P.concat_contacts(gc, cg)
             for sc in sdf_streams:
                 gc = sc if gc is None else P.concat_contacts(gc, sc)
             if self.broadphase in ("auto", "banded"):
-                vel, angvel, n_active, miss, proj = self._banded_solve(
+                (vel, angvel, n_active, miss, proj,
+                 warm_carry) = self._banded_solve(
                     st, pos, rot, vel, angvel, shape, radius, he, dyn, gc,
-                    dt_c)
+                    dt_c, ms)
+                if warm_carry is not None:
+                    ms = ms.replace(sap_lam=warm_carry[0],
+                                    sap_glam=warm_carry[1],
+                                    sap_rank=warm_carry[2])
             else:
                 vel, angvel, n_active, miss, proj = self._sap_solve(
                     st, pos, rot, vel, angvel, shape, radius, he, dyn, gc,
@@ -857,7 +1086,7 @@ class PhysicsModule(IModule):
             fric_use = st.friction
             rest_use = st.restitution
             if st.pruned:
-                cc, onehot_a, onehot_b, cfric, crest, miss = \
+                cc, onehot_a, onehot_b, cfric, crest, miss, pair_key = \
                     self._compacted_pair_stream(st, pos, rot, shape, radius, he)
                 k = self.points_per_pair
                 if contacts is not None:
@@ -891,6 +1120,18 @@ class PhysicsModule(IModule):
                 if use_pallas:
                     from lumixengine_tpu.ops.solver_pallas import solve_contacts_fused
                     solve = solve_contacts_fused
+                warm = (ms.lam_n, ms.lam_t1, ms.lam_t2)
+                if st.pruned:
+                    # compacted-slot identity gate: top-k compaction renumbers
+                    # suffix slots on churn frames — carrying another pair's
+                    # impulse into the new occupant pops, so zero those
+                    prefix = st.n_contact_slots - k * st.pair_budget
+                    same = jnp.tile(pair_key == ms.pair_key, k)
+                    keep = jnp.concatenate(
+                        [jnp.ones(same.shape[:-1] + (prefix,), bool), same],
+                        axis=-1)
+                    warm = tuple(jnp.where(keep, w, 0.0) for w in warm)
+                    ms = ms.replace(pair_key=pair_key)
                 vel, angvel, lams = solve(
                     pos, rot, vel, angvel, contacts,
                     st.inv_mass, iiw, inc_a_use, inc_b_use, dt_c,
@@ -899,7 +1140,7 @@ class PhysicsModule(IModule):
                     # position projection owns depth correction — a velocity
                     # bias on top makes resting stacks bounce (split impulse)
                     baumgarte=0.0 if self.position_iterations > 0 else 0.2,
-                    warm_lambdas=(ms.lam_n, ms.lam_t1, ms.lam_t2),
+                    warm_lambdas=warm,
                     return_lambdas=True,
                 )
                 ms = ms.replace(lam_n=lams[0], lam_t1=lams[1], lam_t2=lams[2])
@@ -933,12 +1174,15 @@ class PhysicsModule(IModule):
         return state.replace(modules={**state.modules, self.name: ms})
 
     def _ccd_clamp(self, st: PhysStatics, pre_pos, new_pos):
-        """Continuous collision for CCD-flagged bodies (≙ PhysX eENABLE_CCD):
-        sample the static environment (ground plane + SDF mesh colliders) at
-        K points along this step's motion and stop at the last sample before
-        first penetration — the discrete solver resolves the contact next
-        frame from a non-tunneled pose. Dynamic-vs-dynamic stays discrete
-        (same practical scope as PhysX's default CCD usage)."""
+        """Continuous collision for CCD-flagged bodies (≙ PhysX
+        eENABLE_CCD): sample K points along this step's motion and stop at
+        the last sample before first penetration — the discrete solver
+        resolves the contact next frame from a non-tunneled pose. Covers
+        the static environment (ground plane + SDF mesh colliders) AND
+        dynamic-vs-dynamic pairs: every CCD body sweeps its conservative
+        thickness (ccd_r) against all other bodies' simultaneously sampled
+        paths, so two fast bodies meeting head-on clamp before crossing
+        (≙ PhysX CCD between dynamic pairs) instead of tunneling."""
         K = 4
         sys = self.system
         ts = (jnp.arange(1, K + 1, dtype=jnp.float32) / K)[:, None]    # [K,1]
@@ -961,11 +1205,31 @@ class PhysicsModule(IModule):
                 d = CV.sdf_sample(grid, origin, cell, local)
                 dist = jnp.minimum(
                     dist, d.reshape(d.shape[:-1] + (K, nb)) - r_eff)
+        # dynamic-dynamic (and vs static actors): CCD columns against every
+        # occupied body's sampled path — both endpoints move within the same
+        # step, so the RELATIVE trajectory is what gets sampled
+        ci = np.nonzero(st.ccd_mask)[0].astype(np.int32)
+        if ci.size:
+            ci_j = jnp.asarray(ci)
+            path_i = jnp.take(path, ci_j, axis=-1)                 # [..,3,K,C]
+            d_ij = path_i[..., :, :, :, None] - path[..., :, :, None, :]
+            dist_ij = jnp.sqrt(jnp.maximum(
+                jnp.sum(d_ij * d_ij, axis=-4), 1e-12))             # [..,K,C,NB]
+            rad_ij = r_eff[ci][:, None] + r_eff[None, :]           # [C,NB]
+            ok_j = jnp.asarray(st.occupied)[None, :] \
+                & (jnp.asarray(ci)[:, None] != jnp.arange(
+                    r_eff.shape[0], dtype=jnp.int32)[None, :])     # [C,NB]
+            pair_d = jnp.where(ok_j, dist_ij - rad_ij, 1e9)
+            dist = dist.at[..., ci_j].min(jnp.min(pair_d, axis=-1))
         hit = dist < 0.0                                               # [..,K,NB]
         any_hit = jnp.any(hit, axis=-2)
         first = jnp.argmax(hit, axis=-2)                               # [..,NB]
+        # sweep only FAST movers (step motion beyond half the body
+        # thickness, ≙ PhysX's CCD motion threshold): resting CCD bodies sit
+        # in permanent sub-slop contact and must not freeze at t=0
+        fast = jnp.sum(delta * delta, axis=-2) > (0.5 * r_eff) ** 2
         # stop at the sample BEFORE the first penetrating one
-        t_safe = jnp.where(any_hit & jnp.asarray(st.ccd_mask),
+        t_safe = jnp.where(any_hit & fast & jnp.asarray(st.ccd_mask),
                            first.astype(jnp.float32) / K, 1.0)
         return pre_pos + delta * t_safe[..., None, :]
 
@@ -992,6 +1256,10 @@ class PhysicsModule(IModule):
         from lumixengine_tpu.ops.physics_big import compact_pairs
         cpa, cpb, valid, miss = compact_pairs(
             jnp.asarray(pa_np), jnp.asarray(pb_np), overlap, B)
+        # per-slot pair identity for cross-frame warm-start matching: top-k
+        # compaction renumbers slots when the overlap set churns, so warm
+        # lambdas are only valid for slots whose key is unchanged
+        pair_key = jnp.where(valid, cpa * nb + cpb, -1).astype(jnp.int32)
 
         cc = P.pair_contacts(pos, rot, shape, radius, he, cpa, cpb,
                              points_per_pair=k)
@@ -1009,127 +1277,59 @@ class PhysicsModule(IModule):
         restb = jnp.asarray(st.restitution_body)
         cfric = jnp.sqrt(jnp.maximum(fricb[bodies_a] * fricb[bodies_b], 0.0))
         crest = jnp.maximum(restb[bodies_a], restb[bodies_b])
-        return cc, onehot_a, onehot_b, cfric, crest, miss
+        return cc, onehot_a, onehot_b, cfric, crest, miss, pair_key
+
+    def _banded_convex_merge(self, st: PhysStatics, rank, sp, sr, K, k,
+                             p_point, p_normal, p_depth, p_raw):
+        """Substitute EXACT polytope SAT contacts (the same narrowphase the
+        static-pair convex path runs — ops/convex_ops.py) into the banded
+        grids for every pair involving a convex hull; simple pairs keep the
+        cheaper analytic narrowphase. This is what keeps banded mode — the
+        default at scale — PhysX-exact on convex content (≙ PhysX PCM,
+        reference physics_module.cpp:1870-1877). `rank` maps body-order
+        arrays into this sweep's rank space."""
+        from lumixengine_tpu.ops import physics_banded as PBD
+        s_pv = rank(jnp.asarray(st.poly_verts))
+        s_pax = rank(jnp.asarray(st.poly_axes))
+        s_prad = rank(jnp.asarray(st.poly_rad))
+        c_pt, c_n, c_d, c_act = PBD.banded_polytope_grids(
+            sp, sr, s_pv, s_pax, s_prad, K, k)
+        is_cvx = rank(jnp.asarray(st.shape == P.SHAPE_CONVEX))
+        cvx_pair = is_cvx[None, :] | PBD.banded_pair_data(is_cvx, K)  # [K,NB]
+        return (jnp.where(cvx_pair, c_pt, p_point),
+                jnp.where(cvx_pair, c_n, p_normal),
+                jnp.where(cvx_pair, c_d, p_depth),
+                jnp.where(cvx_pair, c_act, p_raw))
 
     def _banded_solve(self, st: PhysStatics, pos, rot, vel, angvel,
-                      shape, radius, he, dyn, gc, dt_c):
+                      shape, radius, he, dyn, gc, dt_c, ms):
         """Large-world contact pipeline in sorted rank space (see
         ops/physics_banded.py): every SAP candidate pair connects rank i to
         rank i+d, so the solver runs gather-free on banded slot grids — the
         segment_sum path this replaces was 50x slower at 5k+ actors.
-        Per-body streams (ground/heightfield) are re-ranked. sap_sweeps > 1
-        (the default) runs the guaranteed-coverage multi-sweep pipeline:
-        dense piles keep every overlapping pair inside some sweep's window
-        (sweep_orders offset-column theorem), with a per-step zero-miss
-        certificate in the counters."""
-        if self.sap_sweeps > 1:
-            return self._banded_solve_multi(st, pos, rot, vel, angvel,
-                                            shape, radius, he, dyn, gc, dt_c)
-        from lumixengine_tpu.ops import physics_banded as PBD
-
-        K = self.sap_neighbors
-        k = self.points_per_pair
-        nb = pos.shape[-1]
-        occ = jnp.asarray(st.occupied)
-        mn, mx = P.world_aabb(pos, rot, shape, radius, he)
-        far = jnp.where(occ, 0.0, 1e9)   # unoccupied slots sort to the end
-        mn = mn + far[None, :]
-        mx = mx + far[None, :]
-        order = jnp.argsort(mn[..., 0, :], axis=-1).astype(jnp.int32)
-
-        def rank(x):
-            return jnp.take(x, order, axis=-1)
-
-        sp, sr = rank(pos), rank(rot)
-        sv, sw = rank(vel), rank(angvel)
-        s_shape = rank(shape)
-        s_rad = rank(radius)
-        s_he = rank(he)
-        s_dyn = rank(dyn)
-        s_occ = rank(occ)
-        s_im = rank(jnp.asarray(st.inv_mass))
-        s_iib = rank(jnp.asarray(st.inv_inertia_body))
-        s_fric = rank(jnp.asarray(st.friction_body))
-        s_rest = rank(jnp.asarray(st.restitution_body))
-        s_layer = rank(jnp.asarray(st.layer))
-        s_mn, s_mx = rank(mn), rank(mx)
-
-        miss = PBD.window_miss(s_mn, s_mx, K, occ=s_occ)
-        p_point, p_normal, p_depth, p_raw_active, ok = PBD.banded_pair_grids(
-            sp, sr, s_rad, s_he, s_shape, s_mn, s_mx, K, k, any_caps=True)
-        # engine-level pair filters on top: layer matrix, occupancy, dynamics
-        lmx = jnp.asarray(self.system.layer_matrix)
-        layer_b = PBD.banded_pair_data(s_layer, K)
-        layer_ok = lmx.reshape(-1)[s_layer[None, :] * MAX_LAYERS + layer_b]
-        dyn_b = PBD.banded_pair_data(s_dyn, K)
-        occ_b = PBD.banded_pair_data(s_occ, K)
-        ok = (ok & layer_ok & (s_dyn[None, :] | dyn_b)
-              & s_occ[None, :] & occ_b)
-        p_active = p_raw_active & ok[None, :, :]
-        fric_b = PBD.banded_pair_data(s_fric, K)
-        rest_b = PBD.banded_pair_data(s_rest, K)
-        p_fric = jnp.broadcast_to(
-            jnp.sqrt(jnp.maximum(s_fric[None, :] * fric_b, 0.0))[None],
-            p_depth.shape)
-        p_rest = jnp.broadcast_to(
-            jnp.maximum(s_rest[None, :], rest_b)[None], p_depth.shape)
-
-        # per-body streams (ground/heightfield [+ sdf], slot-major [G, NB] in
-        # BODY order) → re-rank columns
-        if gc is not None:
-            gsl = gc.depth.shape[-1] // nb
-            g_point = rank(gc.point.reshape(gc.point.shape[:-1] + (gsl, nb)))
-            g_normal = rank(gc.normal.reshape(g_point.shape))
-            g_depth = rank(gc.depth.reshape(gc.depth.shape[:-1] + (gsl, nb)))
-            g_active = rank(gc.active.reshape(g_depth.shape)) & s_occ[None, :]
-            g_fric = jnp.broadcast_to(jnp.sqrt(jnp.maximum(
-                s_fric * self.system.ground_friction, 0.0))[None, :],
-                g_depth.shape)
-            g_rest = jnp.broadcast_to(
-                jnp.maximum(s_rest, self.system.ground_restitution)[None, :],
-                g_depth.shape)
-        else:
-            zg = jnp.zeros(pos.shape[:-2] + (1, nb))
-            g_point = jnp.zeros(pos.shape[:-2] + (3, 1, nb))
-            g_normal = jnp.zeros_like(g_point).at[..., 1, :, :].set(-1.0)
-            g_depth = zg - 1.0
-            g_active = zg > 0.0
-            g_fric = zg
-            g_rest = zg
-
-        iiw = P.inv_inertia_world_diag(sr, s_iib)
-        sv, sw = PBD.solve_contacts_banded(
-            sv, sw, s_im, iiw,
-            g_point, g_normal, g_depth, g_active, g_fric, g_rest,
-            p_point, p_normal, p_depth, p_active, p_fric, p_rest,
-            sp, dt_c, iterations=self.solver_iterations,
-            baumgarte=0.0 if self.position_iterations > 0 else 0.2)
-
-        def unrank(x):
-            return jnp.zeros_like(x).at[..., order].set(x)
-
-        vel_out = unrank(sv)
-        ang_out = unrank(sw)
-
-        def proj(p):
-            p_r = rank(p)
-            p_r = PBD.project_positions_banded(
-                p_r, g_normal, g_depth, g_active,
-                p_normal, p_depth, p_active, s_im,
-                iterations=self.position_iterations)
-            return unrank(p_r)
-
-        n_active = (jnp.sum(p_active) + jnp.sum(g_active)).astype(jnp.int32)
-        return vel_out, ang_out, n_active, miss, proj
+        Always the multi-sweep pipeline: sap_sweeps=4 (default) runs the
+        guaranteed-coverage offset-column sweeps (dense piles keep every
+        overlapping pair inside some sweep's window, with a per-step
+        zero-miss certificate in the counters); sap_sweeps=1 degenerates to
+        the classic min-x SAP order with its window-bound miss counter."""
+        return self._banded_solve_multi(st, pos, rot, vel, angvel,
+                                        shape, radius, he, dyn, gc, dt_c, ms)
 
     def _banded_solve_multi(self, st: PhysStatics, pos, rot, vel, angvel,
-                            shape, radius, he, dyn, gc, dt_c):
-        """Multi-sweep banded pipeline (sap_sweeps > 1): one banded grid per
-        sweep order (sweep_orders — offset cell columns guarantee every
-        overlapping pair lands in some sweep's window), solved jointly by
+                            shape, radius, he, dyn, gc, dt_c, ms):
+        """Multi-sweep banded pipeline: one banded grid per sweep order
+        (sweep_orders — offset cell columns guarantee every overlapping pair
+        lands in some sweep's window), solved jointly by
         solve_contacts_banded_multi with velocities in body order. The miss
         counter is the per-step zero-miss certificate (column_window_miss):
-        zero ⇒ no contact was dropped this step, at any density."""
+        zero ⇒ no contact was dropped this step, at any density.
+
+        Warm starting (≙ PhysX persistent contacts): last frame's
+        accumulated lambdas (ms.sap_lam per sweep, ms.sap_glam for ground
+        streams) are re-matched to this frame's slots through the previous
+        rank maps (ms.sap_rank → match_warm_lams) and seed the solver;
+        returns the new carry alongside the solve so update_parallel can
+        store it. Returns (vel, angvel, n_active, miss, proj, warm_carry)."""
         from lumixengine_tpu.ops import physics_banded as PBD
 
         K = self.sap_neighbors
@@ -1148,6 +1348,8 @@ class PhysicsModule(IModule):
         layer = jnp.asarray(st.layer)
         im_body = jnp.asarray(st.inv_mass)
 
+        warm_ok = ms.sap_rank.size > 0
+        warm_in = []
         sweeps = []
         miss = jnp.int32(0)
         n_active = jnp.int32(0)
@@ -1163,6 +1365,11 @@ class PhysicsModule(IModule):
             s_mn, s_mx = rk(mn), rk(mx)
             p_point, p_normal, p_depth, p_raw, ok = PBD.banded_pair_grids(
                 sp, sr, s_rad, s_he, s_shape, s_mn, s_mx, K, k, any_caps=True)
+            if st.has_convex:
+                p_point, p_normal, p_depth, p_raw = \
+                    self._banded_convex_merge(st, rk, sp, sr, K, k,
+                                              p_point, p_normal, p_depth,
+                                              p_raw)
             layer_b = PBD.banded_pair_data(s_layer, K)
             layer_ok = lmx.reshape(-1)[s_layer[None, :] * MAX_LAYERS + layer_b]
             dyn_b = PBD.banded_pair_data(s_dyn, K)
@@ -1180,6 +1387,10 @@ class PhysicsModule(IModule):
                       s_fric[None, :] * fric_b, 0.0))[None], p_depth.shape),
                   "p_rest": jnp.broadcast_to(jnp.maximum(
                       s_rest[None, :], rest_b)[None], p_depth.shape)}
+            if warm_ok:
+                wl = PBD.match_warm_lams(ms.sap_lam[s], ms.sap_rank[s],
+                                         order, K)
+                warm_in.append({"p": (wl[0], wl[1], wl[2])})
             if s == 0 and gc is not None:
                 gsl = gc.depth.shape[-1] // nb
                 sw["g_point"] = rk(
@@ -1197,24 +1408,48 @@ class PhysicsModule(IModule):
                                 self.system.ground_restitution)[None, :],
                     sw["g_depth"].shape)
                 n_active = n_active + jnp.sum(sw["g_active"]).astype(jnp.int32)
+                if warm_ok:
+                    warm_in[0]["g"] = tuple(rk(ms.sap_glam[c])
+                                            for c in range(3))
             if ck is not None:
                 miss = miss + PBD.column_window_miss(s_mn, s_mx, rk(ck), K,
                                                      occ=s_occ)
+            elif len(orders) == 1:
+                # classic single sweep: its x-window bound IS the certificate
+                miss = miss + PBD.window_miss(s_mn, s_mx, K, occ=s_occ)
             n_active = n_active + jnp.sum(sw["p_active"]).astype(jnp.int32)
             sweeps.append(sw)
 
         iiw_body = P.inv_inertia_world_diag(rot,
                                             jnp.asarray(st.inv_inertia_body))
-        vel, angvel = PBD.solve_contacts_banded_multi(
+        vel, angvel, lams = PBD.solve_contacts_banded_multi(
             vel, angvel, im_body, iiw_body, pos, sweeps, dt_c,
             iterations=self.solver_iterations,
-            baumgarte=0.0 if self.position_iterations > 0 else 0.2)
+            baumgarte=0.0 if self.position_iterations > 0 else 0.2,
+            warm=warm_in if warm_ok else None, return_lams=True)
 
         def proj(p):
             return PBD.project_positions_banded_multi(
                 p, sweeps, im_body, iterations=self.position_iterations)
 
-        return vel, angvel, n_active, miss, proj
+        warm_carry = None
+        if warm_ok:
+            new_lam = jnp.stack(
+                [jnp.stack(l[3:6], axis=0) for l in lams], axis=0)
+            assert new_lam.shape == ms.sap_lam.shape, \
+                (new_lam.shape, ms.sap_lam.shape)
+            if gc is not None:
+                glam_rank = jnp.stack(lams[0][0:3], axis=0)  # sweep-0 rank
+                new_glam = jnp.zeros_like(glam_rank).at[
+                    ..., orders[0]].set(glam_rank)
+                assert new_glam.shape == ms.sap_glam.shape, \
+                    (new_glam.shape, ms.sap_glam.shape)
+            else:
+                new_glam = ms.sap_glam
+            warm_carry = (new_lam, new_glam,
+                          jnp.stack(ranks, axis=0).astype(jnp.int32))
+
+        return vel, angvel, n_active, miss, proj, warm_carry
 
     def _sap_solve(self, st: PhysStatics, pos, rot, vel, angvel,
                    shape, radius, he, dyn, gc, dt_c):

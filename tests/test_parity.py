@@ -259,11 +259,18 @@ def test_box_drop_statistics(pipeline):
     iib = np.tile(np.full((1, nb), 1.0 / (1.0 / 12 * 2.0), np.float32), (3, 1))
     fric = np.full(nb, 0.6, np.float32)
     rest = np.zeros(nb, np.float32)
-    make = (PB.make_big_world_step if pipeline == "dynamic"
-            else PBD.make_banded_world_step)
-    step = make(shape, radius, he, dyn, inv_mass, iib, fric,
-                rest, neighbors=32, iterations=16,
-                position_iterations=6)
+    if pipeline == "dynamic":
+        step = PB.make_big_world_step(shape, radius, he, dyn, inv_mass, iib,
+                                      fric, rest, neighbors=32, iterations=16,
+                                      position_iterations=6)
+    else:
+        # the bench path exactly: guaranteed-coverage multi-sweep + PhysX-
+        # style cross-frame warm starting (VERDICT-r2 #4)
+        step = PBD.make_banded_world_step(shape, radius, he, dyn, inv_mass,
+                                          iib, fric, rest, neighbors=32,
+                                          iterations=16,
+                                          position_iterations=6,
+                                          n_sweeps=4, warm_start=True)
     # jittered non-overlapping grid, long axis = x so each x-plane holds 16
     # boxes — well inside the SAP window (the miss counter gates it below)
     grid = np.stack(np.meshgrid(np.arange(32), np.arange(4), np.arange(4),
@@ -277,20 +284,33 @@ def test_box_drop_statistics(pipeline):
     @functools.partial(jax.jit, static_argnums=1)
     def run(carry, n):
         def body(i, c):
-            pos, rot, vel, ang, miss = step(c[0], c[1], c[2], c[3], jnp.float32(DT))
+            if pipeline == "banded":
+                pos, rot, vel, ang, miss, warm = step(
+                    c[0], c[1], c[2], c[3], jnp.float32(DT), c[5])
+                return (pos, rot, vel, ang,
+                        c[4] + miss["sap_window_miss"], warm)
+            pos, rot, vel, ang, miss = step(c[0], c[1], c[2], c[3],
+                                            jnp.float32(DT))
             return (pos, rot, vel, ang, c[4] + miss["sap_window_miss"])
         return jax.lax.fori_loop(0, n, body, carry)
 
     carry = (pos, rot, vel, ang, jnp.int32(0))
+    if pipeline == "banded":
+        carry = carry + (step.init_carry(),)
     carry = run(carry, 20)  # still falling
     vx = np.asarray(carry[2][0])
     assert abs(vx.sum()) < 1e-2                     # no lateral momentum injected
     carry = run(carry, 480)                          # settle
     y = np.asarray(carry[0][1])
-    # the SAP path has no cross-frame warm start (contact slots change
-    # identity every frame), so a squeezed pile rests a few cm deep — bounded
-    # here; the warm-started static path rests at slop (stack test above)
-    assert y.min() > 0.5 - 0.05, y.min()             # penetration ≤ 5 cm
+    if pipeline == "banded":
+        # warm-started banded pipeline keeps contact identity across frames
+        # (match_warm_lams), so the squeezed pile rests at ~slop like the
+        # static-pair path — VERDICT-r2 #4's tightened gate
+        assert y.min() > 0.5 - 0.012, y.min()        # penetration ≤ ~1 cm
+    else:
+        # the legacy SAP path has no cross-frame warm start (contact slots
+        # change identity every frame): a squeezed pile rests a few cm deep
+        assert y.min() > 0.5 - 0.05, y.min()         # penetration ≤ 5 cm
     assert y.max() < 5.0, y.max()                    # no popcorn; pile ≤ 3 layers+fall
     ke = float(jnp.sum(carry[2] ** 2) + jnp.sum(carry[3] ** 2))
     assert ke < 1000.0, ke                           # jostling, not exploding

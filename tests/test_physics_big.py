@@ -175,7 +175,8 @@ def test_engine_banded_mode_matches_sap_mode():
         pm.broadphase = broadphase
         pm.sap_neighbors = 23   # full window at 24 actors: same candidates
         pm.sap_sweeps = 1       # classic sweep: candidate set identical to
-        pm.invalidate_statics()  # sap mode (multi-sweep reorders iterations)
+        pm.warm_starting = False  # sap mode cold-starts; compare like-for-like
+        pm.invalidate_statics()
         step = engine.build_step(world, donate=False)
         s = world.device_state()
         for _ in range(90):

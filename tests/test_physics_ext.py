@@ -447,6 +447,54 @@ def test_pruned_broadphase_matches_allpairs():
     assert int(sp.modules["physics"].counters["pruned_pair_miss"]) == 0
 
 
+def test_pruned_warm_start_survives_slot_churn():
+    """Top-k compaction renumbers compacted slots when the overlap set churns;
+    warm lambdas must be dropped for reassigned slots (gated by pair_key in
+    PhysicsState) instead of applying a stale pair's impulse to the new
+    occupant — that pops bodies on churn frames.  A dropping ball joins a
+    resting pair's overlap set mid-run (churn): the resting pair must not
+    gain energy on the churn frame."""
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.physics.module import PhysicsSystem
+
+    engine = Engine()
+    engine.module_capacities = {"actors": 16}
+    phys = PhysicsSystem(engine)
+    engine.add_system(phys)
+    world = engine.create_world(capacity=32)
+    # resting stack (persistent contacts, big accumulated normal impulses)
+    stack = []
+    for i in range(2):
+        e = world.create_entity(position=(0.0, 0.5 + 1.001 * i, 0.0))
+        world.create_component(e, "rigid_actor", motion="dynamic",
+                               shape="box", half_extents=(0.5, 0.5, 0.5),
+                               mass=1.0)
+        stack.append(e)
+    # a ball that enters the broadphase overlap set later (x sorts it BEFORE
+    # the stack's pairs in the static candidate list → compaction renumbers)
+    ball = world.create_entity(position=(-3.0, 8.0, 0.0))
+    world.create_component(ball, "rigid_actor", motion="dynamic",
+                           shape="sphere", radius=0.5, mass=1.0)
+    pm = world.modules["physics"]
+    pm.broadphase = "pruned"
+    pm.pair_budget = 2            # tight: churn forces real renumbering
+    pm.invalidate_statics()
+    assert pm.statics().pruned
+    step = engine.build_step(world, donate=False)
+    s = world.device_state()
+    for _ in range(240):
+        s = step(s, jnp.float32(1 / 60))
+    ms = s.modules["physics"]
+    assert np.asarray(ms.pair_key).shape == (2,)
+    p = np.asarray(ms.pos)
+    slots = [pm.actors.slot_of(e) for e in stack]
+    # the stack is still a resting 2-stack: no churn-frame impulse pop
+    assert abs(p[1, slots[0]] - 0.5) < 0.05, p[:, slots]
+    assert abs(p[1, slots[1]] - 1.5) < 0.08, p[:, slots]
+    v = np.asarray(ms.vel)[:, slots]
+    assert np.abs(v).max() < 0.2, v
+
+
 def test_pruned_budget_overflow_counter():
     """When more pairs overlap than the budget, the overflow counter fires."""
     from lumixengine_tpu.engine.engine import Engine
@@ -513,3 +561,91 @@ def test_d6_per_axis_motion_config():
     assert abs(float(ms.pos[2, slot])) < 0.15
     # angular lock killed the injected spin
     assert abs(float(ms.angvel[1, slot])) < 0.1
+
+
+# -- instanced static collision (InstancedCube / InstancedMesh) --------------
+# ≙ reference physics_module.h:342,349 //@ component InstancedCube /
+# InstancedMesh; initInstancedCubes/initInstancedMeshes
+# (physics_module.cpp:2173-2244) create one static actor per render
+# InstancedModel instance at owner translation + instance offset.
+
+def _engine_with_renderer(ground=False):
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.physics.module import PhysicsSystem
+    from lumixengine_tpu.renderer.render_module import RendererSystem
+    from lumixengine_tpu.renderer.model import Model
+
+    engine = Engine()
+    engine.module_capacities = {"actors": 8}
+    renderer = RendererSystem(engine)
+    renderer.add_model(Model(
+        name="physcube", bounding_radius=0.87, material_id=0,
+        vertex_positions=np.array(
+            [[sx, sy, sz] for sx in (-0.5, 0.5) for sy in (-0.5, 0.5)
+             for sz in (-0.5, 0.5)], np.float32)))
+    engine.add_system(renderer)
+    phys = PhysicsSystem(engine)
+    phys.ground_plane = ground
+    engine.add_system(phys)
+    world = engine.create_world(capacity=16)
+    return engine, world
+
+
+def test_instanced_cube_static_collision():
+    engine, world = _engine_with_renderer(ground=False)
+    e = world.create_entity(position=(0.0, 0.0, 0.0))
+    pts = np.array([[-3.0, 0.0, 0.0], [0.0, 0.0, 0.0], [3.0, 0.0, 0.0]],
+                   np.float32)
+    world.create_component(e, "instanced_model", model="physcube", count=3,
+                           positions=pts)
+    world.create_component(e, "instanced_cube", half_extents=(0.5, 0.5, 0.5))
+    ball = world.create_entity(position=(0.0, 3.0, 0.0))
+    world.create_component(ball, "rigid_actor", motion="dynamic",
+                           shape="sphere", radius=0.5, mass=1.0)
+    pm = world.modules["physics"]
+    st = pm.statics()
+    assert st.n_instanced == 3          # one static slot per instance
+    assert st.nb == pm.actors.capacity + 3
+    step = engine.build_step(world, donate=False)
+    s = world.device_state()
+    for _ in range(240):
+        s = step(s, jnp.float32(1 / 60))
+    ms = s.modules["physics"]
+    y = float(ms.pos[1, pm.actors.slot_of(ball)])
+    # rests ON the middle instanced cube (top 0.5 + radius 0.5), does not
+    # fall past it (no ground plane below)
+    assert 0.9 < y < 1.1, y
+    # the instanced statics never moved
+    assert np.allclose(np.asarray(ms.pos)[:, -3:], st.inst_pos, atol=1e-5)
+
+
+def test_instanced_mesh_static_collision_and_roundtrip():
+    engine, world = _engine_with_renderer(ground=False)
+    e = world.create_entity(position=(0.0, 0.0, 0.0))
+    world.create_component(e, "instanced_model", model="physcube", count=2,
+                           positions=np.array([[0.0, 0.0, 0.0],
+                                               [4.0, 0.0, 0.0]], np.float32),
+                           scales=np.full((2, 3), 2.0, np.float32))
+    world.create_component(e, "instanced_mesh", mesh="physcube")
+    ball = world.create_entity(position=(0.0, 4.0, 0.0))
+    world.create_component(ball, "rigid_actor", motion="dynamic",
+                           shape="sphere", radius=0.5, mass=1.0)
+    pm = world.modules["physics"]
+    st = pm.statics()
+    assert st.n_instanced == 2
+    # scaled cooked hull: 2x scale -> half-extent 1.0
+    assert abs(float(st.half_extents[1, -1]) - 1.0) < 0.05
+    step = engine.build_step(world, donate=False)
+    s = world.device_state()
+    for _ in range(240):
+        s = step(s, jnp.float32(1 / 60))
+    y = float(s.modules["physics"].pos[1, pm.actors.slot_of(ball)])
+    assert 1.35 < y < 1.6, y            # hull top 1.0 + radius 0.5 - slop
+    # serialization keeps both instanced components
+    from lumixengine_tpu.engine import serialize as ser
+    blob = ser.serialize_world(world)
+    engine2, _ = _engine_with_renderer(ground=False)
+    w2 = ser.load_world(engine2, blob)
+    pm2 = w2.modules["physics"]
+    assert len(pm2.instanced_meshes) == 1
+    assert pm2.statics().n_instanced == 2
