@@ -1,16 +1,19 @@
 #!/usr/bin/env python
 """Benchmark harness — the driver runs this on real TPU hardware.
 
-Default config: the BASELINE.md headline — "full fused frame": W vmapped
-worlds × N entities, one jitted donated step per frame running transform
-hierarchy propagation + frustum culling + skeletal animation (sampling, blend
-graphs, root motion, skinning palettes) + rigid-body physics + particle
-scripts. Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+Default config ("all"): every BASELINE.md config, driver-captured in one
+JSON line — the flagship "full fused frame" (W vmapped worlds × N entities,
+one jitted donated step per frame running transform hierarchy propagation +
+frustum culling + skeletal animation + rigid-body physics + particle scripts)
+as the headline metric, plus the 256-character skinned crowd, the 1M-particle
+stress, the 10k-box drop (with its zero-window-miss certificate), and the
+real demo-map tick under "configs".  Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "configs": …}
 vs_baseline = value / 1e8 entity-steps/sec/chip (the BASELINE.json target; the
-reference publishes no numbers — see BASELINE.md).
+reference publishes no numbers — see BASELINE.md); each sub-config's
+vs_baseline is against its own budget.
 
-Other configs for local exploration: --config demo|crowd|particles.
+Single configs: --config full|demo|crowd|particles|boxes|map.
 
 Measurement notes: this TPU is reached through a tunnel where
 ``block_until_ready`` does not reliably block and full-buffer readbacks are
@@ -111,11 +114,20 @@ def main_boxes(args):
     iib = np.tile(np.full((1, nb), 1.0 / (1.0 / 12 * 2.0), np.float32), (3, 1))
     fric = np.full(nb, 0.6, np.float32)
     rest = np.zeros(nb, np.float32)
-    # banded sweep-order pipeline: gather-free solve (ops/physics_banded.py)
+    # banded sweep-order pipeline: gather-free solve (ops/physics_banded.py).
+    # n_sweeps=4 is the guaranteed-coverage offset-column pipeline — the 22^3
+    # cubic pile puts ~480 boxes in each x-slab, far beyond any single-sweep
+    # rank window, so the classic sweep would silently drop most pile
+    # contacts.  The per-step zero-miss certificate is accumulated across the
+    # whole run and surfaced in the JSON (and zeroes vs_baseline if the
+    # simulation ever dropped a contact): the number measures COMPLETE
+    # physics or reports that it didn't.  warm_start carries accumulated
+    # contact impulses across frames (PhysX-style persistent contacts).
     from lumixengine_tpu.ops import physics_banded as PBD
 
     step = PBD.make_banded_world_step(shape, radius, he, dyn, inv_mass, iib,
-                                      fric, rest, neighbors=24)
+                                      fric, rest, neighbors=24,
+                                      n_sweeps=4, warm_start=True)
     side = int(np.ceil(nb ** (1 / 3)))
     grid = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1).reshape(-1, 3)[:nb]
     pos = jnp.asarray((grid * 1.1 + rng.uniform(0, 0.05, (nb, 3)) + [0.0, 2.0, 0.0]).T.astype(np.float32))
@@ -126,12 +138,14 @@ def main_boxes(args):
     @functools.partial(jax.jit, static_argnums=1)
     def run(carry, steps):
         def body(i, c):
-            pos, rot, vel, ang, _ = step(c[0], c[1], c[2], c[3], jnp.float32(args.dt))
-            return (pos, rot, vel, ang, c[4])
-        pos, rot, vel, ang, _ = jax.lax.fori_loop(0, steps, body, carry)
-        return (pos, rot, vel, ang, jnp.int32(0)), jnp.sum(pos) + jnp.sum(vel)
+            pos, rot, vel, ang, ctr, warm = step(c[0], c[1], c[2], c[3],
+                                                 jnp.float32(args.dt), c[5])
+            return (pos, rot, vel, ang,
+                    c[4] + ctr["sap_window_miss"], warm)
+        c = jax.lax.fori_loop(0, steps, body, carry)
+        return c, jnp.sum(c[0]) + jnp.sum(c[2])
 
-    carry = (pos, rot, vel, ang, jnp.int32(0))
+    carry = (pos, rot, vel, ang, jnp.int32(0), step.init_carry())
     carry, probe = run(carry, args.steps)
     _ = float(probe)
     best = float("inf")
@@ -140,16 +154,21 @@ def main_boxes(args):
         carry, probe = run(carry, args.steps)
         _ = float(probe)
         best = min(best, time.perf_counter() - t0)
+    miss = int(carry[4])
     value = nb * args.steps / best
     print(json.dumps({
         "metric": "body_steps_per_sec_per_chip",
         "value": value,
         "unit": "body-steps/s",
         # this config's budget: the full 10k-box scene at 60 FPS
-        # (the 1e8 entity-steps target belongs to the flagship config)
-        "vs_baseline": value / (nb * 60.0),
+        # (the 1e8 entity-steps target belongs to the flagship config).
+        # A nonzero window-miss certificate means contacts were dropped and
+        # the number does not measure complete physics — fail it outright.
+        "vs_baseline": (value / (nb * 60.0)) if miss == 0 else 0.0,
         "config": {"config": "boxes", "bodies": nb, "steps": args.steps,
-                   "elapsed_s": round(best, 4), "backend": jax.default_backend()},
+                   "elapsed_s": round(best, 4), "sap_window_miss": miss,
+                   "warm_start": True, "sweeps": 4,
+                   "backend": jax.default_backend()},
     }))
     return 0
 
@@ -193,11 +212,62 @@ def main_map(args):
     return 0
 
 
+def main_all(args):
+    """Driver-capture EVERY BASELINE.md config in one JSON line.
+
+    Each config runs in its own subprocess (sequentially — the TPU tunnel is
+    single-tenant, and per-config process isolation keeps HBM fragmentation
+    from one config out of the next).  The headline metric stays the flagship
+    full-fused-frame entity-steps/s so vs_baseline keeps its meaning; the
+    other four configs land under "configs" with their own vs_baseline
+    (each against its own budget — see BASELINE.md "Configs" row).
+    """
+    import os
+    import subprocess
+    import sys
+
+    jobs = [
+        ("full", ["--config", "full"]),
+        ("crowd", ["--config", "crowd", "--characters", "256"]),
+        ("particles", ["--config", "particles"]),
+        ("boxes", ["--config", "boxes"]),
+        ("map", ["--config", "map"]),
+    ]
+    results = {}
+    for name, extra_args in jobs:
+        cmd = [sys.executable, os.path.abspath(__file__)] + extra_args + [
+            "--steps", str(args.steps), "--trials", str(args.trials)]
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=2400)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")]
+            if out.returncode == 0 and line:
+                results[name] = json.loads(line[-1])
+            else:
+                results[name] = {"error": (out.stderr or out.stdout)[-400:],
+                                 "returncode": out.returncode}
+        except subprocess.TimeoutExpired:
+            results[name] = {"error": "timeout (2400s)"}
+    head = results.get("full", {})
+    print(json.dumps({
+        "metric": head.get("metric", "entity_steps_per_sec_per_chip"),
+        "value": head.get("value", 0.0),
+        "unit": head.get("unit", "entity-steps/s"),
+        "vs_baseline": head.get("vs_baseline", 0.0),
+        "configs": {k: {kk: v[kk] for kk in
+                        ("metric", "value", "unit", "vs_baseline", "config",
+                         "error") if kk in v}
+                    for k, v in results.items() if k != "full"},
+    }))
+    return 0
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--config", default="full",
-                   choices=["full", "demo", "crowd", "particles", "boxes",
-                            "map"])
+    p.add_argument("--config", default="all",
+                   choices=["all", "full", "demo", "crowd", "particles",
+                            "boxes", "map"])
     p.add_argument("--map", default=None)
     # 4096 worlds x 10240 entities = the BASELINE.md flagship config. Fits in
     # 16G HBM since the narrowphase layout fix + bf16 incidence (1024 worlds
@@ -217,6 +287,8 @@ def main():
         args.worlds = 1
         if args.particles == 2048:
             args.particles = 1_000_000
+    if args.config == "all":
+        return main_all(args)
     if args.config == "boxes":
         return main_boxes(args)
     if args.config == "map":
