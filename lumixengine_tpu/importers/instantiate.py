@@ -602,10 +602,25 @@ def instantiate_scene(scene: Dict[str, Any],
                                spring_damper_rate=wrec["spring_damper_rate"],
                                slot=wrec["slot"])
         report["wheel"] += 1
+    # instanced static collision (≙ physics_module.cpp:3572-3591 deserialize
+    # → initInstancedCubes/initInstancedMeshes at startGame): the physics
+    # module materializes one static actor per render InstancedModel instance
     for ic in p.get("instanced_cubes", []):
-        report["instanced_cube_todo"] += 1
+        e = ent(ic["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "instanced_cube",
+                               half_extents=np.asarray(ic["half_extents"],
+                                                       np.float32),
+                               layer=int(ic["layer"]))
+        report["instanced_cube"] += 1
     for imh in p.get("instanced_meshes", []):
-        report["instanced_mesh_todo"] += 1
+        e = ent(imh["entity"])
+        if e is None:
+            continue
+        world.create_component(e, "instanced_mesh", mesh=imh.get("mesh", ""),
+                               layer=int(imh["layer"]))
+        report["instanced_mesh"] += 1
 
     # -- animation ------------------------------------------------------------------
     for an in a.get("animables", []):
@@ -650,9 +665,14 @@ def instantiate_scene(scene: Dict[str, Any],
         ex = np.asarray(z["extents"], np.float32)
         pos, _, _ = world.get_global_transform(e)
         cell = max(float(z.get("cell_size", 0.3)) * 2.0, 0.5)
+        # guid keys the shipped compiled navmesh (navzones/<guid>.nav, ≙
+        # NavigationModule::loadZone) — the module rasterizes its walkable
+        # polygon set into the zone grid when the file is found
         world.create_component(e, "nav_zone",
                                origin=(pos[0] - ex[0], pos[2] - ex[2]),
-                               size=(2 * ex[0], 2 * ex[2]), cell=cell)
+                               size=(2 * ex[0], 2 * ex[2]), cell=cell,
+                               guid=int(z.get("guid", 0)),
+                               nav_dirs=data_dirs)
         report["nav_zone"] += 1
     for ag in nav.get("agents", []):
         e = ent(ag["entity"])

@@ -7,12 +7,18 @@ zones.
 
 TPU re-architecture: a zone is a regular walkable GRID (the Recast voxel field
 without the polygonization — on TPU the grid IS the fast representation):
-  * bake: host rasterizes static physics boxes/spheres into blocked cells
+  * walkable source: the reference's SHIPPED compiled navmeshes load directly
+    (navzones/<guid>.nav → importers/navmesh.py Detour tile decode →
+    rasterized polygons), with host physics-primitive baking as the
+    no-navmesh fallback
   * pathfinding: host A* on the grid per set_destination request (the slow
     path, like Detour's findPath), producing capacity-bounded waypoint lists
-  * steering: the device step moves ALL agents each frame — waypoint seeking +
-    O(A²) pairwise separation (dtCrowd's local avoidance, vectorized) +
-    arrival damping — and writes entity locals back
+  * steering: the device step moves ALL agents each frame — waypoint seeking
+    + sampled velocity-obstacle avoidance (≙ dtCrowd's
+    dtObstacleAvoidanceQuery::sampleVelocityAdaptive: head-on streams route
+    around each other) + pairwise separation as the overlap resolver —
+    dense O(A²) below 256 agents, x-sorted K-window O(A·K) above — and
+    writes entity locals back
 Zone serialization = the grid + params (".nav" analog).
 """
 from __future__ import annotations
@@ -35,6 +41,7 @@ MAX_WAYPOINTS = 32
 @struct.dataclass
 class NavState:
     agent_pos: jnp.ndarray     # f32 [3, A] (authoritative while navigating)
+    agent_vel: jnp.ndarray     # f32 [2, A] last chosen xz velocity (VO input)
     waypoints: jnp.ndarray     # f32 [2, W, A] xz waypoints
     wp_count: jnp.ndarray      # int32 [A]
     wp_index: jnp.ndarray      # int32 [A] current target waypoint
@@ -51,6 +58,8 @@ class NavZone:
         self.w = int(round(size[0] / cell))
         self.h = int(round(size[1] / cell))
         self.walkable = np.ones((self.h, self.w), bool)
+        self.guid = 0                 # reference navzone guid (.nav file)
+        self.from_navmesh = False     # walkable came from a shipped .nav
 
     def to_cell(self, x: float, z: float) -> Tuple[int, int]:
         cx = int((x - self.origin[0]) / self.cell)
@@ -183,6 +192,14 @@ class NavigationModule(IModule):
         # separation regime switch: dense O(A²) below, x-sorted window above
         self.separation_window_threshold = 256
         self.separation_window = 24
+        # local avoidance: "vo" = sampled velocity obstacles (≙ dtCrowd
+        # dtObstacleAvoidanceQuery::sampleVelocity* — head-on streams route
+        # around each other), "separation" = push-apart only (legacy)
+        self.avoidance = "vo"
+        # candidate steering angles (radians, relative to desired velocity);
+        # each also sampled at half speed, plus a stop candidate
+        self.vo_angles = (0.0, 0.45, -0.45, 0.95, -0.95, 1.6, -1.6)
+        self.vo_horizon = 2.5        # seconds of look-ahead (≙ dtCrowd horizTime)
         self._pending_paths: Dict[int, np.ndarray] = {}
         self._statics = None
         self._statics_version = -1
@@ -199,6 +216,29 @@ class NavigationModule(IModule):
             self.zone = NavZone(origin=props.get("origin", (0.0, 0.0)),
                                 size=props.get("size", (64.0, 64.0)),
                                 cell=props.get("cell", 1.0))
+            self.zone.guid = int(props.get("guid", 0))
+            # the reference SHIPS compiled navmeshes (navzones/<guid>.nav,
+            # ≙ NavigationModule::loadZone) — when one exists, its walkable
+            # polygon set replaces the all-walkable default; the physics
+            # re-bake at start_game then only ADDS obstacles on top
+            if self.zone.guid:
+                from lumixengine_tpu.importers import navmesh as nvm
+
+                dirs = props.get("nav_dirs") or getattr(
+                    self.system.engine, "nav_search_dirs", ())
+                try:
+                    nav = nvm.load_nav_zone(self.zone.guid, dirs)
+                except Exception as exc:   # corrupt/uncodecable zone file
+                    from lumixengine_tpu.core.log import log_warning
+                    log_warning("navigation",
+                                f"navzone {self.zone.guid}: {exc}")
+                    nav = None
+                if nav is not None:
+                    self.zone.walkable = nvm.rasterize_walkable(
+                        nav, tuple(self.zone.origin),
+                        (self.zone.w * self.zone.cell,
+                         self.zone.h * self.zone.cell), self.zone.cell)
+                    self.zone.from_navmesh = True
         else:
             raise KeyError(ctype)
 
@@ -252,6 +292,7 @@ class NavigationModule(IModule):
                 pos[:, slot] = self.world.get_global_transform(e)[0]
         return NavState(
             agent_pos=jnp.asarray(pos),
+            agent_vel=jnp.zeros((2, a), jnp.float32),
             waypoints=jnp.zeros((2, MAX_WAYPOINTS, a), jnp.float32),
             wp_count=jnp.zeros(a, jnp.int32),
             wp_index=jnp.zeros(a, jnp.int32),
@@ -298,6 +339,99 @@ class NavigationModule(IModule):
         # unsort back to agent order
         return jnp.zeros_like(sep_s).at[..., :, ordx].set(sep_s)
 
+    def _vo_candidates(self, des):
+        """Candidate velocity set: the desired velocity rotated by the fixed
+        vo_angles at full and half speed, plus a stop sample → [S, 2, A]."""
+        ca = np.cos(self.vo_angles).astype(np.float32)
+        sa = np.sin(self.vo_angles).astype(np.float32)
+        dx, dz = des[..., 0, :], des[..., 1, :]
+        rx = ca[:, None] * dx[..., None, :] - sa[:, None] * dz[..., None, :]
+        rz = sa[:, None] * dx[..., None, :] + ca[:, None] * dz[..., None, :]
+        full = jnp.stack([rx, rz], axis=-2)              # [.., S0, 2, A]
+        cands = jnp.concatenate(
+            [full, 0.5 * full, jnp.zeros_like(full[..., :1, :, :])], axis=-3)
+        return cands                                      # [.., S, 2, A]
+
+    @staticmethod
+    def _ttc(d, rv, rad):
+        """Time to collision of a relative circle (radius `rad`, separation
+        `d`, closing velocity `rv`): smallest t ≥ 0 with |d - rv·t| = rad,
+        +inf when diverging / missing, 0 when already overlapping."""
+        a = jnp.sum(rv * rv, axis=-2)
+        b = jnp.sum(d * rv, axis=-2)                      # >0 ⇒ closing
+        c = jnp.sum(d * d, axis=-2) - rad * rad
+        disc = b * b - a * c
+        hit = (disc >= 0.0) & (b > 0.0)
+        t = (b - jnp.sqrt(jnp.maximum(disc, 0.0))) / jnp.maximum(a, 1e-9)
+        t = jnp.where(c <= 0.0, 0.0, jnp.where(hit & (t >= 0.0), t, jnp.inf))
+        return t
+
+    def _sample_velocity(self, st, pos_xz, des, nvel, mask):
+        """Sampled velocity-obstacle avoidance (≙ dtObstacleAvoidanceQuery::
+        sampleVelocityAdaptive driven from dtCrowd::update,
+        /root/reference/src/navigation/navigation_module.cpp initCrowd):
+        every candidate velocity is scored by deviation from the desired
+        velocity plus an inverse time-to-collision penalty against neighbor
+        agents (circles moving at their last chosen velocity); the cheapest
+        candidate wins. Dense O(S·A²) below the window threshold, x-sorted
+        K-window O(S·A·K) above — same regime split as _separation."""
+        rr = jnp.asarray(st["radius"])
+        a_cap = pos_xz.shape[-1]
+        cands = self._vo_candidates(des)                  # [.., S, 2, A]
+        S = cands.shape[-3]
+        horizon = self.vo_horizon
+        w_vel, w_toi = 0.15, 1.0
+
+        dev = jnp.sqrt(jnp.maximum(jnp.sum(
+            (cands - des[..., None, :, :]) ** 2, axis=-2), 1e-12))
+
+        if a_cap <= self.separation_window_threshold:
+            # layout [.., S, Ai, 2, Aj] so _ttc's component axis stays at -2
+            d = (pos_xz[..., None, :, :]
+                 - jnp.swapaxes(pos_xz, -1, -2)[..., :, :, None])  # [Ai,2,Aj]
+            rv = (jnp.swapaxes(cands, -1, -2)[..., :, :, None]
+                  - nvel[..., None, :, :])                 # [.., S, Ai, 2, Aj]
+            rad = rr[None, :] + rr[:, None] + 0.05         # [Ai, Aj]
+            t = self._ttc(d, rv, rad)                      # [.., S, Ai, Aj]
+            valid = (mask[..., None, :] & mask[..., :, None]
+                     & ~jnp.eye(a_cap, dtype=bool))
+            t = jnp.where(valid[..., None, :, :], t, jnp.inf)
+            tmin = jnp.min(t, axis=-1)                     # [.., S, A]
+        else:
+            k = self.separation_window
+            ordx = jnp.argsort(jnp.where(mask, pos_xz[..., 0, :], 1e9))
+            sp = jnp.take(pos_xz, ordx, axis=-1)
+            sr = jnp.take(rr, ordx)
+            sm = jnp.take(mask, ordx)
+            sv = jnp.take(nvel, ordx, axis=-1)
+            sc = jnp.take(cands, ordx, axis=-1)            # [.., S, 2, A]
+            tmin_s = jnp.full(sc.shape[:-2] + (a_cap,), jnp.inf)
+            for off in range(1, k + 1):
+                pa = sp[..., :, :a_cap - off]
+                pb = sp[..., :, off:]
+                d = pb - pa                                # [2, A-off]
+                rad = sr[:a_cap - off] + sr[off:] + 0.05
+                pair_ok = sm[:a_cap - off] & sm[off:]
+                # i's candidates vs neighbor i+off's current velocity
+                rv_a = sc[..., :, :, :a_cap - off] - sv[..., None, :, off:]
+                t_a = self._ttc(d[..., None, :, :], rv_a, rad)
+                t_a = jnp.where(pair_ok, t_a, jnp.inf)
+                tmin_s = tmin_s.at[..., :, :a_cap - off].min(t_a)
+                # (i+off)'s candidates vs neighbor i's current velocity
+                rv_b = sc[..., :, :, off:] - sv[..., None, :, :a_cap - off]
+                t_b = self._ttc((-d)[..., None, :, :], rv_b, rad)
+                t_b = jnp.where(pair_ok, t_b, jnp.inf)
+                tmin_s = tmin_s.at[..., :, off:].min(t_b)
+            tmin = jnp.zeros_like(tmin_s).at[..., ordx].set(tmin_s)
+
+        pen = jnp.where(tmin < horizon,
+                        w_toi * (1.0 - tmin / horizon), 0.0)
+        cost = w_vel * dev + pen                           # [.., S, A]
+        best = jnp.argmin(cost, axis=-2)                   # [.., A]
+        chosen = jnp.take_along_axis(
+            cands, best[..., None, None, :], axis=-3)[..., 0, :, :]
+        return jnp.where(mask[..., None, :], chosen, des)
+
     # -- phases (≙ navigation_module.cpp update: dtCrowd step) -----------------------
 
     def update(self, state: WorldState, dt) -> WorldState:
@@ -318,7 +452,16 @@ class NavigationModule(IModule):
 
         sep = self._separation(st, pos_xz, mask)
 
-        vel = seek * jnp.where(navigating, ns.speed, 0.0)[..., None, :] + sep * 2.0
+        des = seek * jnp.where(navigating, ns.speed, 0.0)[..., None, :]
+        if self.avoidance == "vo":
+            # sampled velocity obstacles steer AROUND predicted collisions
+            # (≙ dtCrowd's obstacle avoidance); separation stays on as the
+            # overlap resolver of last resort
+            chosen = self._sample_velocity(st, pos_xz, des, ns.agent_vel,
+                                           mask)
+        else:
+            chosen = des
+        vel = chosen + sep * 2.0
         new_xz = pos_xz + vel * dt
         agent_pos = ns.agent_pos.at[..., 0, :].set(jnp.where(mask, new_xz[..., 0, :], ns.agent_pos[..., 0, :]))
         agent_pos = agent_pos.at[..., 2, :].set(jnp.where(mask, new_xz[..., 1, :], ns.agent_pos[..., 2, :]))
@@ -334,7 +477,7 @@ class NavigationModule(IModule):
             state = state.replace(local=local)
 
         ns = ns.replace(
-            agent_pos=agent_pos, wp_index=wp_index,
+            agent_pos=agent_pos, wp_index=wp_index, agent_vel=chosen,
             counters={"navigating": jnp.sum(navigating).astype(jnp.int32)},
         )
         return state.replace(modules={**state.modules, self.name: ns})
