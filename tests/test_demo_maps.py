@@ -47,7 +47,8 @@ def test_map_component_counts(name, expect):
 
 
 @pytest.mark.parametrize("name", [
-    "demo/demo.unv", "tetris/tetris.unv", "particles/particles.unv",
+    pytest.param("demo/demo.unv", marks=pytest.mark.slow),  # 39 actors + lua
+    "tetris/tetris.unv", "particles/particles.unv",
 ])
 def test_small_maps_tick(name):
     inst = load_world(f"/root/reference/demo/maps/{name}")
@@ -82,6 +83,7 @@ def test_stress_map_counts():
     assert inst.world.modules["physics"].sap_active()
 
 
+@pytest.mark.slow
 def test_anp_property_animators_drive_demo_platform():
     """demo.unv's moving platform (platform.anp Position X curve) and the
     pulsing button labels (Scale X/Y) import and animate in the fused step

@@ -259,6 +259,7 @@ def test_lua_property_application():
     assert env.call("check") == 5.0
 
 
+@pytest.mark.slow
 def test_demo_map_scripts_run_clean():
     """demo.unv: all 11 shipped scripts (player, buttons, coroutine lib, AI,
     color tickers) execute with zero runtime errors; stored entity properties

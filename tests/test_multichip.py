@@ -70,6 +70,7 @@ def test_sharded_step_multiple_steps_and_donation(demo_step):
     assert int(metrics["visible_total"]) >= 0
 
 
+@pytest.mark.slow
 def test_dryrun_worker_inprocess():
     """The exact body the driver's subprocess runs, on the conftest devices."""
     from lumixengine_tpu.parallel import dryrun

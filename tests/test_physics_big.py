@@ -1,5 +1,6 @@
 """Dynamic-pair (SAP) pipeline for large single worlds — BASELINE config 3."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -149,6 +150,7 @@ def test_banded_step_matches_dynamic_step():
     assert float(np.median(speeds)) < 0.5
 
 
+@pytest.mark.slow
 def test_engine_banded_mode_matches_sap_mode():
     """The engine's banded rank-space solve (default at SAP scale) matches
     the segment_sum SAP path on the same scene."""
@@ -189,6 +191,7 @@ def test_engine_banded_mode_matches_sap_mode():
     np.testing.assert_allclose(pos_band, pos_sap, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_engine_banded_with_sdf_collider():
     """SDF mesh colliders work under the banded large-world mode (body-major
     candidate grids): spheres dropped on a slab mesh rest on it."""
@@ -306,6 +309,7 @@ def test_multi_sweep_certificate_and_settle():
     assert (ys > 0.3).all(), ys.min()   # nothing fell through the ground
 
 
+@pytest.mark.slow
 def test_engine_multi_sweep_dense_stack():
     """Engine banded path with sap_sweeps=4 (the default): a dense 3x3x3
     box block keeps its contacts (certificate zero) and rests on ground."""

@@ -245,6 +245,7 @@ def test_ccd_prevents_tunneling_through_thin_mesh():
 # grids, so the default-at-scale mode is exact like PhysX PCM
 # (reference src/physics/physics_module.cpp:1870-1877).
 
+@pytest.mark.slow
 def test_banded_convex_tetra_ground_exact():
     tet = np.array([[0.0, 0.5, 0.0], [0.5, -0.5, 0.5],
                     [-0.5, -0.5, 0.5], [0.0, -0.5, -0.5]], np.float32)
@@ -265,6 +266,7 @@ def test_banded_convex_tetra_ground_exact():
     assert 0.35 < y < 0.62, y
 
 
+@pytest.mark.slow
 def test_banded_convex_stack_matches_static_mode():
     """The banded-vs-static parity gate on convex-convex PAIRS: a dynamic
     cube-hull resting on another settles deterministically — identical
@@ -305,6 +307,7 @@ def test_banded_convex_stack_matches_static_mode():
     assert 0.42 < p_banded[1].min() < 0.60, p_banded[1]
 
 
+@pytest.mark.slow
 def test_banded_convex_pile_settles_on_geometry():
     """Chaotic random-hull pile through the banded path: trajectories are
     chaotic (not pose-comparable across solver orders), so gate on settle
@@ -352,6 +355,7 @@ def test_banded_convex_pile_settles_on_geometry():
     assert p[1].min() < 0.52, p[1]
 
 
+@pytest.mark.slow
 def test_banded_convex_stack_on_static_box():
     """Convex-on-box pair through the banded path (mixed shape pair —
     box participates as its 8-corner polytope in the SAT merge)."""

@@ -17,7 +17,12 @@ def test_stable_hashes():
     assert stable_hash64("hello") == stable_hash64(b"hello")
     assert stable_hash64("hello") != stable_hash64("hellp")
     assert 0 <= stable_hash32("x") < 2**32
-    assert bone_name_hash("Spine") == bone_name_hash("spine")
+    # BoneNameHash = StableHash = raw XXH3 over the name (hash.h:76,
+    # hash.cpp:13-15) — case-SENSITIVE, bit-exact with the reference so
+    # serialized .unv bone references resolve against FBX bone names
+    assert bone_name_hash("Spine") != bone_name_hash("spine")
+    assert bone_name_hash("Spine") == stable_hash64("Spine")
+    # FilePathHash normalizes slashes + case before hashing (path.cpp)
     assert file_path_hash("a\\b/C.tex") == file_path_hash("a/b/c.tex")
 
 
