@@ -194,7 +194,7 @@ def project_positions_dynamic(
     return pos + dpos
 
 
-def compact_pairs(pa, pb, ok, budget: int):
+def compact_pairs(pa, pb, ok, budget: int, body_count=None):
     """Compact the overlapping candidate pairs into a fixed budget (stable
     order). The SAP window emits NB·K candidates but only the AABB-overlapping
     few percent do narrowphase/solver work — every per-slot op downstream is
@@ -203,10 +203,33 @@ def compact_pairs(pa, pb, ok, budget: int):
     pruned broadphase). Returns (pa_c, pb_c, valid [budget], overflow)."""
     pn = pa.shape[-1]
     iota = jnp.arange(pn, dtype=jnp.int32)
+    overflow = jnp.maximum(jnp.sum(ok.astype(jnp.int32)) - budget, 0)
+    # Zero-gather compaction when the payload fits an int32 top_k key:
+    # gathers of pa/pb/ok by top_k indices get placed on the sequential TPU
+    # SCALAR core at these shapes (~2-4 ms for 400k lanes, measured — it was
+    # the single largest flagship frame cost), so instead the PAYLOAD rides
+    # inside the sort key: key = rank·nb² + (pa·nb + pb), rank = ok-major
+    # recency order (unique per candidate). top_k orders by rank (high
+    # bits); pa/pb/ok decode from the VALUES with pure vector arithmetic.
+    if isinstance(pa, np.ndarray):
+        max_id = int(max(pa.max(initial=0), pb.max(initial=0))) + 1
+    else:
+        max_id = body_count  # traced pair lists: caller-provided bound
+    if max_id is not None and 2 * (pn + 1) * max_id * max_id < 2**31:
+        m = max_id * max_id
+        rank = jnp.where(ok, 2 * pn - iota, pn - iota)      # unique, ok-major
+        payload = jnp.asarray(pa * max_id + pb, jnp.int32)
+        packed, _ = jax.lax.top_k(rank * m + payload, budget)
+        rank_c = packed // m
+        pid = packed - rank_c * m
+        pa_c = (pid // max_id).astype(jnp.int32)
+        pb_c = (pid - (pid // max_id) * max_id).astype(jnp.int32)
+        return pa_c, pb_c, rank_c > pn, overflow
+
     prio = jnp.where(ok, pn - iota, -iota)
     _, idx = jax.lax.top_k(prio, budget)
     return (jnp.take(pa, idx), jnp.take(pb, idx), jnp.take(ok, idx),
-            jnp.maximum(jnp.sum(ok.astype(jnp.int32)) - budget, 0))
+            overflow)
 
 
 def make_big_world_step(
@@ -241,7 +264,8 @@ def make_big_world_step(
         # compact to the overlapping few percent (7x fewer slots at 10k —
         # traced-gather cost downstream scales with slot count)
         budget = pair_budget or min(8 * nb, pa.shape[-1])
-        pa, pb, ok, overflow = compact_pairs(pa, pb, ok, budget)
+        pa, pb, ok, overflow = compact_pairs(pa, pb, ok, budget,
+                                             body_count=nb)
         miss = miss + overflow
         # narrowphase on dynamic pairs (reuses the static-path math with
         # dynamically gathered per-pair data)

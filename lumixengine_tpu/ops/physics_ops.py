@@ -225,6 +225,27 @@ def _point_in_box_depth(points, box_pos, box_rot, he):
     return depth, n_world
 
 
+def gather_cols_onehot(x, idx, nb: int):
+    """Column gather x[..., idx] (last axis NB, traced indices) as a P-minor
+    one-hot broadcast-multiply-reduce. At the engine's shapes XLA lowers the
+    direct traced-index gather badly twice over: f32 vector gathers
+    materialize [.., P, c]-major tiles whose c-minor 128-lane padding wastes
+    ~40x HBM, and s32/pred gathers get placed on the sequential SCALAR core
+    (~2-4 ms for 400k elements — measured, tools/roofline.py trace). The
+    elementwise one-hot form keeps P minor on the vector units and fuses
+    into the surrounding narrowphase math. Only worth it for small NB
+    (one-hot is [NB, P] per batch element); callers gate on nb."""
+    oh = (idx[..., None, :] == jnp.arange(nb, dtype=idx.dtype)[:, None])
+    fdt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    ohf = oh.astype(fdt)
+    xf = x.astype(fdt)
+    if x.ndim == idx.ndim:                       # x [.., NB] → [.., P]
+        out = jnp.sum(xf[..., :, None] * ohf, axis=-2)
+    else:                                        # x [.., c, NB] → [.., c, P]
+        out = jnp.sum(xf[..., :, :, None] * ohf[..., None, :, :], axis=-2)
+    return out if fdt == x.dtype else out.astype(x.dtype)
+
+
 def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
                   points_per_pair: int = 4):
     """Narrowphase over the static pair list.
@@ -236,8 +257,16 @@ def pair_contacts(pos, rot, shape, radius, half_extents, pair_a, pair_b,
     pa_i = jnp.asarray(pair_a)
     pb_i = jnp.asarray(pair_b)
     k = points_per_pair
+    nb = pos.shape[-1]
+    # traced pair indices + small NB: gather via the P-minor one-hot form
+    # (see gather_cols_onehot — avoids scalar-core gathers and c-minor
+    # padded tiles, the top frame cost at the flagship config)
+    traced = not isinstance(pair_a, np.ndarray)
+    use_onehot = traced and nb <= 128
 
     def take(x, idx):
+        if use_onehot:
+            return gather_cols_onehot(x, idx, nb)
         return jnp.take(x, idx, axis=-1)
 
     pos_a, pos_b = take(pos, pa_i), take(pos, pb_i)

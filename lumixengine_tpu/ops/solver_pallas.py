@@ -42,12 +42,13 @@ def _cross3(a, b, axis=1):
     ], axis=axis)
 
 
-def _make_kernel(iterations: int, wt: int, nb: int, c: int):
+def _make_kernel(iterations: int, wt: int, nb: int, c: int,
+                 position_iterations: int):
     def kernel(inc_a, inc_b, inv_mass, II,
                vel, angvel, r_a, r_b, n, t1, t2,
                k_n, k_t1, k_t2, v_target, mu, act, relax,
-               ln0, lt10, lt20,
-               vel_out, ang_out, ln_out, lt1_out, lt2_out):
+               ln0, lt10, lt20, e0_p, relax_p, k_lin,
+               vel_out, ang_out, ln_out, lt1_out, lt2_out, dpos_out):
         dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
         # incidence may arrive bf16 (exact 0/1; halves HBM traffic) — cast
         # once into VMEM for the MXU contractions
@@ -131,6 +132,33 @@ def _make_kernel(iterations: int, wt: int, nb: int, c: int):
         lt1_out[:] = lt1
         lt2_out[:] = lt2
 
+        # split-impulse position projection fused into the same launch
+        # (≙ physics_ops.project_positions): dpos depends only on the
+        # contact set, never on the integrated positions, so the engine can
+        # add it AFTER integrate_positions — identical semantics, and the
+        # 3-iteration jnp fori_loop (~25 kernels/iteration) disappears.
+        e0p = e0_p[:]
+        rlxp = relax_p[:]
+        klin = k_lin[:]
+
+        def pbody(_, carry):
+            dpos, lam = carry
+            sep = dot_rows(gather(dpos, ib) - gather(dpos, ia), nn)
+            dlam = (e0p - sep) / klin * rlxp
+            new_lam = jnp.maximum(lam + dlam, 0.0)
+            dlam = (new_lam - lam) * a
+            step_vec = nn * dlam
+            dpos = dpos + (scatter(step_vec, ib.T)
+                           - scatter(step_vec, ia.T)) * im[None]
+            return dpos, new_lam
+
+        dpos = jnp.zeros((wt, 3, nb), jnp.float32)
+        if position_iterations > 0:
+            dpos, _ = jax.lax.fori_loop(
+                0, position_iterations, pbody,
+                (dpos, jnp.zeros((wt, 1, c), jnp.float32)))
+        dpos_out[:] = dpos
+
     return kernel
 
 
@@ -145,14 +173,25 @@ def solve_contacts_fused(
     baumgarte: float = 0.2,
     slop: float = 0.005,
     relaxation: float = 0.75,
-    world_tile: int = 8,
+    world_tile: int = 0,
     interpret: bool = False,
     warm_lambdas=None,
     return_lambdas: bool = False,
+    position_iterations: int = 0,
+    proj_relaxation: float = 0.8,
+    return_dpos: bool = False,
 ):
     """Drop-in replacement for physics_ops.solve_contacts (parity-tested).
-    Works unbatched [3,NB] or world-batched [W,3,NB] (W % world_tile == 0,
-    else the tile shrinks to 1)."""
+    Works unbatched [3,NB] or world-batched [W,3,NB].
+
+    world_tile=0 picks the largest VMEM-fitting divisor of W (bigger tiles →
+    fatter [wt·6, C] MXU contractions; the wt=8 default left the systolic
+    array at ~10% row occupancy at the flagship shapes).
+
+    position_iterations>0 additionally runs the split-impulse position
+    projection INSIDE the kernel and (with return_dpos) returns dpos [.,3,NB]
+    for the caller to add after integrate_positions — dpos depends only on
+    the contact set, so fusing it here is exact (≙ project_positions)."""
     batched = pos.ndim == 3
     inc_a_j = jnp.asarray(incidence_a)
     inc_b_j = jnp.asarray(incidence_b)
@@ -207,6 +246,10 @@ def solve_contacts_fused(
         jnp.einsum("...n,nc->...c", deg, inc_b_j,
                    preferred_element_type=jnp.float32)), 1.0)
     relax_c = jnp.minimum(relaxation, 1.6 / deg_c)
+    relax_p = jnp.minimum(proj_relaxation, 1.6 / deg_c)
+    e0_p = jnp.where(contacts.active,
+                     jnp.maximum(contacts.depth - slop, 0.0), 0.0)
+    k_lin = jnp.maximum(im_a + im_b, 1e-9)
 
     up = (lambda x: x) if batched else (lambda x: x[None])
 
@@ -218,12 +261,24 @@ def solve_contacts_fused(
     w = vel_b.shape[0]
     nb = vel_b.shape[-1]
     c = pt.shape[-1]
+    if world_tile <= 0:
+        # largest divisor of w whose VMEM working set fits (~12 MB budget;
+        # ≈ 230 B per (world, contact-slot) of tile-resident rows and
+        # intermediates, plus the shared incidence pair)
+        fixed = 8 * nb * c
+        world_tile = 1
+        for cand in (32, 16, 8, 4, 2):
+            if w % cand == 0 and cand * c * 230 + fixed < 12e6:
+                world_tile = cand
+                break
     wt = world_tile if (w % world_tile == 0) else 1
     grid = (w // wt,)
 
     arrs3 = [jnp.broadcast_to(up(x), (w, 3, c)) for x in (r_a, r_b, n, t1, t2)]
     rows1 = [jnp.broadcast_to(row(x), (w, 1, c))
              for x in (k_n, k_t1, k_t2, v_target, act, relax_c)]
+    proj_rows = [jnp.broadcast_to(row(x), (w, 1, c))
+                 for x in (e0_p, relax_p, k_lin)]
     if warm_lambdas is None:
         zrow = jnp.zeros((w, 1, c), jnp.float32)
         warm_rows = [zrow, zrow, zrow]
@@ -241,8 +296,8 @@ def solve_contacts_fused(
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    kernel = _make_kernel(iterations, wt, nb, c)
-    vel_o, ang_o, ln_o, lt1_o, lt2_o = pl.pallas_call(
+    kernel = _make_kernel(iterations, wt, nb, c, position_iterations)
+    vel_o, ang_o, ln_o, lt1_o, lt2_o, dpos_o = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -252,25 +307,30 @@ def solve_contacts_fused(
             pw((1, c)), pw((1, c)), pw((1, c)), pw((1, c)),
             bc((1, c)), pw((1, c)), pw((1, c)),
             pw((1, c)), pw((1, c)), pw((1, c)),
+            pw((1, c)), pw((1, c)), pw((1, c)),
         ],
         out_specs=(pw((3, nb)), pw((3, nb)),
-                   pw((1, c)), pw((1, c)), pw((1, c))),
+                   pw((1, c)), pw((1, c)), pw((1, c)), pw((3, nb))),
         out_shape=(
             jax.ShapeDtypeStruct((w, 3, nb), jnp.float32),
             jax.ShapeDtypeStruct((w, 3, nb), jnp.float32),
             jax.ShapeDtypeStruct((w, 1, c), jnp.float32),
             jax.ShapeDtypeStruct((w, 1, c), jnp.float32),
             jax.ShapeDtypeStruct((w, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((w, 3, nb), jnp.float32),
         ),
         interpret=interpret,
     )(jnp.asarray(incidence_a), jnp.asarray(incidence_b), im2,
       II_w, vel_b, ang_b, *arrs3, *rows1[:4], mu2, rows1[4], rows1[5],
-      *warm_rows)
+      *warm_rows, *proj_rows)
     if not batched:
-        vel_o, ang_o = vel_o[0], ang_o[0]
+        vel_o, ang_o, dpos_o = vel_o[0], ang_o[0], dpos_o[0]
         lams = (ln_o[0, 0], lt1_o[0, 0], lt2_o[0, 0])
     else:
         lams = (ln_o[:, 0], lt1_o[:, 0], lt2_o[:, 0])
+    out = (vel_o, ang_o)
     if return_lambdas:
-        return vel_o, ang_o, lams
-    return vel_o, ang_o
+        out = out + (lams,)
+    if return_dpos:
+        out = out + (dpos_o,)
+    return out

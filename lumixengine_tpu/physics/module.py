@@ -1132,10 +1132,7 @@ class PhysicsModule(IModule):
                         axis=-1)
                     warm = tuple(jnp.where(keep, w, 0.0) for w in warm)
                     ms = ms.replace(pair_key=pair_key)
-                vel, angvel, lams = solve(
-                    pos, rot, vel, angvel, contacts,
-                    st.inv_mass, iiw, inc_a_use, inc_b_use, dt_c,
-                    fric_use, rest_use,
+                kwargs = dict(
                     iterations=self.solver_iterations,
                     # position projection owns depth correction — a velocity
                     # bias on top makes resting stacks bounce (split impulse)
@@ -1143,12 +1140,29 @@ class PhysicsModule(IModule):
                     warm_lambdas=warm,
                     return_lambdas=True,
                 )
+                if use_pallas and self.position_iterations > 0:
+                    # projection runs INSIDE the fused kernel: dpos depends
+                    # only on the contact set, so adding it after
+                    # integrate_positions is exact (≙ project_positions) and
+                    # the 3-iteration jnp loop's ~75 launches disappear
+                    vel, angvel, lams, dpos = solve(
+                        pos, rot, vel, angvel, contacts,
+                        st.inv_mass, iiw, inc_a_use, inc_b_use, dt_c,
+                        fric_use, rest_use,
+                        position_iterations=self.position_iterations,
+                        return_dpos=True, **kwargs)
+                    proj = lambda p: p + dpos  # noqa: E731
+                else:
+                    vel, angvel, lams = solve(
+                        pos, rot, vel, angvel, contacts,
+                        st.inv_mass, iiw, inc_a_use, inc_b_use, dt_c,
+                        fric_use, rest_use, **kwargs)
+                    cts = contacts
+                    proj = lambda p: P.project_positions(  # noqa: E731
+                        p, cts, st.inv_mass, inc_a_use, inc_b_use,
+                        iterations=self.position_iterations)
                 ms = ms.replace(lam_n=lams[0], lam_t1=lams[1], lam_t2=lams[2])
                 n_active = jnp.sum(contacts.active).astype(jnp.int32)
-                cts = contacts
-                proj = lambda p: P.project_positions(  # noqa: E731
-                    p, cts, st.inv_mass, inc_a_use, inc_b_use,
-                    iterations=self.position_iterations)
             else:
                 n_active = jnp.int32(0)
             if st.pruned:

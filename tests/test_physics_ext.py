@@ -189,6 +189,15 @@ def test_fused_pallas_solver_parity():
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=5e-3)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=5e-3)
 
+    # fused in-kernel position projection == project_positions (dpos depends
+    # only on the contact set, so pos + dpos after integration is exact)
+    *_, dpos = solve_contacts_fused(*args, iterations=8, interpret=True,
+                                    position_iterations=3, return_dpos=True)
+    p_ref = P.project_positions(ms.pos, c, st.inv_mass,
+                                st.incidence_a, st.incidence_b, iterations=3)
+    np.testing.assert_allclose(np.asarray(ms.pos + dpos), np.asarray(p_ref),
+                               atol=5e-3)
+
 
 # ---------------------------------------------------------------------------
 # vehicles (≙ physics_module.cpp updateVehicles — raycast suspension model)
