@@ -36,7 +36,7 @@ import jax.numpy as jnp
 def build_world(args):
     from lumixengine_tpu.models import demo_scenes
 
-    if args.config == "full":
+    if args.config in ("full", "render"):
         engine, world, *_ = demo_scenes.full_frame_world(
             num_entities=args.entities,
             num_characters=args.characters,
@@ -69,18 +69,44 @@ def build(args):
     step_raw = engine.build_step(world, extra=extra, jit=False)
     state = world.device_state()
 
+    # --config render (VERDICT-r2 weak #7): the flagship frame PLUS the
+    # per-view render-prep passes — 4 stable shadow cascades (ortho fit +
+    # caster culling, ≙ Pipeline::renderShadows) and clustered light binning
+    # (≙ fillClusters) — so their cost at world-batch scale is driver-
+    # measured, not host-side-only.  The probe data-depends on the caster
+    # masks and cluster counts so XLA cannot dead-code them.
+    prep = None
+    if args.config == "render":
+        from lumixengine_tpu.renderer import clusters as _cl
+        from lumixengine_tpu.renderer import shadows as _sh
+
+        statics = rmod.statics()
+
+        def prep(w):  # noqa: F811
+            sv = _sh.shadow_pass(w, rmod, light_dir=(0.3, -1.0, 0.2),
+                                 statics=statics)
+            cl = _cl.fill_clusters(w, rmod, statics=statics)
+            return (jnp.sum(sv.caster_count) + jnp.sum(cl.count)
+                    + cl.overflow).astype(jnp.float32)
+
     @functools.partial(jax.jit, donate_argnums=0, static_argnums=2)
     def run_steps(state_b, dt, steps):
-        def body(i, s):
-            return jax.vmap(lambda w: step_raw(w, dt))(s)
+        def body(i, carry):
+            s, acc = carry
+            s = jax.vmap(lambda w: step_raw(w, dt))(s)
+            if prep is not None:
+                acc = acc + jnp.sum(jax.vmap(prep)(s))
+            return s, acc
 
-        state_b = jax.lax.fori_loop(0, steps, body, state_b)
+        state_b, acc = jax.lax.fori_loop(
+            0, steps, body, (state_b, jnp.float32(0.0)))
         rs = state_b.modules["renderer"]
         probe = (
             jnp.sum(state_b.world.pos)
             + jnp.sum(rs.counters["visible_count"]).astype(jnp.float32)
             + jnp.sum(rs.prev_pos)
             + jnp.sum(state_b.local.pos)
+            + acc
         )
         if "animation" in state_b.modules:
             probe = probe + jnp.sum(state_b.modules["animation"].palette)
@@ -232,6 +258,10 @@ def main_all(args):
         ("particles", ["--config", "particles"]),
         ("boxes", ["--config", "boxes"]),
         ("map", ["--config", "map"]),
+        # flagship mix with 4x the skinned characters (VERDICT-r2 weak #3)
+        ("full256", ["--config", "full", "--characters", "256"]),
+        # flagship frame + shadow cascades + clustered lights (weak #7)
+        ("render", ["--config", "render"]),
     ]
     results = {}
     for name, extra_args in jobs:
@@ -267,7 +297,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="all",
                    choices=["all", "full", "demo", "crowd", "particles",
-                            "boxes", "map"])
+                            "boxes", "map", "render"])
     p.add_argument("--map", default=None)
     # 4096 worlds x 10240 entities = the BASELINE.md flagship config. Fits in
     # 16G HBM since the narrowphase layout fix + bf16 incidence (1024 worlds
@@ -287,6 +317,10 @@ def main():
         args.worlds = 1
         if args.particles == 2048:
             args.particles = 1_000_000
+    if args.config == "render" and args.worlds == 4096:
+        # clustered binning materializes a [W, 3072-cluster, L-light] touch
+        # grid per step; 1024 worlds keeps it well inside HBM
+        args.worlds = 1024
     if args.config == "all":
         return main_all(args)
     if args.config == "boxes":
