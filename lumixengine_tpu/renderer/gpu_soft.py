@@ -1,0 +1,362 @@
+"""Software GPU backend — a presenting DrawStream consumer (≙ the role of
+/root/reference/src/renderer/gpu_dx12.cpp behind DrawStream::run, scoped to
+headless TPU use: no swapchain, the "present" is a PNG/array readback).
+
+Replays every OP_* the pipeline records: instanced model draws go through the
+z-buffered software rasterizer (raster.py), particles splat from their
+emitters' OUT channels, the GUI draw list blits rects and real font-atlas
+glyphs, and OP_DISPATCH executes the named post-process shader as a jitted
+JAX image pass (postprocess.py) over the HDR framebuffer — so the builtin
+RenderPlugin set (plugins.py ≙ renderer.cpp:444-470) produces real pixels.
+
+Rasterization is host numpy (diagnostic-grade, like the editor scene view);
+every dispatch after it is device compute. That split mirrors the engine's
+design boundary: the hot path is the jitted world step, the presented frame
+is a debug/readback surface.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lumixengine_tpu.core import host_math as hm
+from lumixengine_tpu.renderer import postprocess as pp
+from lumixengine_tpu.renderer import raster
+
+_jit_bloom = jax.jit(pp.bloom, static_argnames="levels")
+_jit_ssao = jax.jit(pp.ssao, static_argnames="taps")
+_jit_sss = jax.jit(pp.sss_shadow, static_argnames="steps")
+_jit_tdao_hm = jax.jit(pp.tdao_heightmap, static_argnames="grid")
+_jit_tdao = jax.jit(pp.tdao)
+_jit_atmo = jax.jit(pp.atmo)
+_jit_cubemap = jax.jit(pp.cubemap_sky)
+_jit_dof = jax.jit(pp.dof)
+_jit_taa = jax.jit(pp.taa)
+_jit_grain = jax.jit(pp.film_grain)
+_jit_tonemap = jax.jit(pp.tonemap_aces)
+_jit_fsr = jax.jit(pp.fsr_upscale, static_argnames=("out_h", "out_w"))
+
+
+class SoftwareGpuBackend:
+    """One frame's replay target. Construct per frame (or reuse across frames
+    to keep TAA history), replay a recorded stream, then `finish()`."""
+
+    def __init__(self, runner, cam_slot: int = 0, width: int = 480,
+                 height: int = 270, max_instances: int = 2048,
+                 exposure: float = 1.3):
+        self.runner = runner
+        self.width = width
+        self.height = height
+        self.max_instances = max_instances
+        self.exposure = exposure
+
+        world = runner.world
+        state = runner.state
+        self.rmod = world.modules["renderer"]
+        rs = state.modules["renderer"]
+        st = self.rmod.statics()
+        from lumixengine_tpu.renderer.pipeline import resolve_cam_slot
+
+        self.cam_slot = resolve_cam_slot(st, cam_slot)
+        cam_e = max(int(st.cam_slots[self.cam_slot]), 0)
+        self.cam_pos = np.asarray(state.world.pos[:, cam_e])
+        self.cam_rot = np.asarray(state.world.rot[:, cam_e])
+        self.fov = float(np.asarray(rs.cam_fov[self.cam_slot]))
+        self.far = float(np.asarray(rs.cam_far[self.cam_slot]))
+        self.aspect = width / height
+
+        # directional light = environment entity's forward (-Z), like the
+        # reference's Environment; fall back to a fixed key light
+        env = int(np.asarray(rs.env_entity))
+        if env >= 0:
+            erot = np.asarray(state.world.rot[:, env])
+            self.sun_dir = -hm.quat_rotate(erot[None], np.array(
+                [[0.0, 0.0, -1.0]], np.float32))[0]
+        else:
+            self.sun_dir = np.array([0.45, 0.8, 0.35], np.float32)
+        self.sun_dir = self.sun_dir / np.linalg.norm(self.sun_dir)
+
+        self.fb = np.full((height, width, 3), 18.0, np.float32)
+        self.zb = np.full((height, width), np.inf, np.float32)
+        self.color: Optional[jnp.ndarray] = None   # linear HDR, device
+        self.depth: Optional[jnp.ndarray] = None
+        self.history: Optional[jnp.ndarray] = None  # TAA
+        self.frame_index = int(getattr(state, "frame", 0))
+        self.pass_name = ""
+        self._bound = None
+        self._rays = None
+        self.draw_calls = 0
+
+    # -- raster-phase ops ---------------------------------------------------
+
+    def set_pass(self, name: str = "?"):
+        self.pass_name = name
+
+    def bind_material(self, **kw):
+        pass
+
+    def bind_palettes(self, **kw):
+        pass
+
+    def bind_instances(self, pos=None, rot=None, scale=None, models=None,
+                       count=None, **kw):
+        n = min(int(count), self.max_instances) if count is not None else 0
+        self._bound = None
+        if n:
+            self._bound = (np.asarray(pos).T[:n], np.asarray(rot).T[:n],
+                           np.asarray(scale).T[:n],
+                           np.asarray(models)[:n])
+
+    def draw_instanced(self, **kw):
+        self.draw_calls += 1
+        if kw.get("source") == "instanced_model" or self._bound is None:
+            return  # chunk payloads live device-side; main path draws them
+        ipos, irot, iscale, models = self._bound
+        raster.raster_instances(self.fb, self.zb, ipos, irot, iscale, models,
+                                self.rmod.system.models, self.cam_pos,
+                                self.cam_rot, self.fov, self.width,
+                                self.height)
+        self._bound = None
+
+    def draw_model(self, **kw):
+        self.draw_instanced(**kw)
+
+    def draw_particles(self, emitter=None, **kw):
+        """Splat alive particles' position OUT channel as additive points."""
+        self.draw_calls += 1
+        rs = self.runner.state.modules["renderer"]
+        sub = rs.particles.get(emitter) if emitter else None
+        if not sub:
+            return
+        ps = dict(self.rmod.particle_emitters).get(emitter)
+        ps = ps[1] if ps else None
+        for ekey, est in sub.items():
+            em = getattr(ps, "emitters", {}).get(ekey) if ps else None
+            pos3 = _particle_positions(est, em)
+            if pos3 is None:
+                continue
+            alive = np.asarray(est.alive)
+            pts = pos3[alive]
+            if not len(pts):
+                continue
+            xy, depth = _project_np(pts, self.cam_pos, self.cam_rot,
+                                    self.fov, self.aspect,
+                                    self.width, self.height)
+            ok = (depth > 1e-3) & (xy[:, 0] >= 0) & (xy[:, 0] < self.width) \
+                & (xy[:, 1] >= 0) & (xy[:, 1] < self.height)
+            xi = xy[ok, 0].astype(np.int32)
+            yi = xy[ok, 1].astype(np.int32)
+            zok = depth[ok] < self.zb[yi, xi]
+            np.add.at(self.fb, (yi[zok], xi[zok]),
+                      np.array([90.0, 85.0, 60.0], np.float32))
+
+    def draw_terrain(self, **kw):
+        self.draw_calls += 1  # heightfield raster is out of viewer scope
+
+    def draw_2d(self, **kw):
+        """GUI overlay: rect fills + real font-atlas glyph blits."""
+        self.draw_calls += 1
+        gui = self.runner.world.modules.get("gui")
+        if gui is None:
+            return
+        items = gui.draw_list(self.runner.state)
+        for it in items:
+            x0, y0, x1, y1 = (int(max(v, 0)) for v in it["rect"])
+            x1 = min(x1, self.width)
+            y1 = min(y1, self.height)
+            if x0 < x1 and y0 < y1 and "color" in it:
+                c = np.asarray(it["color"][:3], np.float32) * 255.0
+                a = it["color"][3] if len(it["color"]) > 3 else 0.6
+                self.fb[y0:y1, x0:x1] = (self.fb[y0:y1, x0:x1] * (1 - a)
+                                         + c[None, None] * a)
+            for g in it.get("glyphs", ()):
+                self._blit_glyph(gui, it, g)
+
+    def _blit_glyph(self, gui, item, g):
+        font = gui._font(item.get("font_size", 24))
+        u0, v0, u1, v1 = g["uv"]
+        gx, gy = int(g["x"]), int(g["y"])
+        src = font.atlas[v0:v1, u0:u1].astype(np.float32) / 255.0
+        h, w = src.shape
+        x0, y0 = max(gx, 0), max(gy, 0)
+        x1 = min(gx + w, self.width)
+        y1 = min(gy + h, self.height)
+        if x0 >= x1 or y0 >= y1:
+            return
+        a = src[y0 - gy:y1 - gy, x0 - gx:x1 - gx, None]
+        self.fb[y0:y1, x0:x1] = (self.fb[y0:y1, x0:x1] * (1 - a)
+                                 + 235.0 * a)
+
+    def barrier(self, **kw):
+        pass
+
+    def unknown(self, op=None, **kw):
+        pass
+
+    # -- dispatch (post-process shaders) -------------------------------------
+
+    def _to_device(self):
+        if self.color is None:
+            self.color = jnp.asarray(self.fb) / 255.0
+            self.depth = jnp.asarray(self.zb)
+
+    def _world_rays(self):
+        if self._rays is None:
+            self._rays = pp.world_rays(jnp.asarray(self.cam_rot), self.fov,
+                                       self.aspect, self.height, self.width)
+        return self._rays
+
+    def dispatch(self, shader: str = "", **params):
+        self._to_device()
+        c, d = self.color, self.depth
+        if shader == "tonemap":
+            c = _jit_tonemap(c, params.get("exposure", self.exposure))
+        elif shader == "bloom":
+            c = _jit_bloom(c, params.get("threshold", 0.85),
+                           params.get("intensity", 0.6))
+        elif shader == "ssao":
+            ao = _jit_ssao(d, self.fov, self.aspect,
+                           params.get("radius", 0.8),
+                           params.get("strength", 1.0), far=self.far)
+            c = c * ao[..., None]
+        elif shader == "sss":
+            sun_view = hm.quat_rotate(
+                hm.quat_conjugate(self.cam_rot)[None],
+                self.sun_dir[None].astype(np.float32))[0]
+            lit = _jit_sss(d, self.fov, self.aspect, jnp.asarray(sun_view),
+                           steps=int(params.get("steps", 8)),
+                           shadow=params.get("shadow", 0.45), far=self.far)
+            c = c * lit[..., None]
+        elif shader == "tdao":
+            ao = self._run_tdao(d, params)
+            if ao is not None:
+                c = c * ao[..., None]
+        elif shader == "atmo":
+            c = _jit_atmo(c, d, self._world_rays(),
+                          jnp.asarray(self.sun_dir), self.far)
+        elif shader == "cubemap_sky":
+            faces = params.get("faces")
+            faces = jnp.asarray(faces) if faces is not None \
+                else pp.default_cubemap()
+            c = _jit_cubemap(c, d, self._world_rays(), faces, self.far)
+        elif shader == "dof":
+            c = _jit_dof(c, d, params.get("focus_dist", 20.0),
+                         params.get("focus_range", 25.0), far=self.far)
+        elif shader == "taa":
+            if self.history is not None \
+                    and self.history.shape == c.shape:
+                c = _jit_taa(c, self.history, params.get("alpha", 0.15))
+            self.history = c
+        elif shader == "film_grain":
+            key = jax.random.fold_in(jax.random.PRNGKey(7), self.frame_index)
+            c = _jit_grain(c, key, params.get("amount", 0.06))
+        elif shader == "fsr_upscale":
+            scale = params.get("scale", 1.5)
+            oh = int(round(self.height * scale))
+            ow = int(round(self.width * scale))
+            c = _jit_fsr(c, oh, ow, params.get("sharpness", 0.4))
+            self.depth = jax.image.resize(d, (oh, ow), "nearest")
+            self.height, self.width = oh, ow
+        # unknown shader names fall through unchanged (forward-compat)
+        self.color = c
+
+    def _run_tdao(self, d, params):
+        if self._bound_scene() is None:
+            return None
+        ipos, irad = self._bound_scene()
+        mn = ipos.min(axis=0) - 1.0
+        mx = ipos.max(axis=0) + 1.0
+        inv = 1.0 / np.maximum(mx - mn, 1e-3)
+        hm_grid = _jit_tdao_hm(jnp.asarray(ipos), jnp.asarray(irad),
+                               jnp.asarray([mn[0], mn[2]]),
+                               jnp.asarray([inv[0], inv[2]]))
+        return _jit_tdao(d, hm_grid, jnp.asarray(self.cam_pos),
+                         jnp.asarray(self.cam_rot), self.fov, self.aspect,
+                         jnp.asarray([mn[0], mn[2]]),
+                         jnp.asarray([inv[0], inv[2]]),
+                         params.get("strength", 0.7), far=self.far)
+
+    def _bound_scene(self):
+        if getattr(self, "_scene_spheres", None) is None:
+            view = self.runner.prepare_view(self.cam_slot)
+            n = min(int(view.visible_count), self.max_instances)
+            if n == 0:
+                return None
+            ipos = np.asarray(view.instance_pos).T[:n]
+            models = np.asarray(view.instance_model)[:n]
+            scale = np.asarray(view.instance_scale).T[:n]
+            bank = self.rmod.system.bank
+            rad = np.asarray(bank.bounding_radius)[np.maximum(models, 0)]
+            rad = rad * np.max(np.abs(scale), axis=-1)
+            self._scene_spheres = (ipos.astype(np.float32),
+                                   rad.astype(np.float32))
+        return self._scene_spheres
+
+    # -- readback -------------------------------------------------------------
+
+    def finish(self) -> np.ndarray:
+        """Present: final uint8 [H, W, 3] (display-referred)."""
+        if self.color is None:
+            return np.clip(self.fb, 0, 255).astype(np.uint8)
+        arr = np.asarray(self.color)
+        return np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+
+
+def _particle_positions(est, em) -> Optional[np.ndarray]:
+    """Alive-capacity [cap, 3] positions from an EmitterState's OUT rows
+    (falls back to the first 3-wide output)."""
+    outs = getattr(em, "outs", None)
+    if not outs:
+        return None
+    row = 0
+    first3 = None
+    for name, w in outs:
+        if w >= 3 and ("pos" in name.lower() or first3 is None):
+            first3 = row
+            if "pos" in name.lower():
+                break
+        row += w
+    if first3 is None:
+        return None
+    arr = np.asarray(est.outs[first3:first3 + 3])
+    return arr.T.astype(np.float32)
+
+
+def _project_np(points, cam_pos, cam_rot, fov_y, aspect, width, height):
+    inv = hm.quat_conjugate(cam_rot)
+    local = hm.quat_rotate(np.broadcast_to(inv, (len(points), 4)),
+                           points - cam_pos)
+    depth = -local[:, 2]
+    f = 1.0 / np.tan(fov_y * 0.5)
+    safe = np.maximum(depth, 1e-3)
+    sx = ((local[:, 0] * f / aspect) / safe * 0.5 + 0.5) * width
+    sy = (1.0 - ((local[:, 1] * f) / safe * 0.5 + 0.5)) * height
+    return np.stack([sx, sy], -1), depth
+
+
+def render_frame(runner, path: Optional[str] = None, cam_slot: int = 0,
+                 width: int = 480, height: int = 270,
+                 backend: Optional[SoftwareGpuBackend] = None,
+                 max_instances: int = 2048):
+    """Record the frame's DrawStream (with whatever RenderPlugins are
+    registered) and replay it through the software backend — the headless
+    "present". Returns (uint8 image, backend); saves a PNG when `path`.
+    Pass the previous frame's backend to keep TAA history."""
+    from lumixengine_tpu.renderer.draw_stream import record_frame
+
+    rmod = runner.world.modules["renderer"]
+    view = runner.prepare_view(cam_slot)
+    prev_hist = backend.history if backend is not None else None
+    be = SoftwareGpuBackend(runner, cam_slot, width, height, max_instances)
+    be.history = prev_hist
+    stream = record_frame(view, runner.state.modules["renderer"], rmod)
+    stream.replay(be)
+    img = be.finish()
+    if path:
+        from PIL import Image
+
+        Image.fromarray(img).save(path)
+    return img, be

@@ -74,10 +74,21 @@ def rasterize_view(runner, cam_slot: int = 0, width: int = 480,
     iscale = np.asarray(view.instance_scale).T[:n_vis]
     models = np.asarray(view.instance_model)[:n_vis]
 
+    raster_instances(fb, zb, ipos, irot, iscale, models,
+                     rmod.system.models, cam_pos, cam_rot, fov,
+                     width, height)
+    return np.clip(fb, 0, 255).astype(np.uint8), zb
+
+
+def raster_instances(fb, zb, ipos, irot, iscale, models, registry,
+                     cam_pos, cam_rot, fov, width, height):
+    """Z-buffered fill of instance meshes into an existing fb/zb pair (the
+    core draw used by both rasterize_view and the software gpu backend's
+    OP_DRAW_INSTANCED replay). Mutates fb [H,W,3] f32 and zb [H,W] in place."""
+    n_vis = len(models)
     inv_rot = hm.quat_conjugate(cam_rot)
     f = 1.0 / np.tan(fov * 0.5)
     aspect = width / height
-    registry = rmod.system.models
 
     for i in range(n_vis):
         verts, tris = _mesh_of(int(models[i]), registry)
@@ -136,7 +147,6 @@ def rasterize_view(runner, cam_slot: int = 0, width: int = 480,
             win = inside & (z < tile_z)
             tile_z[win] = z[win]
             fb[y0:y1, x0:x1][win] = col
-    return np.clip(fb, 0, 255).astype(np.uint8), zb
 
 
 def render_png(runner, path: str, cam_slot: int = 0, width: int = 480,

@@ -1,0 +1,193 @@
+"""Post-process passes + software gpu backend (≙ the reference's builtin
+RenderPlugins, renderer.cpp:444-470, and DrawStream::run against the gpu
+backend, gpu_dx12.cpp — here jitted JAX image kernels replayed by
+gpu_soft.SoftwareGpuBackend)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lumixengine_tpu.renderer import postprocess as pp
+
+
+def _flat_depth(h=32, w=48, d=5.0):
+    return jnp.full((h, w), d)
+
+
+def test_tonemap_range_and_monotonicity():
+    x = jnp.stack([jnp.zeros((4, 4, 3)), jnp.full((4, 4, 3), 0.5),
+                   jnp.full((4, 4, 3), 8.0)])
+    y = pp.tonemap_aces(x, 1.0)
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+    assert float(y[0].max()) == 0.0
+    assert float(y[1].mean()) < float(y[2].mean())  # monotonic
+    assert float(y[2].mean()) > 0.9                 # bright → near white
+
+
+def test_bloom_spreads_bright_energy():
+    c = jnp.zeros((32, 32, 3)).at[16, 16].set(8.0)
+    out = pp.bloom(c, threshold=1.0, intensity=1.0)
+    # neighbors that were black now carry bloom energy
+    assert float(out[16, 12].sum()) > 0.001
+    assert float(out[12, 16].sum()) > 0.001
+    # dark scene below threshold gains nothing
+    dark = jnp.full((32, 32, 3), 0.2)
+    out2 = pp.bloom(dark, threshold=1.0, intensity=1.0)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(dark), atol=1e-5)
+
+
+def test_ssao_flat_plane_unoccluded_corner_darkens():
+    fov, aspect = np.radians(70.0), 1.5
+    flat = pp.ssao(_flat_depth(), fov, aspect, radius=0.8, strength=1.0)
+    assert float(flat.min()) > 0.9          # flat wall: no occlusion
+    # a near column in front of a far wall occludes adjacent far pixels
+    d = np.full((32, 48), 6.0, np.float32)
+    d[:, 20:24] = 3.0
+    ao = pp.ssao(jnp.asarray(d), fov, aspect, radius=1.2, strength=2.0)
+    edge = np.asarray(ao[:, 24:28])
+    far_away = np.asarray(ao[:, 40:])
+    assert edge.min() < far_away.min() - 0.02   # darkened at the step edge
+
+
+def test_sss_contact_shadow_marks_blocked_pixels():
+    fov, aspect = np.radians(70.0), 1.5
+    d = np.full((32, 48), 6.0, np.float32)
+    d[:, :16] = 2.0                          # near slab on the -x side
+    # sun shining from -x in view space: rays toward the slab
+    lit = pp.sss_shadow(jnp.asarray(d), fov, aspect,
+                        jnp.asarray([-1.0, 0.2, 0.0]), steps=8,
+                        max_dist=4.0, shadow=0.4)
+    lit = np.asarray(lit)
+    assert lit.min() == pytest.approx(0.4)   # some pixels shadowed
+    assert lit.max() == 1.0                  # others lit
+    # shadowed region hugs the occluder side
+    assert lit[:, 16:24].mean() < lit[:, 40:].mean()
+
+
+def test_tdao_darkens_under_overhang():
+    # one instance sphere high above the origin
+    hm = pp.tdao_heightmap(jnp.asarray([[0.0, 5.0, 0.0]]),
+                           jnp.asarray([1.0]),
+                           jnp.asarray([-8.0, -8.0]),
+                           jnp.asarray([1 / 16.0, 1 / 16.0]), grid=32)
+    assert float(hm.max()) == pytest.approx(6.0)
+    fov, aspect = np.radians(70.0), 1.5
+    depth = _flat_depth(24, 36, 4.0)
+    cam_pos = jnp.asarray([0.0, 1.0, 4.0])   # looking -z at ground near origin
+    cam_rot = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    ao = pp.tdao(depth, hm, cam_pos, cam_rot, fov, aspect,
+                 jnp.asarray([-8.0, -8.0]), jnp.asarray([1 / 16.0, 1 / 16.0]),
+                 strength=1.0)
+    ao = np.asarray(ao)
+    assert ao.min() < 0.75                   # under the sphere: occluded
+    assert ao.max() > 0.95                   # away from it: open sky
+
+
+def test_atmo_fills_sky_and_fogs_distance():
+    h, w = 24, 36
+    color = jnp.full((h, w, 3), 0.25)
+    depth = jnp.full((h, w), jnp.inf).at[12:, :].set(10.0)
+    rays = pp.world_rays(jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+                         np.radians(70.0), w / h, h, w)
+    out = np.asarray(pp.atmo(color, depth, rays, jnp.asarray([0.3, 0.8, 0.2]),
+                             far=500.0))
+    sky = out[:12]
+    geo = out[12:]
+    assert abs(sky - 0.25).max() > 0.05      # sky replaced the clear color
+    assert sky[:4, :, 2].mean() > sky[:4, :, 0].mean()   # blue up top
+    np.testing.assert_allclose(geo, 0.25, atol=0.12)     # near geometry ~kept
+
+
+def test_cubemap_sky_samples_faces():
+    h, w = 16, 24
+    faces = jnp.zeros((6, 8, 8, 3)).at[4].set(
+        jnp.asarray([1.0, 0.0, 0.0]))        # +Z face pure red
+    color = jnp.zeros((h, w, 3))
+    depth = jnp.full((h, w), jnp.inf)
+    # camera facing +Z: rotate 180° about Y → rays hit the +Z face
+    rays = pp.world_rays(jnp.asarray([0.0, 1.0, 0.0, 0.0]),
+                         np.radians(70.0), w / h, h, w)
+    out = np.asarray(pp.cubemap_sky(color, depth, rays, faces, far=500.0))
+    assert out[h // 2, w // 2, 0] == pytest.approx(1.0)  # center: red face
+    assert out[h // 2, w // 2, 1] == pytest.approx(0.0)
+
+
+def test_dof_blurs_out_of_focus_only():
+    c = jnp.zeros((32, 32, 3)).at[8, 8].set(4.0).at[24, 24].set(4.0)
+    d = jnp.full((32, 32), 50.0).at[:16, :].set(10.0)  # top half in focus
+    out = np.asarray(pp.dof(c, d, focus_dist=10.0, focus_range=15.0))
+    assert out[8, 8].sum() == pytest.approx(12.0, rel=0.05)   # sharp
+    assert out[24, 24].sum() < 8.0                             # blurred down
+    assert out[24, 20].sum() > 0.0005                          # energy spread
+
+
+def test_taa_converges_and_clamps():
+    key = jax.random.PRNGKey(0)
+    target = jax.random.uniform(key, (16, 16, 3))
+    hist = jnp.zeros((16, 16, 3))
+    for _ in range(30):
+        hist = pp.taa(target, hist, alpha=0.3)
+    np.testing.assert_allclose(np.asarray(hist), np.asarray(target), atol=0.02)
+    # clamp: stale bright history collapses to the neighborhood immediately
+    stale = jnp.full((16, 16, 3), 10.0)
+    out = pp.taa(target, stale, alpha=0.1)
+    assert float(out.max()) <= float(target.max()) + 1e-5
+
+
+def test_film_grain_preserves_mean_adds_variance():
+    c = jnp.full((64, 64, 3), 0.5)
+    out = pp.film_grain(c, jax.random.PRNGKey(3), amount=0.2)
+    assert float(jnp.abs(out.mean() - 0.5)) < 0.01
+    assert float(out.std()) > 0.01
+
+
+def test_fsr_upscale_shape_and_local_bounds():
+    c = jax.random.uniform(jax.random.PRNGKey(1), (20, 30, 3))
+    out = pp.fsr_upscale(c, 30, 45, sharpness=0.5)
+    assert out.shape == (30, 45, 3)
+    assert float(out.min()) >= 0.0 - 1e-6
+    assert float(out.max()) <= float(c.max()) + 1e-5  # neighborhood clamp
+
+
+def test_backend_replays_full_stream_with_builtin_plugins(tmp_path):
+    """End-to-end: demo scene → record_frame with the reference's builtin
+    plugin set → software backend replay → presented PNG."""
+    from lumixengine_tpu import app as app_mod
+    from lumixengine_tpu.models import demo_scenes
+    from lumixengine_tpu.renderer import gpu_soft, plugins
+
+    engine, world, renderer = demo_scenes.headless_demo_world(num_entities=96)
+    installed = plugins.install_builtins(renderer)
+    assert len(installed) == len(plugins.DEFAULT_PLUGINS)
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(2)
+    img, be = gpu_soft.render_frame(runner, str(tmp_path / "frame.png"),
+                                    width=160, height=90, max_instances=128)
+    assert img.shape == (90, 160, 3) and img.dtype == np.uint8
+    assert be.draw_calls >= 2                       # instances + particles/2d
+    assert img.std() > 4.0                          # a real, shaded image
+    assert (tmp_path / "frame.png").exists()
+    # TAA history carries to the next frame through the returned backend
+    runner.run(1)
+    img2, be2 = gpu_soft.render_frame(runner, None, width=160, height=90,
+                                      backend=be, max_instances=128)
+    assert be2.history is not None
+
+
+def test_fsr_plugin_changes_output_resolution():
+    from lumixengine_tpu import app as app_mod
+    from lumixengine_tpu.models import demo_scenes
+    from lumixengine_tpu.renderer import gpu_soft
+    from lumixengine_tpu.renderer.plugins import FSR3Plugin
+
+    engine, world, renderer = demo_scenes.headless_demo_world(num_entities=32)
+    renderer.add_plugin(FSR3Plugin(scale=2.0, sharpness=0.5))
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(1)
+    img, _ = gpu_soft.render_frame(runner, None, width=120, height=68,
+                                   max_instances=64)
+    assert img.shape == (136, 240, 3)               # presented at 2x
