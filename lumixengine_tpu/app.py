@@ -66,6 +66,7 @@ class Runner:
         self.settings.register("world", "", "app")
         self.settings.register("profile_start", False, "app")
         self.settings.register("fps_cap", 60.0, "app")
+        self.settings.register("screenshot", "", "app")
         self.cli = cfg.CommandLineParser(argv or [])
         self.cli.apply_to_settings(self.settings)
 
@@ -186,6 +187,20 @@ class Runner:
 
         return pipe.prepare_view(self.state, self.world.modules["renderer"], cam_slot)
 
+    def present(self, path: Optional[str] = None, cam_slot: int = 0,
+                width: int = 480, height: int = 270):
+        """Record this frame's DrawStream and replay it through the software
+        gpu backend (raster + registered RenderPlugin postprocess) — the
+        headless present (≙ Pipeline::render + swapchain blit). Keeps the
+        backend across calls so TAA history accumulates. Returns the uint8
+        image; saves a PNG when `path` is given."""
+        from lumixengine_tpu.renderer import gpu_soft
+
+        img, self._present_backend = gpu_soft.render_frame(
+            self, path, cam_slot, width, height,
+            backend=getattr(self, "_present_backend", None))
+        return img
+
     def metrics(self) -> dict:
         out = {"frame": int(self.state.frame), "time": float(self.state.time)}
         for mname, ms in self.state.modules.items():
@@ -221,6 +236,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     runner.run(frames)
     el = time.perf_counter() - t0
     log.log_info("app", f"{frames} frames in {el:.2f}s ({frames / el:.1f} fps)")
+    shot = runner.settings.get("screenshot")
+    if shot:
+        from lumixengine_tpu.renderer.plugins import install_builtins
+
+        install_builtins(runner.world.modules["renderer"].system)
+        runner.present(str(shot))
+        log.log_info("app", f"screenshot -> {shot}")
     print(runner.metrics())
     runner.shutdown()
     return 0

@@ -112,8 +112,11 @@ class SoftwareGpuBackend:
 
     def draw_instanced(self, **kw):
         self.draw_calls += 1
-        if kw.get("source") == "instanced_model" or self._bound is None:
-            return  # chunk payloads live device-side; main path draws them
+        if kw.get("source") == "instanced_model":
+            return self._draw_instanced_chunk(kw.get("chunk", 0),
+                                              kw.get("model", -1))
+        if self._bound is None:
+            return
         ipos, irot, iscale, models = self._bound
         raster.raster_instances(self.fb, self.zb, ipos, irot, iscale, models,
                                 self.rmod.system.models, self.cam_pos,
@@ -123,6 +126,26 @@ class SoftwareGpuBackend:
 
     def draw_model(self, **kw):
         self.draw_instanced(**kw)
+
+    def _draw_instanced_chunk(self, chunk: int, model: int):
+        """Replay one culled InstancedModel chunk (≙ encodeInstancedModels'
+        per-chunk transform blob; instance transforms are world-space, same
+        data the cull pass bounds). Caps at max_instances per chunk."""
+        # same filtered order as ViewStatics (empty chunks are skipped there)
+        ims = [(e, im) for e, im in self.rmod.instanced_models.items()
+               if len(im["pos"])]
+        if not (0 <= chunk < len(ims)):
+            return
+        _, im = ims[chunk]
+        n = min(len(im["pos"]), self.max_instances)
+        if n == 0:
+            return
+        models = np.full(n, im["model"] if model < 0 else model, np.int32)
+        raster.raster_instances(self.fb, self.zb, im["pos"][:n],
+                                im["rot"][:n], im["scale"][:n], models,
+                                self.rmod.system.models, self.cam_pos,
+                                self.cam_rot, self.fov, self.width,
+                                self.height)
 
     def draw_particles(self, emitter=None, **kw):
         """Splat alive particles' position OUT channel as additive points."""
@@ -176,9 +199,10 @@ class SoftwareGpuBackend:
                 self._blit_glyph(gui, it, g)
 
     def _blit_glyph(self, gui, item, g):
+        """g = (x0,y0,x1,y1, u0,v0,u1,v1) — Font.layout's quad format."""
         font = gui._font(item.get("font_size", 24))
-        u0, v0, u1, v1 = g["uv"]
-        gx, gy = int(g["x"]), int(g["y"])
+        gx0, gy0, _gx1, _gy1, u0, v0, u1, v1 = g
+        gx, gy = int(gx0), int(gy0)
         src = font.atlas[v0:v1, u0:u1].astype(np.float32) / 255.0
         h, w = src.shape
         x0, y0 = max(gx, 0), max(gy, 0)

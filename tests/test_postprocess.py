@@ -159,6 +159,12 @@ def test_backend_replays_full_stream_with_builtin_plugins(tmp_path):
     engine, world, renderer = demo_scenes.headless_demo_world(num_entities=96)
     installed = plugins.install_builtins(renderer)
     assert len(installed) == len(plugins.DEFAULT_PLUGINS)
+    if "gui" in world.modules:        # cover the glyph-blit path of draw_2d
+        label = world.create_entity(name="hud")
+        world.create_component(label, "gui_rect",
+                               anchor=(0, 0, 0, 0), offset=(4, 4, 150, 28))
+        world.create_component(label, "gui_text", text="FPS 60",
+                               font_size=16)
     runner = app_mod.Runner([], engine=engine)
     runner.use_world(world)
     runner.start()
