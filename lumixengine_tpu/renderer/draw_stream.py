@@ -147,6 +147,12 @@ def record_frame(view, rs, module, stream: Optional[DrawStream] = None) -> DrawS
             if vis[i]:
                 s.push(OP_DRAW_INSTANCED, model=int(st.im_models[i]),
                        chunk=i, source="instanced_model")
+    # terrains (≙ terrain render through the gbuffer pass)
+    for slot in range(module.terrains.capacity):
+        e = int(module.terrains.entity[slot])
+        if e >= 0:
+            s.push(OP_DRAW_TERRAIN, entity=e,
+                   terrain=int(module.terrains.get(e, "terrain")))
     for p in plugins:
         p.render_opaque(s, view, module)
     s.push(OP_SET_PASS, name="transparent")

@@ -176,8 +176,44 @@ class SoftwareGpuBackend:
             np.add.at(self.fb, (yi[zok], xi[zok]),
                       np.array([90.0, 85.0, 60.0], np.float32))
 
-    def draw_terrain(self, **kw):
-        self.draw_calls += 1  # heightfield raster is out of viewer scope
+    def draw_terrain(self, entity=None, terrain=-1, **kw):
+        """Raster the heightfield as a coarse grid mesh (≙ terrain LOD draw,
+        downsampled to viewer-debug density)."""
+        self.draw_calls += 1
+        reg = getattr(self.rmod.system, "terrains", None)
+        if reg is None or terrain < 0 or entity is None:
+            return
+        try:
+            tr = reg.get(int(terrain))
+        except (KeyError, IndexError):
+            return
+        hmap = tr["heights"]
+        hgt, wid = hmap.shape
+        step = max(1, int(np.ceil(max(hgt, wid) / 48)))
+        sub = hmap[::step, ::step]
+        sh, sw = sub.shape
+        if sh < 2 or sw < 2:
+            return
+        xs = np.arange(sw, dtype=np.float32) * (tr["xz_scale"] * step)
+        zs = np.arange(sh, dtype=np.float32) * (tr["xz_scale"] * step)
+        gx, gz = np.meshgrid(xs, zs)
+        verts = np.stack([gx, sub * tr["y_scale"], gz], -1).reshape(-1, 3)
+        idx = np.arange(sh * sw).reshape(sh, sw)
+        q00 = idx[:-1, :-1].ravel()
+        q10 = idx[:-1, 1:].ravel()
+        q01 = idx[1:, :-1].ravel()
+        q11 = idx[1:, 1:].ravel()
+        tris = np.concatenate([np.stack([q00, q10, q11], -1),
+                               np.stack([q00, q11, q01], -1)])
+        slot = self.runner.world.slot(entity)
+        epos = np.asarray(self.runner.state.world.pos[:, slot])
+        erot = np.asarray(self.runner.state.world.rot[:, slot])
+        w = hm.quat_rotate(np.broadcast_to(erot, (len(verts), 4)),
+                           verts) + epos
+        raster.raster_mesh(self.fb, self.zb, w, tris,
+                           np.array([89, 140, 79], np.float32),
+                           self.cam_pos, self.cam_rot, self.fov,
+                           self.width, self.height)
 
     def draw_2d(self, **kw):
         """GUI overlay: rect fills + real font-atlas glyph blits."""

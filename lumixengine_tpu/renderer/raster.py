@@ -94,59 +94,73 @@ def raster_instances(fb, zb, ipos, irot, iscale, models, registry,
         verts, tris = _mesh_of(int(models[i]), registry)
         w = hm.quat_rotate(np.broadcast_to(irot[i], (len(verts), 4)),
                            verts * iscale[i]) + ipos[i]
-        local = hm.quat_rotate(np.broadcast_to(inv_rot, (len(w), 4)),
-                               w - cam_pos)
-        depth = -local[:, 2]
-        safe = np.maximum(depth, 1e-3)
-        sx = ((local[:, 0] * f / aspect) / safe * 0.5 + 0.5) * width
-        sy = (1.0 - ((local[:, 1] * f) / safe * 0.5 + 0.5)) * height
-        pts = np.stack([sx, sy], -1)
-
         base = _PALETTE[int(models[i]) % len(_PALETTE)]
-        tv = pts[tris]                       # [T, 3, 2]
-        tz = depth[tris]                     # [T, 3]
-        # cull: any vertex behind the camera, or fully offscreen
-        keep = (tz > 1e-3).all(axis=1)
-        keep &= (tv[..., 0].max(axis=1) >= 0) & (tv[..., 0].min(axis=1) < width)
-        keep &= (tv[..., 1].max(axis=1) >= 0) & (tv[..., 1].min(axis=1) < height)
-        # flat Lambert from the world-space face normal
-        wv = w[tris]                         # [T, 3, 3]
-        nrm = np.cross(wv[:, 1] - wv[:, 0], wv[:, 2] - wv[:, 0])
-        nlen = np.linalg.norm(nrm, axis=1)
-        keep &= nlen > 1e-9
-        idxs = np.nonzero(keep)[0]
-        if not idxs.size:
-            continue
-        shade = 0.35 + 0.65 * np.abs(
-            (nrm[idxs] / nlen[idxs, None]) @ _LIGHT)
-        cols = base[None, :] * shade[:, None]
+        raster_mesh(fb, zb, w, tris, base, cam_pos, cam_rot, fov,
+                    width, height)
 
-        for t, col in zip(idxs, cols):
-            a, b, c = tv[t]
-            x0 = max(int(np.floor(min(a[0], b[0], c[0]))), 0)
-            x1 = min(int(np.ceil(max(a[0], b[0], c[0]))) + 1, width)
-            y0 = max(int(np.floor(min(a[1], b[1], c[1]))), 0)
-            y1 = min(int(np.ceil(max(a[1], b[1], c[1]))) + 1, height)
-            if x0 >= x1 or y0 >= y1:
-                continue
-            xs = np.arange(x0, x1) + 0.5
-            ys = (np.arange(y0, y1) + 0.5)[:, None]
-            d = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
-            if abs(d) < 1e-9:
-                continue
-            w0 = ((b[0] - xs) * (c[1] - ys) - (b[1] - ys) * (c[0] - xs)) / d
-            w1 = ((c[0] - xs) * (a[1] - ys) - (c[1] - ys) * (a[0] - xs)) / d
-            w2 = 1.0 - w0 - w1
-            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-            if not inside.any():
-                continue
-            # perspective-correct depth via 1/z interpolation
-            iz = w0 / tz[t, 0] + w1 / tz[t, 1] + w2 / tz[t, 2]
-            z = 1.0 / np.maximum(iz, 1e-9)
-            tile_z = zb[y0:y1, x0:x1]
-            win = inside & (z < tile_z)
-            tile_z[win] = z[win]
-            fb[y0:y1, x0:x1][win] = col
+
+def raster_mesh(fb, zb, verts_world, tris, base_color,
+                cam_pos, cam_rot, fov, width, height):
+    """Z-buffered fill of one world-space triangle mesh (flat Lambert shade
+    tinted by `base_color` [3] 0-255). Mutates fb/zb in place."""
+    w = np.asarray(verts_world, np.float32)
+    tris = np.asarray(tris, np.int32)
+    inv_rot = hm.quat_conjugate(cam_rot)
+    f = 1.0 / np.tan(fov * 0.5)
+    aspect = width / height
+    local = hm.quat_rotate(np.broadcast_to(inv_rot, (len(w), 4)),
+                           w - cam_pos)
+    depth = -local[:, 2]
+    safe = np.maximum(depth, 1e-3)
+    sx = ((local[:, 0] * f / aspect) / safe * 0.5 + 0.5) * width
+    sy = (1.0 - ((local[:, 1] * f) / safe * 0.5 + 0.5)) * height
+    pts = np.stack([sx, sy], -1)
+
+    base = np.asarray(base_color, np.float32)
+    tv = pts[tris]                       # [T, 3, 2]
+    tz = depth[tris]                     # [T, 3]
+    # cull: any vertex behind the camera, or fully offscreen
+    keep = (tz > 1e-3).all(axis=1)
+    keep &= (tv[..., 0].max(axis=1) >= 0) & (tv[..., 0].min(axis=1) < width)
+    keep &= (tv[..., 1].max(axis=1) >= 0) & (tv[..., 1].min(axis=1) < height)
+    # flat Lambert from the world-space face normal
+    wv = w[tris]                         # [T, 3, 3]
+    nrm = np.cross(wv[:, 1] - wv[:, 0], wv[:, 2] - wv[:, 0])
+    nlen = np.linalg.norm(nrm, axis=1)
+    keep &= nlen > 1e-9
+    idxs = np.nonzero(keep)[0]
+    if not idxs.size:
+        return
+    shade = 0.35 + 0.65 * np.abs(
+        (nrm[idxs] / nlen[idxs, None]) @ _LIGHT)
+    cols = base[None, :] * shade[:, None]
+
+    for t, col in zip(idxs, cols):
+        a, b, c = tv[t]
+        x0 = max(int(np.floor(min(a[0], b[0], c[0]))), 0)
+        x1 = min(int(np.ceil(max(a[0], b[0], c[0]))) + 1, width)
+        y0 = max(int(np.floor(min(a[1], b[1], c[1]))), 0)
+        y1 = min(int(np.ceil(max(a[1], b[1], c[1]))) + 1, height)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        xs = np.arange(x0, x1) + 0.5
+        ys = (np.arange(y0, y1) + 0.5)[:, None]
+        d = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        if abs(d) < 1e-9:
+            continue
+        w0 = ((b[0] - xs) * (c[1] - ys) - (b[1] - ys) * (c[0] - xs)) / d
+        w1 = ((c[0] - xs) * (a[1] - ys) - (c[1] - ys) * (a[0] - xs)) / d
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        if not inside.any():
+            continue
+        # perspective-correct depth via 1/z interpolation
+        iz = w0 / tz[t, 0] + w1 / tz[t, 1] + w2 / tz[t, 2]
+        z = 1.0 / np.maximum(iz, 1e-9)
+        tile_z = zb[y0:y1, x0:x1]
+        win = inside & (z < tile_z)
+        tile_z[win] = z[win]
+        fb[y0:y1, x0:x1][win] = col
 
 
 def render_png(runner, path: str, cam_slot: int = 0, width: int = 480,

@@ -182,6 +182,37 @@ def test_backend_replays_full_stream_with_builtin_plugins(tmp_path):
     assert be2.history is not None
 
 
+def test_backend_draws_terrain_heightfield():
+    """OP_DRAW_TERRAIN replays as a coarse heightfield mesh raster."""
+    from lumixengine_tpu import app as app_mod
+    from lumixengine_tpu.models import demo_scenes
+    from lumixengine_tpu.renderer import gpu_soft
+
+    engine, renderer = demo_scenes.build_engine(model_instances=16)
+    world = engine.create_world(capacity=16)
+    cam = world.create_entity(position=(0.0, 5.0, 40.0), name="camera")
+    world.create_component(cam, "camera", fov=np.radians(70.0),
+                           near=0.3, far=500.0)
+    rng = np.random.default_rng(0)
+    tid = renderer.terrains.add(rng.uniform(0, 1, (65, 65)),
+                                xz_scale=1.0, y_scale=6.0)
+    t = world.create_entity(position=(-32.0, -4.0, -20.0), name="terrain")
+    world.create_component(t, "terrain", terrain=tid)
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(1)
+    be = gpu_soft.SoftwareGpuBackend(runner, width=160, height=90,
+                                     max_instances=16)
+    be.draw_terrain(entity=t, terrain=tid)
+    hit = (be.zb < np.inf).mean()
+    assert hit > 0.2, hit                 # the hills fill a chunk of the view
+    # and it rides the recorded stream end-to-end
+    img, be2 = gpu_soft.render_frame(runner, None, width=160, height=90,
+                                     max_instances=16)
+    assert be2.draw_calls >= 3            # instances + terrain + 2d
+
+
 def test_fsr_plugin_changes_output_resolution():
     from lumixengine_tpu import app as app_mod
     from lumixengine_tpu.models import demo_scenes
