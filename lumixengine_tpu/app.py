@@ -67,6 +67,7 @@ class Runner:
         self.settings.register("profile_start", False, "app")
         self.settings.register("fps_cap", 60.0, "app")
         self.settings.register("screenshot", "", "app")
+        self.settings.register("tui", False, "app")
         self.cli = cfg.CommandLineParser(argv or [])
         self.cli.apply_to_settings(self.settings)
 
@@ -216,6 +217,31 @@ class Runner:
             profiler.export_chrome_trace(trace_path)
 
 
+def _run_tui(runner: "Runner", frames: int) -> None:
+    """Interactive terminal session: the TerminalWindowBackend pumps raw
+    keyboard input into the InputSystem and each frame presents through the
+    software gpu backend as ANSI half-blocks (≙ the platform main loop:
+    processEvents → update → Pipeline::render → swap). Ctrl-C quits."""
+    from lumixengine_tpu.core.os_terminal import TerminalWindowBackend
+    from lumixengine_tpu.renderer.plugins import install_builtins
+
+    install_builtins(runner.world.modules["renderer"].system)
+    backend = TerminalWindowBackend()
+    runner.os.backend = backend
+    cap = float(runner.settings.get("fps_cap") or 30.0)
+    with backend:
+        for _ in range(frames):
+            t0 = time.perf_counter()
+            runner.tick()
+            img = runner.present(width=320, height=180)
+            backend.present(img)
+            if runner.os.quit_requested:
+                break
+            left = 1.0 / cap - (time.perf_counter() - t0)
+            if left > 0:
+                time.sleep(left)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import sys
 
@@ -233,7 +259,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     runner.start()
     frames = int(runner.cli.value("frames", "300"))
     t0 = time.perf_counter()
-    runner.run(frames)
+    if runner.settings.get("tui"):
+        _run_tui(runner, frames)
+    else:
+        runner.run(frames)
     el = time.perf_counter() - t0
     log.log_info("app", f"{frames} frames in {el:.2f}s ({frames / el:.1f} fps)")
     shot = runner.settings.get("screenshot")
