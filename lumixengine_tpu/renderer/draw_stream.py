@@ -153,6 +153,10 @@ def record_frame(view, rs, module, stream: Optional[DrawStream] = None) -> DrawS
         if e >= 0:
             s.push(OP_DRAW_TERRAIN, entity=e,
                    terrain=int(module.terrains.get(e, "terrain")))
+    # procedural geometry (triangle soup at the entity transform)
+    for e, pg in getattr(module, "procedural_geometries", {}).items():
+        if len(pg.get("vertices", ())):
+            s.push(OP_DRAW_MODEL, source="procedural_geometry", entity=e)
     for p in plugins:
         p.render_opaque(s, view, module)
     s.push(OP_SET_PASS, name="transparent")

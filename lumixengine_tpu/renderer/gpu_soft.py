@@ -125,7 +125,30 @@ class SoftwareGpuBackend:
         self._bound = None
 
     def draw_model(self, **kw):
+        if kw.get("source") == "procedural_geometry":
+            return self._draw_procedural(kw.get("entity"))
         self.draw_instanced(**kw)
+
+    def _draw_procedural(self, entity):
+        """Triangle-soup fill at the entity transform (≙ ProceduralGeometry
+        draw — vertices are consecutive triangles)."""
+        self.draw_calls += 1
+        pg = self.rmod.procedural_geometries.get(entity)
+        if not pg or not len(pg["vertices"]):
+            return
+        verts = np.asarray(pg["vertices"], np.float32)
+        n = (len(verts) // 3) * 3
+        if n == 0:
+            return
+        slot = self.runner.world.slot(entity)
+        epos = np.asarray(self.runner.state.world.pos[:, slot])
+        erot = np.asarray(self.runner.state.world.rot[:, slot])
+        w = hm.quat_rotate(np.broadcast_to(erot, (n, 4)), verts[:n]) + epos
+        tris = np.arange(n, dtype=np.int32).reshape(-1, 3)
+        raster.raster_mesh(self.fb, self.zb, w, tris,
+                           np.array([176, 122, 161], np.float32),
+                           self.cam_pos, self.cam_rot, self.fov,
+                           self.width, self.height)
 
     def _draw_instanced_chunk(self, chunk: int, model: int):
         """Replay one culled InstancedModel chunk (≙ encodeInstancedModels'

@@ -213,6 +213,28 @@ def test_backend_draws_terrain_heightfield():
     assert be2.draw_calls >= 3            # instances + terrain + 2d
 
 
+def test_backend_draws_procedural_geometry():
+    from lumixengine_tpu import app as app_mod
+    from lumixengine_tpu.models import demo_scenes
+    from lumixengine_tpu.renderer import gpu_soft
+
+    engine, renderer = demo_scenes.build_engine(model_instances=8)
+    world = engine.create_world(capacity=8)
+    cam = world.create_entity(position=(0.0, 0.0, 10.0), name="camera")
+    world.create_component(cam, "camera", fov=np.radians(70.0),
+                           near=0.3, far=500.0)
+    e = world.create_entity(position=(0.0, 0.0, 0.0))
+    tri = np.array([[-3, -3, 0], [3, -3, 0], [0, 3, 0]], np.float32)
+    world.create_component(e, "procedural_geometry", vertices=tri)
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(1)
+    img, be = gpu_soft.render_frame(runner, None, width=120, height=68,
+                                    max_instances=8)
+    assert (be.zb < np.inf).mean() > 0.05      # the triangle fills pixels
+
+
 def test_fsr_plugin_changes_output_resolution():
     from lumixengine_tpu import app as app_mod
     from lumixengine_tpu.models import demo_scenes
