@@ -132,6 +132,7 @@ def record_frame(view, rs, module, stream: Optional[DrawStream] = None) -> DrawS
     s.push(OP_SET_PASS, name="gbuffer")
     s.push(OP_BIND_INSTANCES, pos=view.instance_pos, rot=view.instance_rot,
            scale=view.instance_scale, models=view.instance_model,
+           slots=getattr(view, "instance_slot", None),
            count=view.visible_count)
     s.push(OP_DRAW_INSTANCED, sorted_by="material")
     anim = getattr(module.world.modules.get("animation"), "name", None)

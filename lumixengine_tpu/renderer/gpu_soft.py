@@ -102,13 +102,15 @@ class SoftwareGpuBackend:
         pass
 
     def bind_instances(self, pos=None, rot=None, scale=None, models=None,
-                       count=None, **kw):
+                       count=None, slots=None, **kw):
         n = min(int(count), self.max_instances) if count is not None else 0
         self._bound = None
         if n:
             self._bound = (np.asarray(pos).T[:n], np.asarray(rot).T[:n],
                            np.asarray(scale).T[:n],
-                           np.asarray(models)[:n])
+                           np.asarray(models)[:n],
+                           np.asarray(slots)[:n] if slots is not None
+                           else np.full(n, -1, np.int32))
 
     def draw_instanced(self, **kw):
         self.draw_calls += 1
@@ -117,12 +119,65 @@ class SoftwareGpuBackend:
                                               kw.get("model", -1))
         if self._bound is None:
             return
-        ipos, irot, iscale, models = self._bound
-        raster.raster_instances(self.fb, self.zb, ipos, irot, iscale, models,
+        ipos, irot, iscale, models, slots = self._bound
+        # skinned instances draw their POSED mesh (dual-quat skin on the
+        # animation palette, ≙ computeSkeletonDualQuats consumed by the
+        # skinning vertex path); the rest draw the bind-pose mesh
+        skin_map = self._skin_map()
+        drawn = np.zeros(len(models), bool)
+        if skin_map:
+            registry = self.rmod.system.models
+            pal = None
+            for i, slot in enumerate(slots):
+                col = skin_map.get(int(slot))
+                if col is None:
+                    continue
+                m = registry.get(int(models[i])) if models[i] >= 0 else None
+                if m is None or m.vertex_weights is None \
+                        or m.vertex_positions is None \
+                        or getattr(m, "vertex_triangles", None) is None:
+                    continue
+                if pal is None:
+                    pal = np.asarray(
+                        self.runner.state.modules["animation"].palette)
+                posed = skin_points_dq_np(pal[:, :, col],
+                                          np.asarray(m.vertex_positions),
+                                          np.asarray(m.vertex_bones4),
+                                          np.asarray(m.vertex_weights))
+                w = hm.quat_rotate(
+                    np.broadcast_to(irot[i], (len(posed), 4)),
+                    posed * iscale[i]) + ipos[i]
+                raster.raster_mesh(self.fb, self.zb, w,
+                                   m.vertex_triangles,
+                                   raster._PALETTE[int(models[i])
+                                                   % len(raster._PALETTE)],
+                                   self.cam_pos, self.cam_rot, self.fov,
+                                   self.width, self.height)
+                drawn[i] = True
+        keep = ~drawn
+        raster.raster_instances(self.fb, self.zb, ipos[keep], irot[keep],
+                                iscale[keep], models[keep],
                                 self.rmod.system.models, self.cam_pos,
                                 self.cam_rot, self.fov, self.width,
                                 self.height)
         self._bound = None
+
+    def _skin_map(self):
+        """World slot → palette pool column (animables region first, then
+        animators at +animables.capacity — module.py pool layout)."""
+        if getattr(self, "_skin", None) is None:
+            self._skin = {}
+            amod = self.runner.world.modules.get("animation")
+            if amod is not None:
+                st = amod.statics()
+                a1 = amod.animables.capacity
+                for g in getattr(st, "an_groups", ()):
+                    for c, s in zip(g["cols"], g["entity_slots"]):
+                        self._skin[int(s)] = int(c)
+                for g in getattr(st, "at_groups", ()):
+                    for c, s in zip(g["cols"], g["entity_slots"]):
+                        self._skin[int(s)] = int(a1 + c)
+        return self._skin
 
     def draw_model(self, **kw):
         if kw.get("source") == "procedural_geometry":
@@ -386,6 +441,25 @@ class SoftwareGpuBackend:
             return np.clip(self.fb, 0, 255).astype(np.uint8)
         arr = np.asarray(self.color)
         return np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+
+
+def skin_points_dq_np(pal, points, bones4, weights) -> np.ndarray:
+    """Host dual-quat skinning (the numpy mirror of ops/skinning.py's
+    blend_palette + skin_points, for the diagnostic raster path).
+    pal [8, B] (x,y,z,w real | dual), points [V,3], bones4 [V,4] int,
+    weights [V,4] → posed points [V,3]."""
+    # hemisphere: flip each bone against bone 0's real part (the same
+    # convention as ops/skinning.blend_palette — parity-tested)
+    d = np.sum(pal[:4] * pal[:4, 0:1], axis=0)        # [B]
+    pal = pal * np.where(d < 0.0, -1.0, 1.0)[None]
+    q = pal[:, bones4]                                # [8, V, 4]
+    b = np.sum(q * weights[None], axis=-1)            # [8, V]
+    n = np.linalg.norm(b[:4], axis=0)
+    b = b / np.maximum(n, 1e-9)[None]
+    qr = b[:4].T                                      # [V, 4]
+    qd = b[4:].T
+    t = 2.0 * hm.quat_mul(qd, hm.quat_conjugate(qr))[:, :3]
+    return hm.quat_rotate(qr, np.asarray(points, np.float32)) + t
 
 
 def _particle_positions(est, em) -> Optional[np.ndarray]:

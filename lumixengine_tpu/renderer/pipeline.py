@@ -53,6 +53,7 @@ class View:
     instance_rot: jnp.ndarray  # f32 [4,K]
     instance_scale: jnp.ndarray  # f32 [3,K]
     instance_model: jnp.ndarray  # int32 [K] model id in draw order
+    instance_slot: jnp.ndarray   # int32 [K] entity WORLD slot in draw order
     visible_count: jnp.ndarray   # int32 scalar
     lights_visible: jnp.ndarray  # bool [L]
     instanced_visible: jnp.ndarray  # bool [IM] — per instanced-model chunk
@@ -213,6 +214,7 @@ def prepare_view(
         instance_rot=jnp.take(irot, order, axis=-1),
         instance_scale=jnp.take(iscale, order, axis=-1),
         instance_model=jnp.take(model_ids, order),
+        instance_slot=jnp.take(eidx, order).astype(jnp.int32),
         visible_count=jnp.sum(visible).astype(jnp.int32),
         lights_visible=_cull_lights(ws, rs, statics, frustum),
         instanced_visible=_cull_instanced(ws, statics, frustum),

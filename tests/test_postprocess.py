@@ -235,6 +235,52 @@ def test_backend_draws_procedural_geometry():
     assert (be.zb < np.inf).mean() > 0.05      # the triangle fills pixels
 
 
+def test_host_dqs_matches_device_skinning():
+    """gpu_soft.skin_points_dq_np == ops/skinning blend+skin (the backend's
+    posed-mesh raster uses the same math as the engine's device path)."""
+    from lumixengine_tpu.ops import skinning
+    from lumixengine_tpu.renderer.gpu_soft import skin_points_dq_np
+
+    rng = np.random.default_rng(5)
+    B, V = 6, 40
+    # random rigid dual quats: real = unit quat, dual = 0.5 * t ⊗ real
+    real = rng.normal(size=(B, 4))
+    real /= np.linalg.norm(real, axis=-1, keepdims=True)
+    trans = rng.uniform(-2, 2, (B, 3))
+    tq = np.concatenate([trans, np.zeros((B, 1))], -1)
+    from lumixengine_tpu.core import host_math as hm
+    dual = 0.5 * hm.quat_mul(tq, real)
+    pal = np.concatenate([real, dual], -1).T.astype(np.float32)  # [8, B]
+
+    bones4 = rng.integers(0, B, (V, 4)).astype(np.int32)
+    w = rng.uniform(0, 1, (V, 4)).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    pts = rng.uniform(-1, 1, (V, 3)).astype(np.float32)
+
+    host = skin_points_dq_np(pal, pts, bones4, w)
+
+    wbv = skinning.weights_matrix(bones4, w, B)              # [B, V]
+    blended = skinning.blend_palette(jnp.asarray(pal)[..., None], wbv)
+    dev = skinning.skin_points(blended, jnp.asarray(pts.T))
+    np.testing.assert_allclose(host, np.asarray(dev)[..., 0].T,
+                               atol=2e-3)
+
+
+def test_host_dqs_identity_and_translation():
+    from lumixengine_tpu.renderer.gpu_soft import skin_points_dq_np
+
+    pal = np.zeros((8, 2), np.float32)
+    pal[3] = 1.0                                     # identity reals
+    pal[6, 1] = 1.0                                  # bone 1: dual=(0,0,1,0) → +2z
+    pts = np.array([[1.0, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    bones4 = np.array([[0, 0, 0, 0], [1, 0, 0, 0], [0, 1, 0, 0]], np.int32)
+    w = np.array([[1, 0, 0, 0], [1.0, 0, 0, 0], [0.5, 0.5, 0, 0]], np.float32)
+    out = skin_points_dq_np(pal, pts, bones4, w)
+    np.testing.assert_allclose(out[0], [1, 0, 0], atol=1e-6)      # bone 0 rest
+    np.testing.assert_allclose(out[1], [0, 1, 2], atol=1e-6)      # +2z
+    np.testing.assert_allclose(out[2], [0, 0, 2], atol=1e-3)      # halfway
+
+
 def test_fsr_plugin_changes_output_resolution():
     from lumixengine_tpu import app as app_mod
     from lumixengine_tpu.models import demo_scenes
