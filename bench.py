@@ -318,9 +318,10 @@ def main():
         if args.particles == 2048:
             args.particles = 1_000_000
     if args.config == "render" and args.worlds == 4096:
-        # clustered binning materializes a [W, 3072-cluster, L-light] touch
-        # grid per step; 1024 worlds keeps it well inside HBM
-        args.worlds = 1024
+        # clustered binning sorts a [W, 3072-cluster, 256-light] priority
+        # grid per step (~1.6 GB at 512 worlds); 512 keeps the whole config
+        # comfortably inside HBM next to the flagship state
+        args.worlds = 512
     if args.config == "all":
         return main_all(args)
     if args.config == "boxes":
