@@ -135,6 +135,14 @@ def raster_mesh(fb, zb, verts_world, tris, base_color,
         (nrm[idxs] / nlen[idxs, None]) @ _LIGHT)
     cols = base[None, :] * shade[:, None]
 
+    # hot loop: native fill when the on-demand C++ build is available
+    # (csrc/soft_raster.cpp, ~100x the python loop), numpy fallback below
+    from lumixengine_tpu.utils import native
+
+    if native.available():
+        native.raster_tris(fb, zb, tv[idxs], tz[idxs], cols)
+        return
+
     for t, col in zip(idxs, cols):
         a, b, c = tv[t]
         x0 = max(int(np.floor(min(a[0], b[0], c[0]))), 0)

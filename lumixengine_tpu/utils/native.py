@@ -22,7 +22,8 @@ _tried = False
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRCS = [os.path.join(_ROOT, "csrc", "lz4_codec.cpp"),
-         os.path.join(_ROOT, "csrc", "nav_astar.cpp")]
+         os.path.join(_ROOT, "csrc", "nav_astar.cpp"),
+         os.path.join(_ROOT, "csrc", "soft_raster.cpp")]
 _OUT_DIR = os.path.join(_ROOT, ".native_cache")
 _OUT = os.path.join(_OUT_DIR, "liblxt_native.so")
 
@@ -67,6 +68,12 @@ def _load():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ]
+            fp = ctypes.POINTER(ctypes.c_float)
+            lib.lxt_raster_tris.restype = ctypes.c_int
+            lib.lxt_raster_tris.argtypes = [
+                fp, fp, ctypes.c_int, ctypes.c_int,
+                fp, fp, fp, ctypes.c_int,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -98,6 +105,29 @@ def lz4_decompress(data: bytes, raw_size: int) -> bytes:
     if n != raw_size:
         raise RuntimeError(f"lz4 decompress failed ({n} != {raw_size})")
     return out.raw
+
+
+def raster_tris(fb, zb, tv, tz, cols) -> int:
+    """Native z-buffered triangle fill (csrc/soft_raster.cpp — exact mirror
+    of renderer/raster.py's numpy loop). fb [H,W,3] f32 and zb [H,W] f32 are
+    mutated in place; tv [T,3,2] screen xy, tz [T,3] view depth,
+    cols [T,3] rgb. Returns pixels written."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native rasterizer unavailable")
+    assert fb.dtype == np.float32 and fb.flags.c_contiguous
+    assert zb.dtype == np.float32 and zb.flags.c_contiguous
+    tvc = np.ascontiguousarray(tv, np.float32)
+    tzc = np.ascontiguousarray(tz, np.float32)
+    cc = np.ascontiguousarray(cols, np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    return lib.lxt_raster_tris(
+        fb.ctypes.data_as(fp), zb.ctypes.data_as(fp),
+        fb.shape[1], fb.shape[0],
+        tvc.ctypes.data_as(fp), tzc.ctypes.data_as(fp),
+        cc.ctypes.data_as(fp), len(tzc))
 
 
 def nav_astar(walkable, sx: int, sz: int, gx: int, gz: int, max_cells: int = 65536):

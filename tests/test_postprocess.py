@@ -213,6 +213,43 @@ def test_backend_draws_terrain_heightfield():
     assert be2.draw_calls >= 3            # instances + terrain + 2d
 
 
+def test_native_raster_matches_numpy_loop():
+    """csrc/soft_raster.cpp is an exact mirror of raster.py's numpy fill —
+    same pixels, same depths."""
+    from lumixengine_tpu.renderer import raster
+    from lumixengine_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    verts = (rng.uniform(-5, 5, (300, 3)) + [0, 0, -10]).astype(np.float32)
+    tris = rng.integers(0, 300, (200, 3)).astype(np.int32)
+    cam_pos = np.zeros(3, np.float32)
+    cam_rot = np.array([0, 0, 0, 1], np.float32)
+    col = np.array([200, 100, 50], np.float32)
+
+    def draw():
+        fb = np.full((135, 240, 3), 18.0, np.float32)
+        zb = np.full((135, 240), np.inf, np.float32)
+        raster.raster_mesh(fb, zb, verts, tris, col, cam_pos, cam_rot,
+                           1.2, 240, 135)
+        return fb, zb
+
+    fb_n, zb_n = draw()
+    orig = native.available
+    native.available = lambda: False
+    try:
+        fb_p, zb_p = draw()
+    finally:
+        native.available = orig
+    assert (zb_n < np.inf).mean() > 0.3          # scene actually fills pixels
+    np.testing.assert_array_equal(fb_n, fb_p)
+    # numpy interpolates depth in f64, the kernel in f32 — ~1e-6 rounding
+    np.testing.assert_allclose(
+        np.where(np.isfinite(zb_n), zb_n, -1.0),
+        np.where(np.isfinite(zb_p), zb_p, -1.0), rtol=1e-4)
+
+
 def test_backend_draws_procedural_geometry():
     from lumixengine_tpu import app as app_mod
     from lumixengine_tpu.models import demo_scenes
