@@ -249,7 +249,10 @@ def test_box_drop_statistics(pipeline):
     from lumixengine_tpu.ops import physics_banded as PBD
     from lumixengine_tpu.ops import physics_ops as P
 
-    nb = 512
+    # 256 boxes / 300 settle steps: the exact-SAT banded step costs ~3.3 s
+    # per step on this 1-core box at nb=512 — the identical gates on a 16x4x4
+    # pile keep the full-suite wall time sane (the bench still runs 10k)
+    nb = 256
     rng = np.random.default_rng(0)
     shape = np.full(nb, P.SHAPE_BOX, np.int32)
     radius = np.full(nb, 0.5, np.float32)
@@ -273,9 +276,9 @@ def test_box_drop_statistics(pipeline):
                                           n_sweeps=4, warm_start=True)
     # jittered non-overlapping grid, long axis = x so each x-plane holds 16
     # boxes — well inside the SAP window (the miss counter gates it below)
-    grid = np.stack(np.meshgrid(np.arange(32), np.arange(4), np.arange(4),
+    grid = np.stack(np.meshgrid(np.arange(16), np.arange(4), np.arange(4),
                                 indexing="ij"), -1).reshape(-1, 3)[:nb]
-    p = grid * 1.15 + rng.uniform(0.0, 0.1, (nb, 3)) + [0.0, 3.0, 0.0]
+    p = grid * 1.15 + rng.uniform(0.0, 0.1, (nb, 3)) + [0.0, 1.5, 0.0]
     pos = jnp.asarray(p.T.astype(np.float32))
     rot = jnp.zeros((4, nb)).at[3].set(1.0)
     vel = jnp.zeros((3, nb))
@@ -300,7 +303,7 @@ def test_box_drop_statistics(pipeline):
     carry = run(carry, 20)  # still falling
     vx = np.asarray(carry[2][0])
     assert abs(vx.sum()) < 1e-2                     # no lateral momentum injected
-    carry = run(carry, 480)                          # settle
+    carry = run(carry, 300)                          # settle
     y = np.asarray(carry[0][1])
     if pipeline == "banded":
         # warm-started banded pipeline keeps contact identity across frames
