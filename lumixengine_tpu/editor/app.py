@@ -1,0 +1,279 @@
+"""Terminal editor application (≙ the StudioApp/WorldEditor shell,
+/root/reference/src/editor/studio_app.cpp + world_editor.cpp — there a
+dockable ImGui desktop app; on this headless platform the terminal is the
+display, so the SAME editing core — CommandStack undo/redo, the reflection
+property grid, entity tree, serialize save — drives a two-panel TUI).
+
+Panels: entity tree (left, parent indentation) and property grid (right:
+transform rows + every reflected property of every component on the selected
+entity). The key model is a pure state machine (`handle_key`) over a pure
+screen composer (`render_text`), so the whole editor is unit-testable without
+a tty; `run()` wires it to the TerminalWindowBackend for interactive use:
+
+    python -m lumixengine_tpu.editor.app --world path/to/map.unv
+
+Keys: up/down select · tab switch panel · enter edit property (type, enter
+commits through SetProperty/SetTransformCommand) · esc cancel · u undo ·
+y redo · n new entity · x delete selected · s save world.unv.sav · q quit.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from lumixengine_tpu.editor.commands import (CommandStack, CreateEntityCommand,
+                                             DestroyEntitiesCommand,
+                                             SetPropertyCommand,
+                                             SetTransformCommand)
+from lumixengine_tpu.engine import reflection
+
+_UP, _DOWN = 0x26, 0x28
+
+
+class EditorApp:
+    def __init__(self, engine, world):
+        reflection.register_builtin_components()
+        self.engine = engine
+        self.world = world
+        self.stack = CommandStack(world)
+        self.sel = 0                 # index into entities()
+        self.panel = "tree"          # "tree" | "props"
+        self.prop_sel = 0
+        self.edit: Optional[str] = None   # edit buffer while typing a value
+        self.status = "ready"
+        self.quit_requested = False
+        self.save_path = "world.unv.sav"
+
+    # -- model ------------------------------------------------------------
+
+    def entities(self) -> List[int]:
+        w = self.world
+        out = []
+
+        def walk(e, depth):
+            out.append((e, depth))
+            for c in w.children_of(e):
+                walk(c, depth + 1)
+
+        roots = [e for e in sorted(w.names.keys() | set(_alive(w)))
+                 if w.is_alive(e) and w.get_parent(e) < 0]
+        for r in roots:
+            walk(r, 0)
+        return out
+
+    def selected_entity(self) -> int:
+        ents = self.entities()
+        if not ents:
+            return -1
+        self.sel = max(0, min(self.sel, len(ents) - 1))
+        return ents[self.sel][0]
+
+    def prop_rows(self, e: int) -> List[Tuple[str, str, object]]:
+        """(component, property, value) rows: transform first, then every
+        reflected property of every component present on the entity."""
+        if e < 0 or not self.world.is_alive(e):
+            return []
+        pos = np.asarray(self.world.get_local_transform(e)[0]).round(3)
+        rows = [("transform", "x", float(pos[0])),
+                ("transform", "y", float(pos[1])),
+                ("transform", "z", float(pos[2]))]
+        for ctype in reflection.registry.all_components():
+            try:
+                present = self.world.has_component(e, ctype)
+            except KeyError:
+                present = False
+            if not present:
+                continue
+            cd = reflection.registry.component(ctype)
+            for pname in (cd.properties if cd else {}):
+                try:
+                    v = reflection.registry.get_property(
+                        self.world, e, ctype, pname)
+                except Exception:
+                    continue
+                if isinstance(v, np.ndarray):
+                    if v.size > 4:
+                        continue
+                    v = np.asarray(v).round(3).tolist()
+                rows.append((ctype, pname, v))
+        return rows
+
+    # -- key state machine --------------------------------------------------
+
+    def handle_key(self, code: int, text: str = "") -> None:
+        if self.edit is not None:
+            if code == 13:                       # commit
+                self._commit_edit()
+            elif code == 27:                     # esc
+                self.edit = None
+                self.status = "edit cancelled"
+            elif code == 8:                      # backspace
+                self.edit = self.edit[:-1]
+            elif text and (text.isdigit() or text in ".-+e"):
+                self.edit += text
+            return
+        ch = text.lower()
+        if ch == "q":
+            self.quit_requested = True
+        elif code == _UP:
+            if self.panel == "tree":
+                self.sel = max(self.sel - 1, 0)
+            else:
+                self.prop_sel = max(self.prop_sel - 1, 0)
+        elif code == _DOWN:
+            if self.panel == "tree":
+                self.sel += 1
+                self.selected_entity()
+            else:
+                self.prop_sel += 1
+        elif code == 9:                          # tab
+            self.panel = "props" if self.panel == "tree" else "tree"
+        elif code == 13 and self.panel == "props":
+            self.edit = ""
+            self.status = "editing — type value, enter commits"
+        elif ch == "u":
+            self.stack.undo()
+            self.status = "undo"
+        elif ch == "y":
+            self.stack.redo()
+            self.status = "redo"
+        elif ch == "n":
+            self.stack.execute(CreateEntityCommand(name="new entity"))
+            self.status = "entity created"
+        elif ch == "x":
+            e = self.selected_entity()
+            if e >= 0:
+                self.stack.execute(DestroyEntitiesCommand([e]))
+                self.status = f"destroyed entity {e}"
+        elif ch == "s":
+            self.save()
+
+    def _commit_edit(self) -> None:
+        e = self.selected_entity()
+        rows = self.prop_rows(e)
+        buf, self.edit = self.edit, None
+        if not rows or not buf:
+            return
+        self.prop_sel = min(self.prop_sel, len(rows) - 1)
+        ctype, pname, old = rows[self.prop_sel]
+        try:
+            value = float(buf)
+        except ValueError:
+            self.status = f"not a number: {buf!r}"
+            return
+        if ctype == "transform":
+            pos = np.asarray(self.world.get_local_transform(e)[0],
+                             np.float32).copy()
+            pos["xyz".index(pname)] = value
+            self.stack.execute(SetTransformCommand(e, position=tuple(pos)))
+        else:
+            self.stack.execute(SetPropertyCommand(e, ctype, pname, value))
+        self.status = f"{ctype}.{pname} = {value}"
+
+    def save(self) -> None:
+        from lumixengine_tpu.engine import serialize
+
+        blob = serialize.serialize_world(self.world)
+        with open(self.save_path, "wb") as f:
+            f.write(blob)
+        self.status = f"saved {len(blob)} bytes -> {self.save_path}"
+
+    # -- screen -----------------------------------------------------------
+
+    def render_text(self, width: int = 100, height: int = 28) -> str:
+        ents = self.entities()
+        e = self.selected_entity()
+        rows = self.prop_rows(e)
+        self.prop_sel = max(0, min(self.prop_sel,
+                                   max(len(rows) - 1, 0)))
+        left_w = max(30, width // 3)
+        body = height - 3
+        # windowed scrolling around the selections
+        t0 = max(0, self.sel - body + 1)
+        p0 = max(0, self.prop_sel - body + 1)
+        lines = [f"lumixengine_tpu editor — {len(ents)} entities "
+                 f"[{'TREE' if self.panel == 'tree' else 'PROPS'}]"
+                 .ljust(width)[:width]]
+        for r in range(body):
+            ti = t0 + r
+            if ti < len(ents):
+                ent, depth = ents[ti]
+                name = self.world.get_entity_name(ent) or f"entity {ent}"
+                mark = ">" if ti == self.sel else " "
+                lt = f"{mark}{'  ' * depth}{name} ({ent})"
+            else:
+                lt = ""
+            pi = p0 + r
+            if pi < len(rows):
+                ct, pn, v = rows[pi]
+                cur = (self.panel == "props" and pi == self.prop_sel)
+                mark = ">" if cur else " "
+                val = (self.edit + "_") if (cur and self.edit is not None) \
+                    else str(v)
+                rt = f"{mark}{ct}.{pn} = {val}"
+            else:
+                rt = ""
+            lines.append((lt.ljust(left_w)[:left_w] + "| "
+                          + rt)[:width].ljust(width))
+        undo = len(self.stack._undo)
+        lines.append(("-" * width))
+        lines.append(f"[{self.status}]  undo:{undo}  "
+                     "keys: tab panel · enter edit · u undo · y redo · "
+                     "n new · x del · s save · q quit"[:width].ljust(width))
+        return "\n".join(lines[:height])
+
+    # -- interactive loop ----------------------------------------------------
+
+    def run(self, max_frames: int = 10 ** 9) -> None:
+        import time
+
+        from lumixengine_tpu.core.os import EventType
+        from lumixengine_tpu.core.os_terminal import TerminalWindowBackend
+
+        be = TerminalWindowBackend()
+        with be:
+            for _ in range(max_frames):
+                for ev in be.poll():
+                    if ev.type == EventType.KEY and ev.down:
+                        self.handle_key(ev.keycode)
+                    elif ev.type == EventType.TEXT_INPUT:
+                        self.handle_key(0, ev.text)
+                    elif ev.type == EventType.QUIT:
+                        self.quit_requested = True
+                cols, rows = be.term_size()
+                be.out.write("\x1b[H" + self.render_text(cols, rows))
+                be.out.flush()
+                if self.quit_requested:
+                    break
+                time.sleep(1 / 30)
+
+
+def _alive(world) -> List[int]:
+    return [e for e in range(world.capacity) if world.is_alive(e)]
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import sys
+
+    args = argv if argv is not None else sys.argv[1:]
+    world_path = None
+    for i, a in enumerate(args):
+        if a in ("--world", "-world") and i + 1 < len(args):
+            world_path = args[i + 1]
+    if world_path:
+        from lumixengine_tpu.importers.instantiate import load_world
+
+        inst = load_world(world_path)
+        engine, world = inst.engine, inst.world
+    else:
+        from lumixengine_tpu.models import demo_scenes
+
+        engine, world, _ = demo_scenes.headless_demo_world(num_entities=256)
+    app = EditorApp(engine, world)
+    app.run()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
