@@ -318,6 +318,48 @@ def test_host_dqs_identity_and_translation():
     np.testing.assert_allclose(out[2], [0, 0, 2], atol=1e-3)      # halfway
 
 
+def test_probe_bake_directional_and_cubemap_consistent():
+    """bake_probe captures neighbors on the correct face, and the baked
+    cubemap samples back through postprocess.cubemap_sky with the same
+    convention (≙ the editor probe bake feeding the renderer)."""
+    from lumixengine_tpu import app as app_mod
+    from lumixengine_tpu.models import demo_scenes
+    from lumixengine_tpu.renderer import probes
+
+    engine, renderer = demo_scenes.build_engine(model_instances=16)
+    world = engine.create_world(capacity=16)
+    cam = world.create_entity(position=(0.0, 0.0, 30.0), name="camera")
+    world.create_component(cam, "camera")
+    cube = world.create_entity(position=(2.0, 0.0, 0.0), scale=(2.0,) * 3)
+    world.create_component(cube, "model_instance", model="cube")
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(1)
+
+    faces = probes.bake_probe(runner, (0.0, 0.0, 0.0), size=32,
+                              max_instances=16)
+    bg = 18.0 / 255.0
+    hit = np.abs(faces - bg).max(axis=-1) > 0.02      # [6, S, S]
+    assert hit[0].mean() > 0.02, hit[0].mean()         # +X face sees the cube
+    assert hit[1].mean() == 0.0                        # -X face: empty
+    # center of +X face is the cube, not background
+    assert hit[0, 14:18, 14:18].all()
+
+    # sample the baked cubemap along +X through the shader path
+    rays = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (8, 8, 3))
+    depth = jnp.full((8, 8), jnp.inf)
+    out = np.asarray(pp.cubemap_sky(jnp.zeros((8, 8, 3)), depth, rays,
+                                    jnp.asarray(faces), far=100.0))
+    np.testing.assert_allclose(out[4, 4], faces[0, 16, 16], atol=0.05)
+
+    # bake_all_probes registers cubemaps for probe components
+    pe = world.create_entity(position=(0.0, 0.0, 0.0))
+    world.create_component(pe, "environment_probe")
+    baked = probes.bake_all_probes(runner, size=16)
+    assert pe in baked and baked[pe].shape == (6, 16, 16, 3)
+
+
 def test_fsr_plugin_changes_output_resolution():
     from lumixengine_tpu import app as app_mod
     from lumixengine_tpu.models import demo_scenes
