@@ -38,6 +38,7 @@ _jit_taa = jax.jit(pp.taa)
 _jit_grain = jax.jit(pp.film_grain)
 _jit_tonemap = jax.jit(pp.tonemap_aces)
 _jit_fsr = jax.jit(pp.fsr_upscale, static_argnames=("out_h", "out_w"))
+_jit_decals = jax.jit(pp.decal_pass)
 
 
 class SoftwareGpuBackend:
@@ -348,6 +349,11 @@ class SoftwareGpuBackend:
         return self._rays
 
     def dispatch(self, shader: str = "", **params):
+        if shader == "decals":
+            # scene-content pass inside the gbuffer: runs on the current fb
+            # and writes back, so later raster draws (particles, 2d) still
+            # land on the host framebuffer
+            return self._run_decals(params)
         self._to_device()
         c, d = self.color, self.depth
         if shader == "tonemap":
@@ -400,6 +406,32 @@ class SoftwareGpuBackend:
             self.height, self.width = oh, ow
         # unknown shader names fall through unchanged (forward-compat)
         self.color = c
+
+    def _run_decals(self, params):
+        st = self.runner.state
+        mod = self.rmod
+        ents, pos, rot, he, tints = [], [], [], [], []
+        for slot in range(mod.decals.capacity):
+            e = int(mod.decals.entity[slot])
+            if e < 0:
+                continue
+            ws = self.runner.world.slot(e)
+            pos.append(np.asarray(st.world.pos)[:, ws])
+            rot.append(np.asarray(st.world.rot)[:, ws])
+            he.append(np.asarray(mod.decals.data["half_extents"][slot]))
+            mat = int(mod.decals.data["material"][slot])
+            tints.append(raster._PALETTE[mat % len(raster._PALETTE)] / 255.0)
+            ents.append(e)
+        if not ents:
+            return
+        out = _jit_decals(jnp.asarray(self.fb) / 255.0, jnp.asarray(self.zb),
+                          self.fov, self.aspect, jnp.asarray(self.cam_pos),
+                          jnp.asarray(self.cam_rot),
+                          jnp.asarray(np.stack(pos)), jnp.asarray(np.stack(rot)),
+                          jnp.asarray(np.stack(he)),
+                          jnp.asarray(np.stack(tints)),
+                          alpha=params.get("alpha", 0.65), far=self.far)
+        self.fb[:] = np.asarray(out) * 255.0
 
     def _run_tdao(self, d, params):
         if self._bound_scene() is None:

@@ -342,6 +342,32 @@ def fsr_upscale(color, out_h: int, out_w: int, sharpness):
     return jnp.clip(sharp, lo, hi)
 
 
+def _rotate_by_quat(q, v):
+    """Rotate [..., 3] vectors by one quaternion [4] (x,y,z,w)."""
+    u = q[:3]
+    t = 2.0 * jnp.cross(jnp.broadcast_to(u, v.shape), v)
+    return v + q[3] * t + jnp.cross(jnp.broadcast_to(u, v.shape), t)
+
+
+def decal_pass(color, depth, fov_y, aspect, cam_pos, cam_rot,
+               dpos, drot, dhe, tints, alpha=0.65, far: float = 1e8):
+    """≙ Decal components (render_module.h Decal): project each decal's OBB
+    against the depth buffer — geometry pixels whose reconstructed world
+    position falls inside the box take the decal tint. dpos [D,3], drot
+    [D,4], dhe [D,3], tints [D,3]; D is static (unrolled)."""
+    d = jnp.where(jnp.isfinite(depth), depth, far)
+    pw = world_from_view(view_positions(d, fov_y, aspect), cam_pos, cam_rot)
+    geo = (jnp.isfinite(depth) & (depth < far * 0.99))[..., None]
+    out = color
+    for i in range(dpos.shape[0]):
+        qi = drot[i]
+        inv = jnp.concatenate([-qi[:3], qi[3:4]])
+        local = _rotate_by_quat(inv, pw - dpos[i])
+        inside = jnp.all(jnp.abs(local) <= dhe[i], axis=-1)[..., None] & geo
+        out = jnp.where(inside, out * (1 - alpha) + tints[i] * alpha, out)
+    return out
+
+
 def default_cubemap(size: int = 64):
     """Procedural fallback cubemap (vertical gradient + sun-ish patch) used
     when no .dds sky is bound."""

@@ -318,6 +318,49 @@ def test_host_dqs_identity_and_translation():
     np.testing.assert_allclose(out[2], [0, 0, 2], atol=1e-3)      # halfway
 
 
+def test_decal_pass_tints_inside_obb_only():
+    fov, aspect = np.radians(70.0), 1.5
+    color = jnp.full((24, 36, 3), 0.3)
+    depth = jnp.full((24, 36), 5.0)            # flat wall 5m ahead
+    cam_pos = jnp.zeros(3)
+    cam_rot = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    # decal box centered where the camera looks (0, 0, -5)
+    out = np.asarray(pp.decal_pass(
+        color, depth, fov, aspect, cam_pos, cam_rot,
+        jnp.asarray([[0.0, 0.0, -5.0]]), jnp.asarray([[0.0, 0, 0, 1.0]]),
+        jnp.asarray([[1.0, 1.0, 0.5]]), jnp.asarray([[1.0, 0.0, 0.0]])))
+    c = out[12, 18]
+    assert c[0] > 0.6 and c[1] < 0.2           # center tinted red
+    np.testing.assert_allclose(out[0, 0], 0.3, atol=1e-5)   # corner untouched
+
+
+def test_decal_draws_through_backend():
+    from lumixengine_tpu import app as app_mod
+    from lumixengine_tpu.models import demo_scenes
+    from lumixengine_tpu.renderer import gpu_soft
+
+    engine, renderer = demo_scenes.build_engine(model_instances=16)
+    world = engine.create_world(capacity=16)
+    cam = world.create_entity(position=(0.0, 0.0, 10.0), name="camera")
+    world.create_component(cam, "camera", fov=np.radians(70.0))
+    wall = world.create_entity(position=(0.0, 0.0, 0.0), scale=(4.0,) * 3)
+    world.create_component(wall, "model_instance", model="cube")
+    dec = world.create_entity(position=(0.0, 0.0, 2.5))
+    world.create_component(dec, "decal", material=3,
+                           half_extents=(1.0, 1.0, 2.0))
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(1)
+    img, be = gpu_soft.render_frame(runner, None, width=120, height=68,
+                                    max_instances=16)
+    # compare against the same frame without the decal
+    world.destroy_component(dec, "decal")
+    img2, _ = gpu_soft.render_frame(runner, None, width=120, height=68,
+                                    max_instances=16)
+    assert np.abs(img.astype(int) - img2.astype(int)).max() > 20
+
+
 def test_probe_bake_directional_and_cubemap_consistent():
     """bake_probe captures neighbors on the correct face, and the baked
     cubemap samples back through postprocess.cubemap_sky with the same
