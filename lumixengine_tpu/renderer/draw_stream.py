@@ -158,9 +158,11 @@ def record_frame(view, rs, module, stream: Optional[DrawStream] = None) -> DrawS
     for e, pg in getattr(module, "procedural_geometries", {}).items():
         if len(pg.get("vertices", ())):
             s.push(OP_DRAW_MODEL, source="procedural_geometry", entity=e)
-    # screen-space decal projection (≙ the decal pass over the gbuffer)
-    if any(int(module.decals.entity[i]) >= 0
-           for i in range(module.decals.capacity)):
+    # screen-space decal projection (≙ the decal pass over the gbuffer);
+    # curve decals sample their bezier into segments of the same pass
+    if any(int(store.entity[i]) >= 0
+           for store in (module.decals, module.curve_decals)
+           for i in range(store.capacity)):
         s.push(OP_DISPATCH, shader="decals")
     for p in plugins:
         p.render_opaque(s, view, module)

@@ -422,6 +422,41 @@ class SoftwareGpuBackend:
             mat = int(mod.decals.data["material"][slot])
             tints.append(raster._PALETTE[mat % len(raster._PALETTE)] / 255.0)
             ents.append(e)
+        # curve decals: quadratic bezier (p0 → entity origin → p2 in the
+        # entity's XZ plane) sampled into oriented OBB segments that ride
+        # the same projection pass (≙ CurveDecal, render_module.h)
+        for slot in range(mod.curve_decals.capacity):
+            e = int(mod.curve_decals.entity[slot])
+            if e < 0:
+                continue
+            ws = self.runner.world.slot(e)
+            epos = np.asarray(st.world.pos)[:, ws]
+            erot = np.asarray(st.world.rot)[:, ws]
+            bhe = np.asarray(mod.curve_decals.data["half_extents"][slot])
+            p0 = np.asarray(mod.curve_decals.data["bezier_p0"][slot])
+            p2 = np.asarray(mod.curve_decals.data["bezier_p2"][slot])
+            mat = int(mod.curve_decals.data["material"][slot])
+            tint = raster._PALETTE[mat % len(raster._PALETTE)] / 255.0
+            nseg = 8
+            ts = np.linspace(0.0, 1.0, nseg + 1)
+            bz = ((1 - ts) ** 2)[:, None] * p0[None] \
+                + (ts ** 2)[:, None] * p2[None]        # [n+1, 2] xz, p1=0
+            for i in range(nseg):
+                a, b = bz[i], bz[i + 1]
+                mid = (a + b) * 0.5
+                d = b - a
+                ln = float(np.hypot(d[0], d[1]))
+                yaw = float(np.arctan2(d[0], d[1]))
+                qy = np.array([0.0, np.sin(yaw / 2), 0.0,
+                               np.cos(yaw / 2)], np.float32)
+                local = np.array([mid[0], 0.0, mid[1]], np.float32)
+                pos.append(epos + hm.quat_rotate(erot[None],
+                                                 local[None])[0])
+                rot.append(hm.quat_mul(erot, qy))
+                he.append(np.array([bhe[0], bhe[1], ln / 2 + 0.05],
+                                   np.float32))
+                tints.append(tint)
+                ents.append(e)
         if not ents:
             return
         out = _jit_decals(jnp.asarray(self.fb) / 255.0, jnp.asarray(self.zb),

@@ -359,6 +359,14 @@ def test_decal_draws_through_backend():
     img2, _ = gpu_soft.render_frame(runner, None, width=120, height=68,
                                     max_instances=16)
     assert np.abs(img.astype(int) - img2.astype(int)).max() > 20
+    # curve decal: bezier-sampled OBB segments ride the same pass
+    cd = world.create_entity(position=(0.0, 0.0, 2.5))
+    world.create_component(cd, "curve_decal", material=6,
+                           half_extents=(0.6, 1.0, 0.6),
+                           bezier_p0=(-2.0, 0.0), bezier_p2=(2.0, 0.0))
+    img3, _ = gpu_soft.render_frame(runner, None, width=120, height=68,
+                                    max_instances=16)
+    assert np.abs(img3.astype(int) - img2.astype(int)).max() > 20
 
 
 def test_probe_bake_directional_and_cubemap_consistent():
