@@ -293,6 +293,39 @@ class SoftwareGpuBackend:
                            np.array([89, 140, 79], np.float32),
                            self.cam_pos, self.cam_rot, self.fov,
                            self.width, self.height)
+        if tr.get("grass_types"):
+            self._draw_grass(int(terrain), tr, epos, erot)
+
+    def _draw_grass(self, tid: int, tr, epos, erot, max_blades: int = 512):
+        """Grass types scatter over the heightmap (terrain.scatter_grass) and
+        draw as one batched blade-triangle mesh (≙ Terrain grass)."""
+        from lumixengine_tpu.renderer import terrain as T
+
+        reg = self.rmod.system.terrains
+        bank = reg.bank
+        hgt, wid = tr["heights"].shape
+        ext = (wid * tr["xz_scale"], hgt * tr["xz_scale"])
+        for gi, gt in enumerate(tr["grass_types"]):
+            pos, yaw, mask = T.scatter_grass(
+                bank, tid, float(gt.get("density", 0.2)), ext,
+                jax.random.PRNGKey(17 + gi), max_instances=max_blades)
+            sel = np.asarray(mask)
+            p = np.asarray(pos).T[sel][:max_blades]      # [N, 3]
+            if not len(p):
+                continue
+            pw_ = hm.quat_rotate(np.broadcast_to(erot, (len(p), 4)),
+                                 p) + epos
+            h = float(gt.get("height", 0.5))
+            r = 0.08
+            verts = np.concatenate([pw_ + [-r, 0, 0], pw_ + [r, 0, 0],
+                                    pw_ + [0, h, 0]])
+            n = len(pw_)
+            tris = np.stack([np.arange(n), np.arange(n) + n,
+                             np.arange(n) + 2 * n], -1).astype(np.int32)
+            raster.raster_mesh(self.fb, self.zb, verts, tris,
+                               np.array([96, 168, 72], np.float32),
+                               self.cam_pos, self.cam_rot, self.fov,
+                               self.width, self.height)
 
     def draw_2d(self, **kw):
         """GUI overlay: rect fills + real font-atlas glyph blits."""

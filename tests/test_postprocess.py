@@ -195,7 +195,9 @@ def test_backend_draws_terrain_heightfield():
                            near=0.3, far=500.0)
     rng = np.random.default_rng(0)
     tid = renderer.terrains.add(rng.uniform(0, 1, (65, 65)),
-                                xz_scale=1.0, y_scale=6.0)
+                                xz_scale=1.0, y_scale=6.0,
+                                grass_types=[{"density": 1.0,
+                                              "height": 1.5}])
     t = world.create_entity(position=(-32.0, -4.0, -20.0), name="terrain")
     world.create_component(t, "terrain", terrain=tid)
     runner = app_mod.Runner([], engine=engine)
@@ -207,6 +209,10 @@ def test_backend_draws_terrain_heightfield():
     be.draw_terrain(entity=t, terrain=tid)
     hit = (be.zb < np.inf).mean()
     assert hit > 0.2, hit                 # the hills fill a chunk of the view
+    # grass blades drew on top of the heightfield (green != terrain base)
+    grass_px = ((np.abs(be.fb[..., 1] - 168.0) < 40)
+                & (np.abs(be.fb[..., 0] - 96.0) < 40)).mean()
+    assert grass_px > 0.001, grass_px
     # and it rides the recorded stream end-to-end
     img, be2 = gpu_soft.render_frame(runner, None, width=160, height=90,
                                      max_instances=16)
