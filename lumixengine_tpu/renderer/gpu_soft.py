@@ -208,19 +208,23 @@ class SoftwareGpuBackend:
 
     def _draw_instanced_chunk(self, chunk: int, model: int):
         """Replay one culled InstancedModel chunk (≙ encodeInstancedModels'
-        per-chunk transform blob; instance transforms are world-space, same
-        data the cull pass bounds). Caps at max_instances per chunk."""
+        per-chunk transform blob). Instance transforms are stored relative
+        to the owner entity — the cull pass bounds them as owner_pos +
+        center (pipeline._cull_instanced), so drawing translates by the
+        owner the same way. Caps at max_instances per chunk."""
         # same filtered order as ViewStatics (empty chunks are skipped there)
         ims = [(e, im) for e, im in self.rmod.instanced_models.items()
                if len(im["pos"])]
         if not (0 <= chunk < len(ims)):
             return
-        _, im = ims[chunk]
+        owner, im = ims[chunk]
         n = min(len(im["pos"]), self.max_instances)
         if n == 0:
             return
+        epos = np.asarray(self.runner.state.world.pos)[
+            :, self.runner.world.slot(owner)]
         models = np.full(n, im["model"] if model < 0 else model, np.int32)
-        raster.raster_instances(self.fb, self.zb, im["pos"][:n],
+        raster.raster_instances(self.fb, self.zb, im["pos"][:n] + epos,
                                 im["rot"][:n], im["scale"][:n], models,
                                 self.rmod.system.models, self.cam_pos,
                                 self.cam_rot, self.fov, self.width,
