@@ -164,6 +164,10 @@ def record_frame(view, rs, module, stream: Optional[DrawStream] = None) -> DrawS
            for store in (module.decals, module.curve_decals)
            for i in range(store.capacity)):
         s.push(OP_DISPATCH, shader="decals")
+    # clustered point-light shading (≙ fillClusters + per-pixel light loop)
+    if any(int(module.point_lights.entity[i]) >= 0
+           for i in range(module.point_lights.capacity)):
+        s.push(OP_DISPATCH, shader="deferred_lights")
     for p in plugins:
         p.render_opaque(s, view, module)
     s.push(OP_SET_PASS, name="transparent")

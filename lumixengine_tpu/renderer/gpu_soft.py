@@ -39,6 +39,7 @@ _jit_grain = jax.jit(pp.film_grain)
 _jit_tonemap = jax.jit(pp.tonemap_aces)
 _jit_fsr = jax.jit(pp.fsr_upscale, static_argnames=("out_h", "out_w"))
 _jit_decals = jax.jit(pp.decal_pass)
+_jit_lights = jax.jit(pp.deferred_lights, static_argnames=("grid",))
 
 
 class SoftwareGpuBackend:
@@ -391,6 +392,8 @@ class SoftwareGpuBackend:
             # and writes back, so later raster draws (particles, 2d) still
             # land on the host framebuffer
             return self._run_decals(params)
+        if shader == "deferred_lights":
+            return self._run_lights(params)
         self._to_device()
         c, d = self.color, self.depth
         if shader == "tonemap":
@@ -504,6 +507,36 @@ class SoftwareGpuBackend:
                           jnp.asarray(np.stack(tints)),
                           alpha=params.get("alpha", 0.65), far=self.far)
         self.fb[:] = np.asarray(out) * 255.0
+
+    def _run_lights(self, params):
+        """Clustered point-light shading (fill_clusters bins → per-pixel
+        light loop, ≙ pipeline.cpp clustered shading). Round-trips the host
+        framebuffer like decals (scene light, pre-postprocess)."""
+        from lumixengine_tpu.renderer import clusters as _cls
+
+        rmod = self.rmod
+        st = rmod.statics()
+        if st.pl_slots.size == 0 or not np.any(st.pl_mask):
+            return
+        state = self.runner.state
+        rs = state.modules["renderer"]
+        cl = _cls.fill_clusters(state, rmod, cam_slot=self.cam_slot,
+                                statics=st)
+        le = np.maximum(np.asarray(st.pl_slots), 0)
+        lw = np.asarray(state.world.pos)[:, le].T           # [L, 3]
+        inv = hm.quat_conjugate(self.cam_rot)
+        lv = hm.quat_rotate(np.broadcast_to(inv, (len(lw), 4)),
+                            lw - self.cam_pos)
+        near = float(np.asarray(rs.cam_near[self.cam_slot]))
+        farc = float(np.asarray(rs.cam_far[self.cam_slot]))
+        out = _jit_lights(
+            jnp.asarray(self.fb) / 255.0, jnp.asarray(self.zb),
+            self.fov, self.aspect, jnp.asarray(lv),
+            jnp.asarray(np.asarray(rs.pl_color).T),
+            jnp.asarray(rs.pl_intensity), jnp.asarray(rs.pl_range),
+            cl.lights, grid=_cls.GRID, near=near, far_cluster=farc,
+            far=self.far)
+        self.fb[:] = np.clip(np.asarray(out), 0.0, 4.0) * 255.0
 
     def _run_tdao(self, d, params):
         if self._bound_scene() is None:

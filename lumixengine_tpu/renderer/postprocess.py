@@ -368,6 +368,59 @@ def decal_pass(color, depth, fov_y, aspect, cam_pos, cam_rot,
     return out
 
 
+def deferred_lights(color, depth, fov_y, aspect,
+                    lpos_view, lcolor, lintensity, lrange,
+                    cluster_lights, grid, near, far_cluster,
+                    far: float = 1e8):
+    """≙ the clustered-shading light loop (pipeline.cpp fillClusters +
+    per-pixel shading): reconstruct view position + normal per pixel, find
+    the pixel's cluster, accumulate diffuse N·L from the cluster's light
+    list with smooth range falloff. Returns lit color.
+
+    lpos_view [L,3] view-space light positions, cluster_lights [C,MAX]
+    (-1 padded, from clusters.fill_clusters), grid (nx, ny, nz)."""
+    h, w = depth.shape
+    nx, ny, nz = grid
+    d = jnp.where(jnp.isfinite(depth), depth, far)
+    p = view_positions(d, fov_y, aspect)              # [H,W,3]
+    dy = jnp.gradient(p, axis=0)
+    dx = jnp.gradient(p, axis=1)
+    n = jnp.cross(dx, dy)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    n = jnp.where(n[..., 2:3] < 0, -n, n)             # face the camera
+
+    # cluster index: x/y from screen tile, z from the exponential slice
+    rows = jnp.arange(h, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(w, dtype=jnp.float32)[None, :]
+    cx = jnp.clip((cols / w * nx).astype(jnp.int32), 0, nx - 1)
+    cy = jnp.clip((rows / h * ny).astype(jnp.int32), 0, ny - 1)
+    cy = (ny - 1) - cy                 # cluster y grows upward in view space
+    t = jnp.log(jnp.clip(d, near, far_cluster) / near) \
+        / jnp.log(far_cluster / near)
+    cz = jnp.clip((t * nz).astype(jnp.int32), 0, nz - 1)
+    # fill_clusters flattens [nz, ny, nx] (clusters._cluster_bounds)
+    cidx = (cz * ny + jnp.broadcast_to(cy, (h, w))) * nx + cx
+    slots = cluster_lights[cidx]                       # [H,W,MAX]
+
+    acc = jnp.zeros(depth.shape + (3,))
+    for k in range(slots.shape[-1]):
+        li = slots[..., k]
+        ok = (li >= 0)[..., None]
+        lif = jnp.maximum(li, 0)
+        lp = lpos_view[lif]                            # [H,W,3]
+        lv = lp - p
+        dist = jnp.linalg.norm(lv, axis=-1, keepdims=True)
+        ndotl = jnp.maximum(jnp.sum(n * lv / jnp.maximum(dist, 1e-6),
+                                    axis=-1, keepdims=True), 0.0)
+        rng = lrange[lif][..., None]
+        fall = jnp.clip(1.0 - (dist / jnp.maximum(rng, 1e-6)) ** 2, 0.0, 1.0)
+        inten = lintensity[lif][..., None]
+        acc = acc + jnp.where(ok, lcolor[lif] * (ndotl * fall ** 2 * inten
+                                                 / (1.0 + dist * dist)), 0.0)
+    geo = (jnp.isfinite(depth) & (depth < far * 0.99))[..., None]
+    return color + jnp.where(geo, color * acc, 0.0)
+
+
 def default_cubemap(size: int = 64):
     """Procedural fallback cubemap (vertical gradient + sun-ish patch) used
     when no .dds sky is bound."""

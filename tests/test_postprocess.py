@@ -375,6 +375,56 @@ def test_decal_draws_through_backend():
     assert np.abs(img3.astype(int) - img2.astype(int)).max() > 20
 
 
+def test_deferred_lights_brighten_near_pixels():
+    fov, aspect = np.radians(70.0), 1.5
+    h, w = 24, 36
+    color = jnp.full((h, w, 3), 0.3)
+    depth = jnp.full((h, w), 5.0)                     # flat wall
+    # one warm light floating just in front of the wall center
+    lpos = jnp.asarray([[0.0, 0.0, -3.5]])
+    cl = jnp.zeros((16 * 8 * 24, 8), jnp.int32)       # every cluster: light 0
+    out = np.asarray(pp.deferred_lights(
+        color, depth, fov, aspect, lpos,
+        jnp.asarray([[1.0, 0.8, 0.5]]), jnp.asarray([40.0]),
+        jnp.asarray([10.0]), cl, (16, 8, 24), near=0.3, far_cluster=500.0))
+    assert out[h // 2, w // 2, 0] > 0.5               # lit center
+    assert out[h // 2, w // 2, 0] > out[h // 2, 2, 0] + 0.05  # falloff
+    # empty cluster list leaves the color untouched
+    out2 = np.asarray(pp.deferred_lights(
+        color, depth, fov, aspect, lpos,
+        jnp.asarray([[1.0, 0.8, 0.5]]), jnp.asarray([40.0]),
+        jnp.asarray([10.0]), jnp.full_like(cl, -1), (16, 8, 24),
+        near=0.3, far_cluster=500.0))
+    np.testing.assert_allclose(out2, 0.3, atol=1e-5)
+
+
+def test_deferred_lights_through_backend():
+    from lumixengine_tpu import app as app_mod
+    from lumixengine_tpu.models import demo_scenes
+    from lumixengine_tpu.renderer import gpu_soft
+
+    engine, renderer = demo_scenes.build_engine(model_instances=16)
+    world = engine.create_world(capacity=16)
+    cam = world.create_entity(position=(0.0, 0.0, 10.0), name="camera")
+    world.create_component(cam, "camera", fov=np.radians(70.0))
+    wall = world.create_entity(position=(0.0, 0.0, 0.0), scale=(4.0,) * 3)
+    world.create_component(wall, "model_instance", model="cube")
+    lamp = world.create_entity(position=(0.0, 0.0, 4.0))
+    world.create_component(lamp, "point_light", color=(1.0, 0.2, 0.2),
+                           intensity=50.0, range=15.0)
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(1)
+    img, _ = gpu_soft.render_frame(runner, None, width=120, height=68,
+                                   max_instances=16)
+    world.destroy_component(lamp, "point_light")
+    img2, _ = gpu_soft.render_frame(runner, None, width=120, height=68,
+                                    max_instances=16)
+    # the lit frame is brighter where the wall faces the lamp
+    assert img[34, 60].astype(int).sum() > img2[34, 60].astype(int).sum() + 20
+
+
 def test_probe_bake_directional_and_cubemap_consistent():
     """bake_probe captures neighbors on the correct face, and the baked
     cubemap samples back through postprocess.cubemap_sky with the same
