@@ -264,10 +264,12 @@ def solve_contacts_fused(
     if world_tile <= 0:
         # largest divisor of w whose VMEM working set fits (~12 MB budget;
         # ≈ 230 B per (world, contact-slot) of tile-resident rows and
-        # intermediates, plus the shared incidence pair)
+        # intermediates, plus the shared incidence pair). Capped at 16:
+        # wt=16 already fills 96 of the MXU's 128 rows on the [wt·6, C]
+        # contractions, and 32 doubles every VMEM temp for the last 25%
         fixed = 8 * nb * c
         world_tile = 1
-        for cand in (32, 16, 8, 4, 2):
+        for cand in (16, 8, 4, 2):
             if w % cand == 0 and cand * c * 230 + fixed < 12e6:
                 world_tile = cand
                 break
