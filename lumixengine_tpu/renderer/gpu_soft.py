@@ -242,13 +242,15 @@ class SoftwareGpuBackend:
         ps = ps[1] if ps else None
         for ekey, est in sub.items():
             em = getattr(ps, "emitters", {}).get(ekey) if ps else None
-            pos3 = _particle_positions(est, em)
+            pos3, col, size = _particle_outputs(est, em)
             if pos3 is None:
                 continue
             alive = np.asarray(est.alive)
             pts = pos3[alive]
             if not len(pts):
                 continue
+            cols = (col[alive] * 255.0 if col is not None
+                    else np.full((len(pts), 3), 80.0, np.float32))
             xy, depth = _project_np(pts, self.cam_pos, self.cam_rot,
                                     self.fov, self.aspect,
                                     self.width, self.height)
@@ -257,8 +259,25 @@ class SoftwareGpuBackend:
             xi = xy[ok, 0].astype(np.int32)
             yi = xy[ok, 1].astype(np.int32)
             zok = depth[ok] < self.zb[yi, xi]
-            np.add.at(self.fb, (yi[zok], xi[zok]),
-                      np.array([90.0, 85.0, 60.0], np.float32))
+            # splat radius in pixels from the scale OUT channel (additive)
+            f = 1.0 / np.tan(self.fov * 0.5)
+            sc = (size[alive][ok] if size is not None
+                  else np.full(ok.sum(), 0.15, np.float32))
+            px = np.clip(sc * f / np.maximum(depth[ok], 1e-3)
+                         * self.height * 0.5, 0.5, 6.0)
+            yi, xi, px = yi[zok], xi[zok], px[zok]
+            cz = cols[ok][zok]
+            dz = depth[ok][zok]
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ring = max(abs(dy), abs(dx))
+                    sel = (px >= 0.0) if ring == 0 else (px > 1.6 * ring)
+                    y2 = np.clip(yi[sel] + dy, 0, self.height - 1)
+                    x2 = np.clip(xi[sel] + dx, 0, self.width - 1)
+                    np.add.at(self.fb, (y2, x2), cz[sel] * 0.8)
+                    # splats own their depth so the sky/fog passes treat
+                    # them as scene content, not empty background
+                    np.minimum.at(self.zb, (y2, x2), dz[sel])
 
     def draw_terrain(self, entity=None, terrain=-1, **kw):
         """Raster the heightfield as a coarse grid mesh (≙ terrain LOD draw,
@@ -599,24 +618,43 @@ def skin_points_dq_np(pal, points, bones4, weights) -> np.ndarray:
     return hm.quat_rotate(qr, np.asarray(points, np.float32)) + t
 
 
-def _particle_positions(est, em) -> Optional[np.ndarray]:
-    """Alive-capacity [cap, 3] positions from an EmitterState's OUT rows
-    (falls back to the first 3-wide output)."""
+def _particle_outputs(est, em):
+    """(positions [cap,3], colors [cap,3] | None, sizes [cap] | None) from an
+    EmitterState's OUT rows by name (i_position/i_color/i_scale in the
+    shipped .pat scripts; falls back to the first 3-wide output for
+    position)."""
     outs = getattr(em, "outs", None)
     if not outs:
-        return None
+        return None, None, None
+    rows = {}
     row = 0
     first3 = None
     for name, w in outs:
-        if w >= 3 and ("pos" in name.lower() or first3 is None):
+        rows[name.lower()] = (row, w)
+        if w >= 3 and first3 is None:
             first3 = row
-            if "pos" in name.lower():
-                break
         row += w
-    if first3 is None:
-        return None
-    arr = np.asarray(est.outs[first3:first3 + 3])
-    return arr.T.astype(np.float32)
+    pos_row = first3
+    for name, (r, w) in rows.items():
+        if "pos" in name and w >= 3:
+            pos_row = r
+    if pos_row is None:
+        return None, None, None
+    arr = np.asarray(est.outs)
+    pos = arr[pos_row:pos_row + 3].T.astype(np.float32)
+    col = None
+    for name, (r, w) in rows.items():
+        if "color" in name and w >= 3:
+            col = np.clip(arr[r:r + 3].T.astype(np.float32), 0.0, 4.0)
+            if w >= 4:
+                col = col * np.clip(arr[r + 3][:, None], 0.0, 1.0)
+            break
+    size = None
+    for name, (r, w) in rows.items():
+        if ("scale" in name or "size" in name) and w == 1:
+            size = np.abs(arr[r].astype(np.float32))
+            break
+    return pos, col, size
 
 
 def _project_np(points, cam_pos, cam_rot, fov_y, aspect, width, height):
