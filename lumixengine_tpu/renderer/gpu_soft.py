@@ -386,6 +386,51 @@ class SoftwareGpuBackend:
         self.fb[y0:y1, x0:x1] = (self.fb[y0:y1, x0:x1] * (1 - a)
                                  + 235.0 * a)
 
+    def draw_nav_debug(self, nav_module=None, y: float = 0.1):
+        """Navigation debug draw (≙ NavigationModule debug draw of the
+        navmesh): overlay zone walkability — cyan dots on walkable cells
+        adjacent to blocked ones (the walkable boundary), orange on blocked
+        cells — splatted at ground height."""
+        nav = nav_module or self.runner.world.modules.get("navigation")
+        if nav is None:
+            return
+        zones = [z for z in (getattr(nav, "zone", None),) if z is not None]
+        for zone in zones:
+            wk = zone.walkable
+            blocked = ~wk
+            # boundary: walkable cells with any blocked 4-neighbor
+            nb = np.zeros_like(wk)
+            nb[1:] |= blocked[:-1]
+            nb[:-1] |= blocked[1:]
+            nb[:, 1:] |= blocked[:, :-1]
+            nb[:, :-1] |= blocked[:, 1:]
+            for mask, col in ((wk & nb, (90.0, 220.0, 220.0)),
+                              (blocked, (230.0, 140.0, 40.0))):
+                zc, xc = np.nonzero(mask)
+                if not len(zc):
+                    continue
+                wx = zone.origin[0] + (xc + 0.5) * zone.cell
+                wz = zone.origin[1] + (zc + 0.5) * zone.cell
+                pts = np.stack([wx, np.full_like(wx, y), wz], -1)
+                xy, depth = _project_np(pts.astype(np.float32), self.cam_pos,
+                                        self.cam_rot, self.fov, self.aspect,
+                                        self.width, self.height)
+                ok = (depth > 1e-3) \
+                    & (xy[:, 0] >= 0) & (xy[:, 0] < self.width) \
+                    & (xy[:, 1] >= 0) & (xy[:, 1] < self.height)
+                xi = xy[ok, 0].astype(np.int32)
+                yi = xy[ok, 1].astype(np.int32)
+                zok = depth[ok] < self.zb[yi, xi] + 0.5
+                if self.color is not None:
+                    # post-tonemap: paint the display-referred image
+                    import jax.numpy as _jnp
+
+                    img = np.array(self.color)     # writable copy
+                    img[yi[zok], xi[zok]] = np.asarray(col) / 255.0
+                    self.color = _jnp.asarray(img)
+                else:
+                    self.fb[yi[zok], xi[zok]] = np.asarray(col, np.float32)
+
     def barrier(self, **kw):
         pass
 
@@ -672,7 +717,7 @@ def _project_np(points, cam_pos, cam_rot, fov_y, aspect, width, height):
 def render_frame(runner, path: Optional[str] = None, cam_slot: int = 0,
                  width: int = 480, height: int = 270,
                  backend: Optional[SoftwareGpuBackend] = None,
-                 max_instances: int = 2048):
+                 max_instances: int = 2048, debug_nav: bool = False):
     """Record the frame's DrawStream (with whatever RenderPlugins are
     registered) and replay it through the software backend — the headless
     "present". Returns (uint8 image, backend); saves a PNG when `path`.
@@ -686,6 +731,8 @@ def render_frame(runner, path: Optional[str] = None, cam_slot: int = 0,
     be.history = prev_hist
     stream = record_frame(view, runner.state.modules["renderer"], rmod)
     stream.replay(be)
+    if debug_nav:
+        be.draw_nav_debug()
     img = be.finish()
     if path:
         from PIL import Image

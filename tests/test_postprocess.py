@@ -467,6 +467,35 @@ def test_probe_bake_directional_and_cubemap_consistent():
     assert pe in baked and baked[pe].shape == (6, 16, 16, 3)
 
 
+def test_nav_debug_overlay_marks_zone_cells():
+    from lumixengine_tpu import app as app_mod
+    from lumixengine_tpu.models import demo_scenes
+    from lumixengine_tpu.renderer import gpu_soft
+
+    engine = app_mod.create_full_engine(model_instances=8)
+    world = engine.create_world(capacity=8)
+    cam = world.create_entity(position=(16.0, 2.0, 44.0), name="camera")
+    world.create_component(cam, "camera", fov=np.radians(70.0))
+    nav = world.modules["navigation"]
+    e = world.create_entity()
+    world.create_component(e, "nav_zone", origin=(0.0, 0.0),
+                           size=(32.0, 32.0), cell=1.0)
+    nav.zone.block_aabb(10.0, 10.0, 20.0, 20.0)
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(1)
+    img, _ = gpu_soft.render_frame(runner, None, width=160, height=90,
+                                   max_instances=8, debug_nav=True)
+    orange = ((np.abs(img[..., 0].astype(int) - 230) < 30)
+              & (np.abs(img[..., 1].astype(int) - 140) < 40)).sum()
+    cyan = ((np.abs(img[..., 1].astype(int) - 220) < 40)
+            & (np.abs(img[..., 2].astype(int) - 220) < 40)
+            & (img[..., 0] < 140)).sum()
+    assert orange > 20, orange              # blocked box visible
+    assert cyan > 10, cyan                  # walkable boundary visible
+
+
 def test_fsr_plugin_changes_output_resolution():
     from lumixengine_tpu import app as app_mod
     from lumixengine_tpu.models import demo_scenes
