@@ -20,8 +20,8 @@ from typing import List, Optional
 
 import numpy as np
 
-from lumixengine_tpu.core.os import (Event, EventType, HeadlessWindowBackend,
-                                     MouseButton)
+from lumixengine_tpu.core.os import (Event, EventType,
+                                     HeadlessWindowBackend)
 
 # VK-style codes (the convention engine/input.py documents)
 _VK = {"\x1b[A": 0x26, "\x1b[B": 0x28, "\x1b[C": 0x27, "\x1b[D": 0x25,

@@ -16,8 +16,6 @@ traced scalars so tweaking them never recompiles.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.scipy.ndimage import map_coordinates

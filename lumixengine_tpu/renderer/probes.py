@@ -11,11 +11,10 @@ remapping. Faces store linear [6, S, S, 3] f32.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
-from lumixengine_tpu.core import host_math as hm
 from lumixengine_tpu.renderer import raster
 
 # face → (axis, du, dv) matching postprocess.cubemap_sky's uv extraction:

@@ -16,8 +16,6 @@ engine's render path stays the DrawStream boundary.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from lumixengine_tpu.core import host_math as hm
