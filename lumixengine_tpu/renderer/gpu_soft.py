@@ -352,39 +352,70 @@ class SoftwareGpuBackend:
                                self.width, self.height)
 
     def draw_2d(self, **kw):
-        """GUI overlay: rect fills + real font-atlas glyph blits."""
+        """GUI overlay: rect fills + real font-atlas glyph blits. Draw-list
+        coordinates are canvas pixels (GuiModule.canvas_size, 1920x1080 by
+        default — the reference's virtual GUI resolution); scaled to the
+        framebuffer here, like the reference's GUI render against the
+        actual viewport."""
         self.draw_calls += 1
         gui = self.runner.world.modules.get("gui")
         if gui is None:
             return
+        cw, ch = getattr(gui, "canvas_size", (self.width, self.height))
+        sx = self.width / float(cw)
+        sy = self.height / float(ch)
+        # the ui pass runs post-tonemap (≙ the reference's GUI render into
+        # the post-tonemap target): blit the display image when the device
+        # color path is live, the raster fb otherwise
+        if self.color is not None:
+            buf = np.array(self.color) * 255.0
+        else:
+            buf = self.fb
         items = gui.draw_list(self.runner.state)
         for it in items:
-            x0, y0, x1, y1 = (int(max(v, 0)) for v in it["rect"])
-            x1 = min(x1, self.width)
-            y1 = min(y1, self.height)
+            r = it["rect"]
+            x0 = int(max(r[0] * sx, 0))
+            y0 = int(max(r[1] * sy, 0))
+            x1 = min(int(r[2] * sx), self.width)
+            y1 = min(int(r[3] * sy), self.height)
             if x0 < x1 and y0 < y1 and "color" in it:
                 c = np.asarray(it["color"][:3], np.float32) * 255.0
                 a = it["color"][3] if len(it["color"]) > 3 else 0.6
-                self.fb[y0:y1, x0:x1] = (self.fb[y0:y1, x0:x1] * (1 - a)
-                                         + c[None, None] * a)
+                buf[y0:y1, x0:x1] = (buf[y0:y1, x0:x1] * (1 - a)
+                                     + c[None, None] * a)
             for g in it.get("glyphs", ()):
-                self._blit_glyph(gui, it, g)
+                self._blit_glyph(gui, it, g, sx, sy, buf)
+            if "caret" in it:
+                cx0, cy0, cx1, cy1 = it["caret"]
+                x0 = int(max(cx0 * sx, 0))
+                x1 = min(int(max(cx1 * sx, x0 + 1)), self.width)
+                y0 = int(max(cy0 * sy, 0))
+                y1 = min(int(cy1 * sy), self.height)
+                if x0 < x1 and y0 < y1:
+                    buf[y0:y1, x0:x1] = 235.0
+        if self.color is not None:
+            self.color = jnp.asarray(np.clip(buf, 0, 255) / 255.0)
 
-    def _blit_glyph(self, gui, item, g):
-        """g = (x0,y0,x1,y1, u0,v0,u1,v1) — Font.layout's quad format."""
+    def _blit_glyph(self, gui, item, g, sx=1.0, sy=1.0, buf=None):
+        """g = (x0,y0,x1,y1, u0,v0,u1,v1) — Font.layout's quad format in
+        canvas pixels; the atlas crop is nearest-resampled to the scaled
+        quad size."""
         font = gui._font(item.get("font_size", 24))
-        gx0, gy0, _gx1, _gy1, u0, v0, u1, v1 = g
-        gx, gy = int(gx0), int(gy0)
-        src = font.atlas[v0:v1, u0:u1].astype(np.float32) / 255.0
-        h, w = src.shape
-        x0, y0 = max(gx, 0), max(gy, 0)
-        x1 = min(gx + w, self.width)
-        y1 = min(gy + h, self.height)
-        if x0 >= x1 or y0 >= y1:
+        gx0, gy0, gx1, gy1, u0, v0, u1, v1 = g
+        x0 = int(max(gx0 * sx, 0))
+        y0 = int(max(gy0 * sy, 0))
+        x1 = min(int(round(gx1 * sx)), self.width)
+        y1 = min(int(round(gy1 * sy)), self.height)
+        if x0 >= x1 or y0 >= y1 or v1 <= v0 or u1 <= u0:
             return
-        a = src[y0 - gy:y1 - gy, x0 - gx:x1 - gx, None]
-        self.fb[y0:y1, x0:x1] = (self.fb[y0:y1, x0:x1] * (1 - a)
-                                 + 235.0 * a)
+        if buf is None:
+            buf = self.fb
+        src = font.atlas[v0:v1, u0:u1].astype(np.float32) / 255.0
+        h, w = y1 - y0, x1 - x0
+        ri = (np.arange(h) * (src.shape[0] / h)).astype(np.int32)
+        ci = (np.arange(w) * (src.shape[1] / w)).astype(np.int32)
+        a = src[ri][:, ci][..., None]
+        buf[y0:y1, x0:x1] = (buf[y0:y1, x0:x1] * (1 - a) + 235.0 * a)
 
     def draw_nav_debug(self, nav_module=None, y: float = 0.1):
         """Navigation debug draw (≙ NavigationModule debug draw of the
