@@ -294,10 +294,45 @@ def instantiate_scene(scene: Dict[str, Any],
                       data_dirs: Tuple[str, ...] = DEFAULT_DATA_DIRS,
                       ) -> InstantiatedScene:
     engine, assets, n_ents = build_engine_for_scene(scene, data_dirs)
-    report = assets.report
     lua_sc = scene.get("lua_script", {})
     spawn_hr = 384 if (lua_sc.get("scripts") or lua_sc.get("inline_scripts")) else 0
     world = engine.create_world(capacity=n_ents + 16 + spawn_hr)
+    emap = populate_world(scene, world, assets, data_dirs)
+    return InstantiatedScene(engine=engine, world=world, emap=emap,
+                             report=assets.report, assets=assets)
+
+
+def instantiate_additive(engine, world, path: str,
+                         data_dirs: Tuple[str, ...] = DEFAULT_DATA_DIRS):
+    """≙ World::load (world.cpp partition load, driven from Lua by
+    `this.world:load(path, cb)` — demo/maps/main/button.lua): parse another
+    .unv and instantiate its entities/components into an EXISTING world.
+    Raises RuntimeError when the world lacks entity capacity. Returns the
+    source→world entity map; the caller owns marking script structure dirty
+    so the runner re-traces the step."""
+    from lumixengine_tpu.importers.unv import load_unv
+
+    scene = load_unv(path)
+    need = len(scene["entities"])
+    free = world.capacity - world.entity_count
+    if need > free:
+        raise RuntimeError(
+            f"additive load {path!r}: {need} entities > {free} free slots")
+    sm_ = engine.system_manager
+    assets = SceneAssets(sm_.get_system("renderer_system"),
+                         anim=sm_.get_system("animation_system"),
+                         audio_system=sm_.get_system("audio_system"),
+                         data_dirs=data_dirs, report=Counter())
+    return populate_world(scene, world, assets, data_dirs, fresh=False)
+
+
+def populate_world(scene: Dict[str, Any], world, assets: SceneAssets,
+                   data_dirs: Tuple[str, ...] = DEFAULT_DATA_DIRS,
+                   fresh: bool = True) -> Dict[int, int]:
+    """Instantiate every entity/component/script of a parsed .unv into
+    `world` (the shared body of fresh and additive loads). Returns the
+    source-id → world-entity map; counts land in assets.report."""
+    report = assets.report
 
     # pre-pass: entities that animate need their model path marked skinned so
     # placeholder models get skeletons
@@ -792,8 +827,10 @@ def instantiate_scene(scene: Dict[str, Any],
             continue
         sm.attach_lua_script(e, source=isc["source"])
         report["inline_script"] += 1
-    if sm is not None and sm._lua_rt is not None:
-        # chunk execution is not a structural edit; spawns during play are
+    if fresh and sm is not None and sm._lua_rt is not None:
+        # chunk execution is not a structural edit; spawns during play are.
+        # (Additive loads keep the flags: the caller marks structure dirty
+        # so the runner re-traces, and in-flight pending writes survive.)
         sm._lua_rt.structure_dirty = False
         sm._lua_rt.dirty_transforms.clear()
 
@@ -807,8 +844,7 @@ def instantiate_scene(scene: Dict[str, Any],
         report["spline"] += 1
     report["signal_todo"] += len(core.get("signals", []))
 
-    return InstantiatedScene(engine=engine, world=world, emap=emap,
-                             report=report, assets=assets)
+    return emap
 
 
 def load_world(path: str, data_dirs: Tuple[str, ...] = DEFAULT_DATA_DIRS

@@ -673,10 +673,30 @@ class ScriptRuntime:
             log.log_error("lua", f"createEntityEx: {kind}: {ex}")
 
     def load_additive(self, path: str, cb) -> None:
-        """≙ World::load additive partition load — not supported at runtime
-        (worlds are capacity-static); logged, callback still fires."""
-        log.log_error("lua", f"world:load({path!r}): additive runtime load is "
-                             "not supported; ignoring")
+        """≙ World::load additive partition load (world.cpp; the shipped
+        main-menu flow — button.lua loads maps/demo/demo.unv into a new
+        partition on keypress): instantiate the .unv into THIS world via
+        importers.instantiate_additive, mark the structure dirty so the
+        Runner re-traces the step (the documented slow path for structural
+        edits), then fire the completion callback."""
+        from lumixengine_tpu.importers.instantiate import instantiate_additive
+
+        bank = self.module.asset_bank()
+        full = bank.find_file(path) if bank is not None else None
+        if full is None:
+            log.log_error("lua", f"world:load({path!r}): file not found in "
+                                 f"search dirs")
+        else:
+            engine = self.module.system.engine
+            try:
+                emap = instantiate_additive(engine, self.world, full,
+                                            data_dirs=bank.data_dirs)
+                self.structure_dirty = True
+                log.log_info("lua", f"world:load({path!r}): +{len(emap)} "
+                                    "entities (partition "
+                                    f"{self.active_partition})")
+            except Exception as exc:
+                log.log_error("lua", f"world:load({path!r}) failed: {exc}")
         if cb is not None:
             self.interp.call_value(cb, [])
 

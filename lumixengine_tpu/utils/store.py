@@ -35,11 +35,32 @@ class DenseStore:
     def __contains__(self, entity: int) -> bool:
         return entity in self._slot_of
 
+    def grow(self, new_capacity: int) -> None:
+        """Grow to `new_capacity` slots (host realloc; device snapshots take
+        the new shape, so the next build_step re-traces — the same slow path
+        as any structural edit). Existing slots keep their indices."""
+        new_capacity = int(new_capacity)
+        if new_capacity <= self.capacity:
+            return
+        old = self.capacity
+        self.entity = np.concatenate(
+            [self.entity, np.full(new_capacity - old, -1, np.int32)])
+        for name, arr in self.data.items():
+            ext = np.zeros((new_capacity - old,) + arr.shape[1:], arr.dtype)
+            d = self._defaults[name]
+            if d is not None:
+                ext[:] = d
+            self.data[name] = np.concatenate([arr, ext])
+        self._free = list(range(new_capacity - 1, old - 1, -1)) + self._free
+        self.capacity = new_capacity
+
     def add(self, entity: int, **values) -> int:
         if entity in self._slot_of:
             raise ValueError(f"entity {entity} already in store")
         if not self._free:
-            raise RuntimeError(f"component store capacity {self.capacity} exhausted")
+            # structural growth re-traces the step — the sanctioned slow
+            # path (≙ the reference's dynamic component arrays)
+            self.grow(max(self.capacity * 2, 8))
         slot = self._free.pop()
         self.entity[slot] = entity
         for name, v in values.items():
