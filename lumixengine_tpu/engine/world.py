@@ -83,6 +83,7 @@ class World:
         self.local_scale = np.ones((n, 3), np.float32)
         self.names: Dict[int, str] = {}
         self.partitions: List[str] = ["main"]
+        self.active_partition = 0
         self._free: List[int] = list(range(n - 1, -1, -1))
         self._count = 0
         self._level = np.zeros(n, np.int32)
@@ -116,6 +117,7 @@ class World:
         self.alive[e] = True
         self.parent[e] = INVALID_ENTITY
         self.archetype[e] = 0
+        self.partition_of[e] = self.active_partition
         self.local_pos[e] = np.asarray(position, np.float32)
         self.local_rot[e] = hm.quat_normalize(np.asarray(rotation, np.float32))
         self.local_scale[e] = np.asarray(scale, np.float32)
@@ -333,8 +335,24 @@ class World:
         return INVALID_ENTITY
 
     def create_partition(self, name: str) -> int:
+        """≙ World::createPartition; new entities tag with active_partition."""
         self.partitions.append(name)
         return len(self.partitions) - 1
+
+    def set_active_partition(self, p: int) -> None:
+        self.active_partition = int(p)
+
+    def destroy_partition(self, p: int) -> int:
+        """≙ World::destroyPartition: destroy every entity tagged with the
+        partition (the streaming unload half of World::load). Returns the
+        number destroyed; partition ids stay stable (names keep their row)."""
+        doomed = [e for e in range(self.capacity)
+                  if self.alive[e] and int(self.partition_of[e]) == int(p)]
+        for e in doomed:
+            self.destroy_entity(e)
+        if self.active_partition == int(p):
+            self.active_partition = 0
+        return len(doomed)
 
     # -- components -------------------------------------------------------------
 

@@ -387,11 +387,20 @@ class LuaWorld:
                 return LuaEntity(rt, e) if e >= 0 else None
             return _find
         if key == "getActivePartition":
-            return lambda _s: float(rt.active_partition)
+            return lambda _s: float(rt.world.active_partition)
         if key == "setActivePartition":
-            return lambda _s, p: setattr(rt, "active_partition", int(p))
+            def _setap(_s, p):
+                rt.active_partition = int(p)
+                rt.world.set_active_partition(int(p))
+            return _setap
         if key == "createPartition":
             return lambda _s, name: float(rt.world.create_partition(lua_tostring(name)))
+        if key == "destroyPartition":
+            def _dp(_s, p):
+                n = rt.world.destroy_partition(int(p))
+                if n:
+                    rt.structure_dirty = True
+            return _dp
         if key == "load":
             return lambda _s, path, cb=None: rt.load_additive(lua_tostring(path), cb)
         if key in ("renderer", "navigation", "audio", "gui", "physics"):

@@ -43,6 +43,25 @@ def test_main_menu_loads_demo_on_keypress():
     assert "demo" in world.partitions
 
 
+def test_partition_tagging_and_destroy():
+    from lumixengine_tpu.models import demo_scenes
+
+    engine, renderer = demo_scenes.build_engine(model_instances=8)
+    world = engine.create_world(capacity=16)
+    base = world.create_entity(name="keep")
+    p = world.create_partition("level2")
+    world.set_active_partition(p)
+    e1 = world.create_entity(name="a")
+    e2 = world.create_entity(name="b")
+    assert int(world.partition_of[e1]) == p
+    world.set_active_partition(0)
+    e3 = world.create_entity(name="c")
+    n = world.destroy_partition(p)
+    assert n == 2
+    assert world.is_alive(base) and world.is_alive(e3)
+    assert not world.is_alive(e1) and not world.is_alive(e2)
+
+
 def test_instantiate_additive_capacity_guard(tmp_path):
     from lumixengine_tpu.importers.instantiate import instantiate_additive
     from lumixengine_tpu.models import demo_scenes
