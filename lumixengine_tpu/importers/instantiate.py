@@ -842,7 +842,19 @@ def populate_world(scene: Dict[str, Any], world, assets: SceneAssets,
             continue
         world.create_component(e, "spline", points=sp["points"])
         report["spline"] += 1
-    report["signal_todo"] += len(core.get("signals", []))
+    for sig in core.get("signals", []):
+        e = ent(sig["entity"])
+        if e is None:
+            continue
+        # ≙ core.cpp CoreModuleImpl::deserialize (SIGNALS block): the .unv
+        # stores reflection-module names for both ends of the connection;
+        # they key the repo's reflection registry the same way.
+        world.create_component(
+            e, "signal",
+            event_component=sig["event_module"], event=sig["event"],
+            function_component=sig["function_module"],
+            function=sig["function"], target_entity=e)
+        report["signal"] += 1
 
     return emap
 

@@ -60,3 +60,31 @@ def test_particles_map_scripts():
     assert "maps/particles/fireworks.pat" in res
     assert "maps/particles/ribbons.pat" in res
     assert "maps/particles/mesh_particle.pat" in res
+
+
+def test_core_signals_instantiate():
+    """Core-module signal records wire into the CoreModule on import
+    (≙ core.cpp CoreModuleImpl::deserialize SIGNALS block). No shipped map
+    carries signals yet (the feature postdates the demo content), so this
+    feeds a synthetic parsed scene through the same instantiate path."""
+    from lumixengine_tpu.importers.instantiate import instantiate_scene
+
+    scene = {
+        "version": 1,
+        "entities": [{"entity": 0, "pos": (0, 0, 0),
+                      "rot": (0, 0, 0, 1), "scale": (1, 1, 1)}],
+        "names": {0: "sig_holder"},
+        "hierarchy": [],
+        "core": {"signals": [{"entity": 0,
+                              "event_module": "gui",
+                              "event": "buttonClicked",
+                              "function_module": "lua_script",
+                              "function": "call"}],
+                 "splines": []},
+    }
+    inst = instantiate_scene(scene, data_dirs=())
+    cm = inst.world.modules["core"]
+    assert inst.report["signal"] == 1
+    sig = cm.signals[inst.emap[0]]
+    assert sig["event_component"] == "gui" and sig["event"] == "buttonClicked"
+    assert sig["function_component"] == "lua_script" and sig["function"] == "call"
