@@ -95,6 +95,18 @@ class Runner:
                 self.settings.set(k, v)
 
     def load_world(self, path_or_blob) -> None:
+        """Loads either this engine's serialized world blob or a reference
+        `.unv` universe (≙ the reference Runner, whose worlds ARE .unv —
+        app/main.cpp loads `universes/main.unv`). A .unv path routes through
+        the importer, which builds an engine sized for the scene's banks;
+        the Runner adopts it."""
+        if isinstance(path_or_blob, str) and path_or_blob.endswith(".unv"):
+            from lumixengine_tpu.importers.instantiate import (
+                load_world as load_unv_world)
+            scene = load_unv_world(path_or_blob)
+            self.engine = scene.engine
+            self.world = scene.world
+            return
         blob = (self.engine.fs.read(path_or_blob)
                 if isinstance(path_or_blob, str) else path_or_blob)
         self.world = serialize.load_world(self.engine, blob)

@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from lumixengine_tpu import app as app_mod
 from lumixengine_tpu.engine import serialize
@@ -71,3 +72,39 @@ def test_crash_report(tmp_path):
         path = dbg.write_crash_report(*sys.exc_info(), path=str(tmp_path / "crash.txt"))
     text = open(path).read()
     assert "synthetic crash" in text and "recent log" in text
+
+
+def test_runner_loads_unv_directly():
+    """Runner.load_world accepts a reference .unv universe directly (≙ the
+    reference Runner, whose worlds ARE .unv — app/main.cpp loads
+    universes/main.unv); the Runner adopts the importer-built engine."""
+    from lumixengine_tpu import app as app_mod
+
+    runner = app_mod.Runner([])
+    runner.load_world("/root/reference/demo/maps/tetris/tetris.unv")
+    assert runner.world is not None
+    assert runner.world.modules["script"].lua_envs   # tetris.lua attached
+    runner.start()
+    runner.tick(1 / 30)
+    assert runner.metrics()["frame"] == 1
+
+
+@pytest.mark.slow
+def test_nav_stress_bot_scripts_run_clean():
+    """navigation_stress_test.unv ships 361 bot.lua script components — the
+    largest Lua fleet in the reference content; all execute with zero
+    runtime errors over two ticks."""
+    from lumixengine_tpu import app as app_mod
+
+    runner = app_mod.Runner([])
+    runner.load_world("/root/reference/demo/maps/navigation_stress_test/"
+                      "navigation_stress_test.unv")
+    sm = runner.world.modules["script"]
+    n = sum(len(envs) for envs in sm.lua_envs.values())
+    assert n == 361
+    runner.start()
+    for _ in range(2):
+        runner.tick(1 / 30)
+    errs = [(v.path, v.error) for envs in sm.lua_envs.values()
+            for v in envs if v.error]
+    assert errs == []
