@@ -391,7 +391,8 @@ def parse_unv(data: bytes) -> Dict[str, Any]:
         r = Reader(blob)
 
     scene: Dict[str, Any] = {"version": version, "modules": module_names,
-                             "entities": [], "names": {}, "hierarchy": []}
+                             "flags": flags, "entities": [], "names": {},
+                             "hierarchy": [], "_module_order": []}
     r.u32()  # reserve count
     while True:
         e = r.i32()
@@ -429,6 +430,7 @@ def parse_unv(data: bytes) -> Dict[str, Any]:
             raise ValueError(f"unv: no parser for module '{name}'")
         scene[name] = fn(r, mver)
         scene[name]["_version"] = mver
+        scene["_module_order"].append(name)
 
     if has_partitions:
         np_ = r.u32()

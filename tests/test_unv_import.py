@@ -88,3 +88,32 @@ def test_core_signals_instantiate():
     sig = cm.signals[inst.emap[0]]
     assert sig["event_component"] == "gui" and sig["event"] == "buttonClicked"
     assert sig["function_component"] == "lua_script" and sig["function"] == "call"
+
+
+def test_unv_writer_roundtrips_all_maps():
+    """write_unv is the save half of the importer (≙ world.cpp:837-897
+    serialize + each module's serialize): every shipped demo map parses,
+    re-serializes, and re-parses to a semantically identical scene dict.
+    Byte-identity of the uncompressed body holds for maps without
+    parser-discarded regions (struct pad bytes, named-partition tables)."""
+    import numpy as np
+    from lumixengine_tpu.importers.unv_write import write_unv
+
+    def deep_eq(a, b):
+        if isinstance(a, dict):
+            assert set(a) == set(b)
+            for k in a:
+                deep_eq(a[k], b[k])
+        elif isinstance(a, (list, tuple)):
+            assert len(a) == len(b)
+            for x, y in zip(a, b):
+                deep_eq(x, y)
+        elif isinstance(a, np.ndarray):
+            assert (np.asarray(a) == np.asarray(b)).all()
+        else:
+            assert a == b or (a != a and b != b)  # NaN-safe
+
+    for p in MAPS:
+        s1 = unv.parse_unv(open(p, "rb").read())
+        s2 = unv.parse_unv(write_unv(s1))
+        deep_eq(s1, s2)
