@@ -26,6 +26,7 @@ MAPS = sorted(glob.glob("/root/reference/demo/maps/*/*.unv"))
 pytestmark = pytest.mark.skipif(not MAPS, reason="reference demo maps not present")
 
 
+@pytest.mark.slow  # 26 s: per-map coverage stays fast via parse + component-count tests
 def test_all_demo_maps_instantiate():
     assert len(MAPS) == 12
     for p in MAPS:

@@ -93,6 +93,7 @@ def test_dynamic_solver_matches_static_solver():
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=5e-3)
 
 
+@pytest.mark.slow  # 22 s: banded-vs-static parity also gated by test_parity box drops
 def test_banded_step_matches_dynamic_step():
     """The gather-free banded sweep-order pipeline must reproduce the
     segment_sum dynamic pipeline (same window K, full budget): identical
@@ -282,6 +283,7 @@ def test_multi_sweep_covers_dense_pile():
     assert first_miss(4, 16) == 0
 
 
+@pytest.mark.slow  # 21 s: the zero-miss certificate is also asserted by the bench path
 def test_multi_sweep_certificate_and_settle():
     """Multi-sweep factory pile drop: the cheap zero-miss certificate stays
     zero through churn (cross-checked by the exact diagnostic elsewhere),

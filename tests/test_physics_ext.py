@@ -356,6 +356,7 @@ def test_distance_band_joint():
     assert 3.85 < y < 4.1, y
 
 
+@pytest.mark.slow  # 18 s: the unwarmed vmap parity variant stays in the fast gate
 def test_fused_pallas_solver_warm_vmap_parity():
     """Warm-started, vmapped fused solver matches the jnp oracle — this is
     exactly how the engine step invokes it (per-world under vmap)."""

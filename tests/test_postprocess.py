@@ -64,6 +64,7 @@ def test_sss_contact_shadow_marks_blocked_pixels():
     assert lit[:, 16:24].mean() < lit[:, 40:].mean()
 
 
+@pytest.mark.slow  # 11 s
 def test_tdao_darkens_under_overhang():
     # one instance sphere high above the origin
     hm = pp.tdao_heightmap(jnp.asarray([[0.0, 5.0, 0.0]]),
@@ -149,6 +150,7 @@ def test_fsr_upscale_shape_and_local_bounds():
     assert float(out.max()) <= float(c.max()) + 1e-5  # neighborhood clamp
 
 
+@pytest.mark.slow  # 17 s: per-plugin coverage stays fast; the full-stream replay is integration
 def test_backend_replays_full_stream_with_builtin_plugins(tmp_path):
     """End-to-end: demo scene → record_frame with the reference's builtin
     plugin set → software backend replay → presented PNG."""
