@@ -44,6 +44,9 @@ class EditorApp:
         self.status = "ready"
         self.quit_requested = False
         self.save_path = "world.unv.sav"
+        # when the world came from a .unv, save writes the reference format
+        # back (≙ WorldEditor save); set by main()'s --world load
+        self.scene_inst = None
 
     # -- model ------------------------------------------------------------
 
@@ -172,6 +175,14 @@ class EditorApp:
         self.status = f"{ctype}.{pname} = {value}"
 
     def save(self) -> None:
+        if self.scene_inst is not None and self.save_path.endswith(".unv"):
+            from lumixengine_tpu.importers.instantiate import save_world_unv
+
+            save_world_unv(self.scene_inst, self.save_path)
+            import os
+            self.status = (f"saved {os.path.getsize(self.save_path)} bytes "
+                           f"(.unv) -> {self.save_path}")
+            return
         from lumixengine_tpu.engine import serialize
 
         blob = serialize.serialize_world(self.world)
@@ -270,7 +281,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         from lumixengine_tpu.models import demo_scenes
 
         engine, world, _ = demo_scenes.headless_demo_world(num_entities=256)
+        inst = None
     app = EditorApp(engine, world)
+    if inst is not None:
+        app.scene_inst = inst
+        app.save_path = "world_edited.unv"
     app.run()
     return 0
 

@@ -232,6 +232,7 @@ class InstantiatedScene:
     report: Counter
     assets: SceneAssets
     skipped: List[str] = field(default_factory=list)
+    scene: Optional[Dict[str, Any]] = None  # retained parsed .unv (save path)
 
 
 DEFAULT_DATA_DIRS = ("/root/reference/demo", "/root/reference/data")
@@ -299,7 +300,7 @@ def instantiate_scene(scene: Dict[str, Any],
     world = engine.create_world(capacity=n_ents + 16 + spawn_hr)
     emap = populate_world(scene, world, assets, data_dirs)
     return InstantiatedScene(engine=engine, world=world, emap=emap,
-                             report=assets.report, assets=assets)
+                             report=assets.report, assets=assets, scene=scene)
 
 
 def instantiate_additive(engine, world, path: str,
@@ -865,3 +866,95 @@ def load_world(path: str, data_dirs: Tuple[str, ...] = DEFAULT_DATA_DIRS
     from lumixengine_tpu.importers.unv import load_unv
 
     return instantiate_scene(load_unv(path), data_dirs=data_dirs)
+
+
+def export_scene(inst: InstantiatedScene) -> Dict[str, Any]:
+    """Write the live World back into the retained parsed scene dict — the
+    editor-save path (≙ WorldEditor save → world.cpp:837-897 serialize).
+
+    Covered: entity global transforms (f32 precision — the World stores
+    float32, the .unv field is DVec3), names, partition tags, hierarchy
+    (parents, rebuilt first_child/next_sibling links, local transforms), and
+    pruning of destroyed entities from every module's component records.
+    Entities created after load have no source-id mapping and are counted in
+    the returned scene's ``_export_new_entities`` (structural component
+    export lands with a reflection-driven world→dict walk).
+    """
+    import copy
+
+    assert inst.scene is not None, "scene dict not retained (old save file?)"
+    world = inst.world
+    scene = copy.deepcopy(inst.scene)
+
+    alive = {s: e for s, e in inst.emap.items() if world.is_alive(e)}
+    dead = {s for s in inst.emap if s not in alive}
+
+    ents = []
+    for ent in scene["entities"]:
+        e = alive.get(ent["entity"])
+        if e is None:
+            continue
+        pos, rot, scale = world.get_global_transform(e)
+        ent["pos"] = tuple(float(x) for x in pos)
+        ent["rot"] = tuple(float(x) for x in rot)
+        ent["scale"] = tuple(float(x) for x in scale)
+        if "partition" in ent or (scene.get("flags", 0) & 1):
+            ent["partition"] = int(world.partition_of[e])
+        ents.append(ent)
+    scene["entities"] = ents
+
+    scene["names"] = {s: world.get_entity_name(e)
+                      for s, e in alive.items() if world.get_entity_name(e)}
+
+    # hierarchy: rebuild records + sibling links from the live parent arrays
+    inv = {e: s for s, e in alive.items()}
+    children: Dict[int, List[int]] = {}
+    parent_of: Dict[int, int] = {}
+    for s, e in alive.items():
+        p = int(world.parent[e])
+        ps = inv.get(p, -1) if p >= 0 else -1
+        if ps >= 0:
+            parent_of[s] = ps
+            children.setdefault(ps, []).append(s)
+    participants = sorted(set(parent_of) | set(children))
+    hier = []
+    for s in participants:
+        sibs = children.get(parent_of.get(s, -1), [])
+        idx = sibs.index(s) if s in sibs else -1
+        nxt = sibs[idx + 1] if 0 <= idx < len(sibs) - 1 else -1
+        lp, lr, ls = world.get_local_transform(alive[s])
+        hier.append({
+            "entity": s, "parent": parent_of.get(s, -1),
+            "first_child": children.get(s, [-1])[0],
+            "next_sibling": nxt,
+            "local_pos": tuple(float(x) for x in lp),
+            "local_rot": tuple(float(x) for x in lr),
+            "local_scale": tuple(float(x) for x in ls)})
+    scene["hierarchy"] = hier
+
+    # prune destroyed entities from every module's component records
+    if dead:
+        for mname in scene.get("_module_order", []):
+            mod = scene.get(mname)
+            if not isinstance(mod, dict):
+                continue
+            for key, val in mod.items():
+                if isinstance(val, list):
+                    mod[key] = [rec for rec in val
+                                if not (isinstance(rec, dict)
+                                        and rec.get("entity") in dead)]
+
+    n_new = sum(1 for e in range(world.capacity)
+                if world.is_alive(e) and e not in inv)
+    scene["_export_new_entities"] = n_new
+    return scene
+
+
+def save_world_unv(inst: InstantiatedScene, path: str) -> None:
+    """Save the live World as a reference-format .unv (≙ editor save)."""
+    from lumixengine_tpu.importers.unv_write import write_unv
+
+    scene = export_scene(inst)
+    scene.pop("_export_new_entities", None)
+    with open(path, "wb") as f:
+        f.write(write_unv(scene))

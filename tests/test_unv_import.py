@@ -117,3 +117,58 @@ def test_unv_writer_roundtrips_all_maps():
         s1 = unv.parse_unv(open(p, "rb").read())
         s2 = unv.parse_unv(write_unv(s1))
         deep_eq(s1, s2)
+
+
+def test_editor_save_roundtrip(tmp_path):
+    """The editor-save path (≙ WorldEditor save → world.cpp serialize):
+    load demo.unv, move + rename one entity, destroy another, save as .unv,
+    reload — the edits persist and the destroyed entity's components are
+    pruned from every module blob."""
+    import numpy as np
+    from lumixengine_tpu.importers.instantiate import load_world, save_world_unv
+
+    inst = load_world("/root/reference/demo/maps/demo/demo.unv")
+    world = inst.world
+    player = world.find_by_name("player")
+    if player < 0:
+        player = inst.emap[1]
+    world.set_global_transform(player, position=(7.5, 2.0, -3.25))
+    world.set_entity_name(player, "hero")
+    victim_src, victim = next(
+        (s, e) for s, e in inst.emap.items()
+        if world.has_component(e, "rigid_actor") and e != player)
+    world.destroy_entity(victim)
+
+    out = str(tmp_path / "demo_edited.unv")
+    save_world_unv(inst, out)
+    re = load_world(out)
+    hero = re.world.find_by_name("hero")
+    assert hero >= 0
+    pos, _, _ = re.world.get_global_transform(hero)
+    np.testing.assert_allclose(pos, (7.5, 2.0, -3.25), atol=1e-6)
+    assert victim_src not in re.emap
+    assert re.report["rigid_actor"] == inst.report["rigid_actor"] - 1
+    # untouched content survives: scripts, gui, joints against the dead body
+    assert re.report["script"] == inst.report["script"]
+    assert re.report["gui_rect"] == inst.report["gui_rect"]
+
+
+def test_export_preserves_hierarchy_links():
+    """Exported hierarchy records carry consistent first_child/next_sibling
+    links (the reference loads the array raw, so links must be valid)."""
+    from lumixengine_tpu.importers.instantiate import load_world, export_scene
+
+    inst = load_world("/root/reference/demo/maps/demo/demo.unv")
+    scene = export_scene(inst)
+    by_e = {h["entity"]: h for h in scene["hierarchy"]}
+    for h in scene["hierarchy"]:
+        if h["parent"] >= 0:
+            p = by_e[h["parent"]]
+            # walk the sibling chain from the parent's first child; must hit h
+            cur, seen = p["first_child"], set()
+            while cur != -1 and cur not in seen:
+                if cur == h["entity"]:
+                    break
+                seen.add(cur)
+                cur = by_e[cur]["next_sibling"]
+            assert cur == h["entity"], (h, p)
