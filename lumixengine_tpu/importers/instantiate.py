@@ -874,11 +874,11 @@ def export_scene(inst: InstantiatedScene) -> Dict[str, Any]:
 
     Covered: entity global transforms (f32 precision — the World stores
     float32, the .unv field is DVec3), names, partition tags, hierarchy
-    (parents, rebuilt first_child/next_sibling links, local transforms), and
-    pruning of destroyed entities from every module's component records.
-    Entities created after load have no source-id mapping and are counted in
-    the returned scene's ``_export_new_entities`` (structural component
-    export lands with a reflection-driven world→dict walk).
+    (parents, rebuilt first_child/next_sibling links, local transforms),
+    pruning of destroyed entities from every module's component records, and
+    entities created after load (fresh source ids; camera / point_light /
+    model_instance components export — other component types on NEW entities
+    are counted in ``_export_new_entities`` for the caller to surface).
     """
     import copy
 
@@ -888,7 +888,19 @@ def export_scene(inst: InstantiatedScene) -> Dict[str, Any]:
 
     alive = {s: e for s, e in inst.emap.items() if world.is_alive(e)}
     dead = {s for s in inst.emap if s not in alive}
+    inv0 = {e: s for s, e in alive.items()}
 
+    # entities created after load: fresh source ids past the existing range
+    next_src = max([en["entity"] for en in scene["entities"]] or [-1]) + 1
+    new_map: Dict[int, int] = {}
+    for e in range(world.capacity):
+        if world.is_alive(e) and e not in inv0:
+            new_map[e] = next_src
+            next_src += 1
+    for e, s in new_map.items():
+        alive[s] = e
+
+    has_parts = bool(scene.get("flags", 0) & 1)
     ents = []
     for ent in scene["entities"]:
         e = alive.get(ent["entity"])
@@ -898,10 +910,54 @@ def export_scene(inst: InstantiatedScene) -> Dict[str, Any]:
         ent["pos"] = tuple(float(x) for x in pos)
         ent["rot"] = tuple(float(x) for x in rot)
         ent["scale"] = tuple(float(x) for x in scale)
-        if "partition" in ent or (scene.get("flags", 0) & 1):
+        if "partition" in ent or has_parts:
             ent["partition"] = int(world.partition_of[e])
         ents.append(ent)
+    for e, s in sorted(new_map.items(), key=lambda kv: kv[1]):
+        pos, rot, scale = world.get_global_transform(e)
+        rec = {"entity": s, "pos": tuple(float(x) for x in pos),
+               "rot": tuple(float(x) for x in rot),
+               "scale": tuple(float(x) for x in scale)}
+        if has_parts:
+            rec["partition"] = int(world.partition_of[e])
+        ents.append(rec)
     scene["entities"] = ents
+
+    # common renderer components on NEW entities export directly
+    rmod = world.modules.get("renderer")
+    rsc = scene.get("renderer")
+    exported_new = 0
+    if rmod is not None and rsc is not None:
+        path_of_model = {v: k for k, v in inst.assets._model_ids.items()}
+        for e, s in new_map.items():
+            if rmod.cameras.slot_of(e) >= 0:
+                rsc["cameras"].append({
+                    "entity": s, "fov": float(rmod.cameras.get(e, "fov")),
+                    "near": float(rmod.cameras.get(e, "near")),
+                    "far": float(rmod.cameras.get(e, "far")),
+                    "ortho_size": 10.0, "screen_width": 1920.0,
+                    "screen_height": 1080.0, "is_ortho": False,
+                    "film_grain_intensity": 0.0, "dof_enabled": False,
+                    "dof_distance": 10.0, "dof_range": 5.0,
+                    "dof_max_blur_size": 10.0, "dof_sharp_range": 1.0})
+                exported_new += 1
+            if rmod.point_lights.slot_of(e) >= 0:
+                rsc["point_lights"].append({
+                    "color": tuple(float(x)
+                                   for x in rmod.point_lights.get(e, "color")),
+                    "intensity": float(rmod.point_lights.get(e, "intensity")),
+                    "entity": s, "fov": 6.2831855, "attenuation": 1.0,
+                    "range": float(rmod.point_lights.get(e, "range")),
+                    "flags": 0, "guid": s})
+                exported_new += 1
+            mid = rmod.model_instances.slot_of(e)
+            if mid >= 0:
+                path = path_of_model.get(
+                    int(rmod.model_instances.get(e, "model")), "")
+                rsc["model_instances"].append(
+                    {"entity": s, "flags": 6, "model": path,
+                     "material_overrides": []})
+                exported_new += 1
 
     scene["names"] = {s: world.get_entity_name(e)
                       for s, e in alive.items() if world.get_entity_name(e)}
@@ -944,9 +1000,8 @@ def export_scene(inst: InstantiatedScene) -> Dict[str, Any]:
                                 if not (isinstance(rec, dict)
                                         and rec.get("entity") in dead)]
 
-    n_new = sum(1 for e in range(world.capacity)
-                if world.is_alive(e) and e not in inv)
-    scene["_export_new_entities"] = n_new
+    scene["_export_new_entities"] = len(new_map)
+    scene["_export_new_components"] = exported_new
     return scene
 
 
@@ -956,5 +1011,6 @@ def save_world_unv(inst: InstantiatedScene, path: str) -> None:
 
     scene = export_scene(inst)
     scene.pop("_export_new_entities", None)
+    scene.pop("_export_new_components", None)
     with open(path, "wb") as f:
         f.write(write_unv(scene))

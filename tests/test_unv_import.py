@@ -172,3 +172,30 @@ def test_export_preserves_hierarchy_links():
                 seen.add(cur)
                 cur = by_e[cur]["next_sibling"]
             assert cur == h["entity"], (h, p)
+
+
+def test_export_new_entities(tmp_path):
+    """Entities created after load export with fresh source ids — camera /
+    point_light components and new-entity hierarchy links included."""
+    from lumixengine_tpu.importers.instantiate import load_world, save_world_unv
+
+    inst = load_world("/root/reference/demo/maps/tetris/tetris.unv")
+    w = inst.world
+    cam = w.create_entity(position=(1.0, 2.0, 3.0), name="new_cam")
+    w.create_component(cam, "camera", fov=0.9)
+    light = w.create_entity(position=(0.0, 5.0, 0.0), name="new_light")
+    w.create_component(light, "point_light", color=(1.0, 0.5, 0.2),
+                       intensity=2.0, range=15.0)
+    w.set_parent(light, cam)
+
+    out = str(tmp_path / "tetris_edited.unv")
+    save_world_unv(inst, out)
+    re = load_world(out)
+    c2 = re.world.find_by_name("new_cam")
+    l2 = re.world.find_by_name("new_light")
+    assert c2 >= 0 and l2 >= 0
+    rm = re.world.modules["renderer"]
+    assert abs(float(rm.cameras.get(c2, "fov")) - 0.9) < 1e-6
+    assert float(rm.point_lights.get(l2, "range")) == 15.0
+    assert re.world.get_parent(l2) == c2
+    assert re.report["script"] == 1  # original content intact
