@@ -519,13 +519,14 @@ def populate_world(scene: Dict[str, Any], world, assets: SceneAssets,
         if len(act_["geoms"]) > 1:
             report["actor_extra_geoms"] += len(act_["geoms"]) - 1
         motion = {0: "static", 1: "dynamic", 2: "kinematic"}[act_["dynamic_type"]]
+        ccd = act_.get("ccd", False)  # PxRigidBodyFlag::eENABLE_CCD
         if g["type"] == 0:
             world.create_component(e, "rigid_actor", motion=motion, shape="sphere",
-                                   radius=g["radius"], layer=act_["layer"])
+                                   radius=g["radius"], layer=act_["layer"], ccd=ccd)
         elif g["type"] == 3:
             world.create_component(e, "rigid_actor", motion=motion, shape="box",
                                    half_extents=np.asarray(g["half_extents"], np.float32),
-                                   layer=act_["layer"])
+                                   layer=act_["layer"], ccd=ccd)
         else:
             # convex(4)/trimesh(5): cook from the entity's model geometry
             # (≙ physics_system.cpp cookConvex/cookTriMesh on the same source
@@ -536,7 +537,7 @@ def populate_world(scene: Dict[str, Any], world, assets: SceneAssets,
             if vpos is not None and len(vpos) >= 4 and g["type"] == 4:
                 world.create_component(e, "rigid_actor", motion=motion,
                                        shape="convex", points=vpos,
-                                       layer=act_["layer"])
+                                       layer=act_["layer"], ccd=ccd)
                 report["actor_convex"] += 1
             elif vpos is not None and len(vpos) >= 4 and g["type"] == 5:
                 tris = getattr(mo, "vertex_triangles", None)
@@ -958,6 +959,35 @@ def export_scene(inst: InstantiatedScene) -> Dict[str, Any]:
                     {"entity": s, "flags": 6, "model": path,
                      "material_overrides": []})
                 exported_new += 1
+
+    # new rigid actors with analytic geoms export too (sphere → px type 0,
+    # box → px type 3; convex/capsule need cooked-mesh paths, skipped)
+    pmod = world.modules.get("physics")
+    psc = scene.get("physics")
+    if pmod is not None and psc is not None:
+        from lumixengine_tpu.ops import physics_ops as _P
+        _identity = {"pos": (0.0, 0.0, 0.0), "rot": (0.0, 0.0, 0.0, 1.0)}
+        for e, s in new_map.items():
+            if pmod.actors.slot_of(e) < 0:
+                continue
+            shape = int(pmod.actors.get(e, "shape"))
+            if shape == _P.SHAPE_SPHERE:
+                geom = {"type": 0, "index": 0, "local": dict(_identity),
+                        "radius": float(pmod.actors.get(e, "radius"))}
+            elif shape == _P.SHAPE_BOX:
+                geom = {"type": 3, "index": 0, "local": dict(_identity),
+                        "half_extents": tuple(
+                            float(x)
+                            for x in pmod.actors.get(e, "half_extents"))}
+            else:
+                continue
+            psc["actors"].append({
+                "entity": s,
+                "dynamic_type": int(pmod.actors.get(e, "motion")),
+                "is_trigger": False, "ccd": bool(pmod.actors.get(e, "ccd")),
+                "layer": int(pmod.actors.get(e, "layer")), "material": "",
+                "mesh": "", "geoms": [geom]})
+            exported_new += 1
 
     scene["names"] = {s: world.get_entity_name(e)
                       for s, e in alive.items() if world.get_entity_name(e)}

@@ -199,3 +199,18 @@ def test_export_new_entities(tmp_path):
     assert float(rm.point_lights.get(l2, "range")) == 15.0
     assert re.world.get_parent(l2) == c2
     assert re.report["script"] == 1  # original content intact
+
+    # new rigid actors export with their geoms + ccd flag
+    w2 = re.world
+    box = w2.create_entity(position=(0, 8, 0), name="new_box")
+    w2.create_component(box, "rigid_actor", motion="dynamic", shape="box",
+                        half_extents=(0.4, 0.3, 0.2), ccd=True)
+    out2 = str(tmp_path / "tetris_edited2.unv")
+    save_world_unv(re, out2)
+    re2 = load_world(out2)
+    b2 = re2.world.find_by_name("new_box")
+    pm = re2.world.modules["physics"]
+    assert b2 >= 0 and bool(pm.actors.get(b2, "ccd"))
+    import numpy as np
+    np.testing.assert_allclose(pm.actors.get(b2, "half_extents"),
+                               (0.4, 0.3, 0.2))
