@@ -1018,8 +1018,12 @@ def export_scene(inst: InstantiatedScene) -> Dict[str, Any]:
             "local_scale": tuple(float(x) for x in ls)})
     scene["hierarchy"] = hier
 
-    # prune destroyed entities from every module's component records
+    # prune destroyed entities from every module's component records, and
+    # null out surviving records' references to them (joints'
+    # connected_body, bone attachments' parent_entity, Lua ENTITY props) —
+    # ≙ the reference serializing an invalid EntityPtr as -1
     if dead:
+        _ref_fields = ("connected_body", "parent_entity", "target_entity")
         for mname in scene.get("_module_order", []):
             mod = scene.get(mname)
             if not isinstance(mod, dict):
@@ -1029,6 +1033,22 @@ def export_scene(inst: InstantiatedScene) -> Dict[str, Any]:
                     mod[key] = [rec for rec in val
                                 if not (isinstance(rec, dict)
                                         and rec.get("entity") in dead)]
+                    for rec in mod[key]:
+                        if not isinstance(rec, dict):
+                            continue
+                        for f in _ref_fields:
+                            if rec.get(f) in dead:
+                                rec[f] = -1
+        for sc_ in scene.get("lua_script", {}).get("scripts", []):
+            for s_ in sc_["scripts"]:
+                for p_ in s_["properties"]:
+                    if p_["type"] != "ENTITY":
+                        continue
+                    if p_.get("is_array"):
+                        p_["value"] = [-1 if v in dead else v
+                                       for v in p_["value"]]
+                    elif p_["value"] in dead:
+                        p_["value"] = -1
 
     scene["_export_new_entities"] = len(new_map)
     scene["_export_new_components"] = exported_new
