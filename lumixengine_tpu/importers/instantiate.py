@@ -349,6 +349,13 @@ def populate_world(scene: Dict[str, Any], world, assets: SceneAssets,
             assets.mark_skinned(mp)
 
     # -- entities / names / hierarchy (≙ world.cpp deserialize) ----------------
+    # named partitions (world.cpp:1030-1032): handle -> local partition index
+    part_idx: Dict[int, int] = {}
+    if fresh and scene.get("partitions"):
+        world.partitions = [p["name"] for p in scene["partitions"]]
+        part_idx = {p["handle"]: i for i, p in enumerate(scene["partitions"])}
+        world.active_partition = part_idx.get(
+            scene.get("active_partition", 0), 0)
     emap: Dict[int, int] = {}
     for ent in scene["entities"]:
         e = world.create_entity(
@@ -357,6 +364,9 @@ def populate_world(scene: Dict[str, Any], world, assets: SceneAssets,
             scale=np.asarray(ent["scale"], np.float32),
         )
         emap[ent["entity"]] = e
+        if "partition" in ent:
+            world.partition_of[e] = part_idx.get(ent["partition"],
+                                                 ent["partition"])
         report["entities"] += 1
     for sid, name in scene["names"].items():
         if sid in emap:
@@ -901,7 +911,16 @@ def export_scene(inst: InstantiatedScene) -> Dict[str, Any]:
     for e, s in new_map.items():
         alive[s] = e
 
+    # partitions: if the world uses them (additive loads create them), the
+    # save carries the named table + per-entity tags (≙ HAS_PARTITIONS flag)
     has_parts = bool(scene.get("flags", 0) & 1)
+    if len(world.partitions) > 1 or world.partition_of[:world.capacity].any():
+        has_parts = True
+        scene["flags"] = scene.get("flags", 0) | 1
+    if has_parts:
+        scene["partitions"] = [{"handle": i, "name": n}
+                               for i, n in enumerate(world.partitions)]
+        scene["active_partition"] = int(world.active_partition)
     ents = []
     for ent in scene["entities"]:
         e = alive.get(ent["entity"])

@@ -433,9 +433,16 @@ def parse_unv(data: bytes) -> Dict[str, Any]:
         scene["_module_order"].append(name)
 
     if has_partitions:
-        np_ = r.u32()
-        r.raw(np_ * struct.calcsize("<H" "64s" "?"))  # not present in demo maps
-        r.raw(2)
+        # Partition {u16 handle; char name[64]} memcpy'd (world.h:56-59,
+        # world.cpp:884-888) + u16 active partition. No shipped map carries
+        # records (count 0), but additive-saved worlds do.
+        parts = []
+        for _ in range(r.u32()):
+            handle = struct.unpack("<H", r.raw(2))[0]
+            name = r.raw(64).split(b"\0", 1)[0].decode("utf-8", "replace")
+            parts.append({"handle": handle, "name": name})
+        scene["partitions"] = parts
+        scene["active_partition"] = struct.unpack("<H", r.raw(2))[0]
     if r.remaining() != 0:
         raise ValueError(f"unv: {r.remaining()} trailing bytes — format drift")
     return scene

@@ -8,10 +8,9 @@ exactly, writing at the same world/module versions the scene dict was parsed
 at, so content round-trips: ``parse(write(parse(f))) == parse(f)`` for every
 shipped demo map (tests/test_unv_import.py).
 
-Two lossy-but-benign notes (both skipped by the reference's own loader path
-we model): camera pad bytes at v <= POSTPROCESS write as zeros, and the
-trailing named-partition table writes empty (the parser discards it; the
-per-entity partition tags themselves round-trip).
+One lossy-but-benign note: camera pad bytes at v <= POSTPROCESS write as
+zeros (the parser discards them). Named partitions round-trip: the table
+({u16 handle; char name[64]} records + u16 active) and per-entity tags.
 """
 from __future__ import annotations
 
@@ -510,8 +509,13 @@ def write_unv(scene: Dict[str, Any]) -> bytes:
         _WRITERS[name](body, m, m["_version"])
 
     if has_partitions:
-        body.u32(0)                      # named-partition table (discarded
-        body.parts.append(b"\0\0")       # by the parser; tags round-trip)
+        # Partition {u16 handle; char name[64]} + u16 active (world.cpp:884-888)
+        parts = scene.get("partitions", [])
+        body.u32(len(parts))
+        for p in parts:
+            body.parts.append(struct.pack("<H", p["handle"]))
+            body.raw(p["name"].encode("utf-8")[:63].ljust(64, b"\0"))
+        body.parts.append(struct.pack("<H", scene.get("active_partition", 0)))
 
     blob = body.getvalue()
 

@@ -214,3 +214,25 @@ def test_export_new_entities(tmp_path):
     import numpy as np
     np.testing.assert_allclose(pm.actors.get(b2, "half_extents"),
                                (0.4, 0.3, 0.2))
+
+
+def test_partitions_roundtrip_through_save(tmp_path):
+    """Named partitions round-trip the save path: the table ({u16 handle;
+    char name[64]} + u16 active, world.cpp:884-888/1030-1032) and per-entity
+    tags. No shipped map carries records, so this drives the additive flow:
+    create a partition, tag an entity, save, reload."""
+    from lumixengine_tpu.importers.instantiate import load_world, save_world_unv
+
+    inst = load_world("/root/reference/demo/maps/tetris/tetris.unv")
+    w = inst.world
+    p = w.create_partition("level2")
+    w.set_active_partition(p)
+    w.create_entity(position=(1, 1, 1), name="lvl2_ent")
+
+    out = str(tmp_path / "parts.unv")
+    save_world_unv(inst, out)
+    re = load_world(out)
+    assert re.world.partitions == ["main", "level2"]
+    assert re.world.active_partition == 1
+    e2 = re.world.find_by_name("lvl2_ent")
+    assert int(re.world.partition_of[e2]) == 1
