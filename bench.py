@@ -140,20 +140,24 @@ def main_boxes(args):
     iib = np.tile(np.full((1, nb), 1.0 / (1.0 / 12 * 2.0), np.float32), (3, 1))
     fric = np.full(nb, 0.6, np.float32)
     rest = np.zeros(nb, np.float32)
-    # banded sweep-order pipeline: gather-free solve (ops/physics_banded.py).
-    # n_sweeps=4 is the guaranteed-coverage offset-column pipeline — the 22^3
-    # cubic pile puts ~480 boxes in each x-slab, far beyond any single-sweep
-    # rank window, so the classic sweep would silently drop most pile
-    # contacts.  The per-step zero-miss certificate is accumulated across the
-    # whole run and surfaced in the JSON (and zeroes vs_baseline if the
-    # simulation ever dropped a contact): the number measures COMPLETE
-    # physics or reports that it didn't.  warm_start carries accumulated
-    # contact impulses across frames (PhysX-style persistent contacts).
-    from lumixengine_tpu.ops import physics_banded as PBD
+    # slot-compacted symmetric-pair pipeline (ops/physics_slots.py): 4-offset
+    # guaranteed-coverage column sweeps discover candidates on AABB-only
+    # grids, a 6-face-axis SAT bound prunes non-touching neighbours, the
+    # deepest 24 candidates per body become solver slots, and the Jacobi
+    # solver runs one partner-velocity gather per iteration.  TWO per-step
+    # certificates accumulate across the whole run and are surfaced in the
+    # JSON (and zero vs_baseline if they ever fire): slot_drop counts
+    # compaction-dropped candidates whose penetration bound exceeds the
+    # solver slop, column_miss counts possible sweep-coverage gaps.  The
+    # number measures COMPLETE physics or reports that it didn't.
+    # warm_start carries accumulated contact impulses across frames
+    # (PhysX-style persistent contacts).
+    from lumixengine_tpu.ops import physics_slots as PSL
 
-    step = PBD.make_banded_world_step(shape, radius, he, dyn, inv_mass, iib,
-                                      fric, rest, neighbors=24,
-                                      n_sweeps=4, warm_start=True)
+    step = PSL.make_slot_world_step(shape, radius, he, dyn, inv_mass, iib,
+                                    fric, rest, slots=24, window=40,
+                                    iterations=6, position_iterations=2,
+                                    warm_start=True)
     side = int(np.ceil(nb ** (1 / 3)))
     grid = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1).reshape(-1, 3)[:nb]
     pos = jnp.asarray((grid * 1.1 + rng.uniform(0, 0.05, (nb, 3)) + [0.0, 2.0, 0.0]).T.astype(np.float32))
@@ -167,11 +171,13 @@ def main_boxes(args):
             pos, rot, vel, ang, ctr, warm = step(c[0], c[1], c[2], c[3],
                                                  jnp.float32(args.dt), c[5])
             return (pos, rot, vel, ang,
-                    c[4] + ctr["sap_window_miss"], warm)
+                    (c[4][0] + ctr["slot_drop"],
+                     c[4][1] + ctr["column_miss"]), warm)
         c = jax.lax.fori_loop(0, steps, body, carry)
         return c, jnp.sum(c[0]) + jnp.sum(c[2])
 
-    carry = (pos, rot, vel, ang, jnp.int32(0), step.init_carry())
+    carry = (pos, rot, vel, ang, (jnp.int32(0), jnp.int32(0)),
+             step.init_carry())
     carry, probe = run(carry, args.steps)
     _ = float(probe)
     best = float("inf")
@@ -180,7 +186,8 @@ def main_boxes(args):
         carry, probe = run(carry, args.steps)
         _ = float(probe)
         best = min(best, time.perf_counter() - t0)
-    miss = int(carry[4])
+    drop, cmiss = int(carry[4][0]), int(carry[4][1])
+    miss = drop + cmiss
     value = nb * args.steps / best
     print(json.dumps({
         "metric": "body_steps_per_sec_per_chip",
@@ -188,11 +195,13 @@ def main_boxes(args):
         "unit": "body-steps/s",
         # this config's budget: the full 10k-box scene at 60 FPS
         # (the 1e8 entity-steps target belongs to the flagship config).
-        # A nonzero window-miss certificate means contacts were dropped and
-        # the number does not measure complete physics — fail it outright.
+        # A nonzero certificate means contacts may have been dropped and the
+        # number does not measure complete physics — fail it outright.
         "vs_baseline": (value / (nb * 60.0)) if miss == 0 else 0.0,
         "config": {"config": "boxes", "bodies": nb, "steps": args.steps,
                    "elapsed_s": round(best, 4), "sap_window_miss": miss,
+                   "slot_drop": drop, "column_miss": cmiss,
+                   "pipeline": "slots", "slots": 24, "window": 40,
                    "warm_start": True, "sweeps": 4,
                    "backend": jax.default_backend()},
     }))
@@ -245,8 +254,21 @@ def main_all(args):
     single-tenant, and per-config process isolation keeps HBM fragmentation
     from one config out of the next).  The headline metric stays the flagship
     full-fused-frame entity-steps/s so vs_baseline keeps its meaning; the
-    other four configs land under "configs" with their own vs_baseline
-    (each against its own budget — see BASELINE.md "Configs" row).
+    other configs land under "configs" with their own vs_baseline (each
+    against its own budget — see BASELINE.md "Configs" row).
+
+    Round-3 postmortem (VERDICT-r3 weak #1): the old default ran 7 subprocess
+    configs with a 2400s timeout EACH and printed JSON only at the very end —
+    one slow config starved the driver's capture window and the round's
+    official record became rc=124 with no number.  Hard rules now:
+      * the FLAGSHIP runs first and its headline JSON line prints the moment
+        it lands;
+      * a cumulative headline snapshot reprints after EVERY config, so the
+        LAST stdout line is always a complete, parseable record of everything
+        measured so far;
+      * a TOTAL wall-clock budget (default 900s) with a per-config cap
+        (default 270s); configs that don't fit are recorded as "skipped",
+        never silently dropped.
     """
     import os
     import subprocess
@@ -254,22 +276,48 @@ def main_all(args):
 
     jobs = [
         ("full", ["--config", "full"]),
+        # boxes: long horizon so the completeness certificates cover the
+        # whole drop-impact-settle arc, not just the first frames
+        ("boxes", ["--config", "boxes", "--steps", "300", "--trials", "1"]),
+        ("map", ["--config", "map"]),
         ("crowd", ["--config", "crowd", "--characters", "256"]),
         ("particles", ["--config", "particles"]),
-        ("boxes", ["--config", "boxes"]),
-        ("map", ["--config", "map"]),
         # flagship mix with 4x the skinned characters (VERDICT-r2 weak #3)
         ("full256", ["--config", "full", "--characters", "256"]),
         # flagship frame + shadow cascades + clustered lights (weak #7)
         ("render", ["--config", "render"]),
     ]
+    deadline = time.monotonic() + args.budget
     results = {}
+
+    def emit():
+        head = results.get("full", {})
+        print(json.dumps({
+            "metric": head.get("metric", "entity_steps_per_sec_per_chip"),
+            "value": head.get("value", 0.0),
+            "unit": head.get("unit", "entity-steps/s"),
+            "vs_baseline": head.get("vs_baseline", 0.0),
+            "configs": {k: {kk: v[kk] for kk in
+                            ("metric", "value", "unit", "vs_baseline",
+                             "config", "error") if kk in v}
+                        for k, v in results.items() if k != "full"},
+        }), flush=True)
+
     for name, extra_args in jobs:
-        cmd = [sys.executable, os.path.abspath(__file__)] + extra_args + [
-            "--steps", str(args.steps), "--trials", str(args.trials)]
+        left = deadline - time.monotonic()
+        if left < 45.0:  # not enough for even a compile — record, don't hang
+            results[name] = {"error": "skipped (total budget exhausted)"}
+            emit()
+            continue
+        per_cfg = min(args.config_timeout, left)
+        cmd = [sys.executable, os.path.abspath(__file__)] + extra_args
+        if "--steps" not in extra_args:
+            cmd += ["--steps", str(args.steps)]
+        if "--trials" not in extra_args:
+            cmd += ["--trials", str(args.trials)]
         try:
             out = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=2400)
+                                 timeout=per_cfg)
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")]
             if out.returncode == 0 and line:
@@ -278,18 +326,8 @@ def main_all(args):
                 results[name] = {"error": (out.stderr or out.stdout)[-400:],
                                  "returncode": out.returncode}
         except subprocess.TimeoutExpired:
-            results[name] = {"error": "timeout (2400s)"}
-    head = results.get("full", {})
-    print(json.dumps({
-        "metric": head.get("metric", "entity_steps_per_sec_per_chip"),
-        "value": head.get("value", 0.0),
-        "unit": head.get("unit", "entity-steps/s"),
-        "vs_baseline": head.get("vs_baseline", 0.0),
-        "configs": {k: {kk: v[kk] for kk in
-                        ("metric", "value", "unit", "vs_baseline", "config",
-                         "error") if kk in v}
-                    for k, v in results.items() if k != "full"},
-    }))
+            results[name] = {"error": f"timeout ({per_cfg:.0f}s)"}
+        emit()
     return 0
 
 
@@ -312,6 +350,12 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--trials", type=int, default=2)
     p.add_argument("--dt", type=float, default=1.0 / 60.0)
+    # --config all wall-clock budgets (VERDICT-r3 weak #1: the harness must
+    # never outlive the driver's capture window; skipped configs are recorded)
+    p.add_argument("--budget", type=float, default=900.0,
+                   help="total wall-clock budget for --config all (s)")
+    p.add_argument("--config-timeout", type=float, default=270.0,
+                   help="per-config subprocess cap inside --config all (s)")
     args = p.parse_args()
     if args.config == "particles":
         args.worlds = 1

@@ -756,11 +756,12 @@ def sweep_orders(mn, mx, occ, n_sweeps: int):
     far = jnp.where(occ, 0, jnp.int32(1 << 24))            # dead slots last
     farf = jnp.where(occ, 0.0, 1e18)
 
-    def lex_order(minor_vals, key_mid, key_hi):
+    def lex_order(minor_vals, key_packed):
+        # two stable sorts: minor axis first, then the packed column id —
+        # bodies end up column-grouped and y-sorted within each column
         o = jnp.argsort(minor_vals + farf, axis=-1, stable=True)
-        for key in (key_mid, key_hi):
-            kk = jnp.take(key + far, o, axis=-1)
-            o = jnp.take(o, jnp.argsort(kk, axis=-1, stable=True), axis=-1)
+        kk = jnp.take(key_packed + far, o, axis=-1)
+        o = jnp.take(o, jnp.argsort(kk, axis=-1, stable=True), axis=-1)
         return o.astype(jnp.int32)
 
     def col_order(off_x, off_z):
@@ -770,7 +771,7 @@ def sweep_orders(mn, mx, occ, n_sweeps: int):
         # (cells 65536 apart) only ever declare two columns falsely EQUAL,
         # which inflates the miss certificate (conservative, never unsound)
         key = jnp.left_shift(qx, 16) | (qz & 0xFFFF)
-        return lex_order(mn[..., 1, :], qx, qz), key
+        return lex_order(mn[..., 1, :], key), key
 
     classic = jnp.argsort(mn[..., 0, :] + farf, axis=-1).astype(jnp.int32)
     if n_sweeps == 1:
