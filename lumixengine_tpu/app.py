@@ -97,10 +97,21 @@ class Runner:
     def load_world(self, path_or_blob) -> None:
         """Loads either this engine's serialized world blob or a reference
         `.unv` universe (≙ the reference Runner, whose worlds ARE .unv —
-        app/main.cpp loads `universes/main.unv`). A .unv path routes through
-        the importer, which builds an engine sized for the scene's banks;
-        the Runner adopts it."""
-        if isinstance(path_or_blob, str) and path_or_blob.endswith(".unv"):
+        app/main.cpp loads `universes/main.unv`). A .unv world is detected by
+        its 'LWRL' magic (not just the extension) and routes through the
+        importer, which builds an engine SIZED FOR THE SCENE'S BANKS — the
+        Runner ADOPTS that engine, replacing ``self.engine`` (state attached
+        to a caller-supplied engine does not carry over)."""
+        def _is_unv(p: str) -> bool:
+            if not p.endswith(".unv"):
+                try:
+                    with open(p, "rb") as f:
+                        return f.read(4) == b"LRWL"  # MAGIC_LWRL on disk
+                except OSError:
+                    return False
+            return True
+
+        if isinstance(path_or_blob, str) and _is_unv(path_or_blob):
             from lumixengine_tpu.importers.instantiate import (
                 load_world as load_unv_world)
             scene = load_unv_world(path_or_blob)

@@ -138,19 +138,29 @@ class CoreModule(IModule):
 
     def dispatch_signals(self, events: List[dict]) -> int:
         """events: [{"component": str, "event": str, "entity": int}, ...] —
-        fires connected reflected functions. Returns dispatch count."""
+        fires connected reflected functions. Returns dispatch count.
+
+        Both ends of a connection may be scoped by COMPONENT name or (as .unv
+        files store them, core.cpp serializing the owning module) by MODULE
+        name — either resolves through the registry (reflection.find_event /
+        find_function, ≙ the reference's module-scoped reflection)."""
+        reg = reflection.registry
         fired = 0
         for ev in events:
+            ev_scope = ev.get("component") or ev.get("module")
+            ev_canon = reg.find_event(ev_scope, ev.get("event", "")) or ev_scope
             for sig_entity, sig in self.signals.items():
-                if (sig["event_component"] == ev.get("component")
-                        and sig["event"] == ev.get("event")
+                sig_canon = (reg.find_event(sig["event_component"], sig["event"])
+                             or sig["event_component"])
+                if (sig_canon == ev_canon and sig["event"] == ev.get("event")
                         and (ev.get("entity") is None or ev["entity"] == sig_entity)):
-                    cd = reflection.registry.component(sig["function_component"])
-                    if cd is None or sig["function"] not in cd.functions:
+                    hit = reg.find_function(sig["function_component"],
+                                            sig["function"])
+                    if hit is None:
                         continue
-                    mname = reflection.registry.module_of_component(sig["function_component"])
+                    fdef, mname = hit
                     module = self.world.modules.get(mname)
-                    cd.functions[sig["function"]].fn(module, sig["target_entity"])
+                    fdef.fn(module, sig["target_entity"])
                     fired += 1
         return fired
 

@@ -63,6 +63,10 @@ class ModuleDef:
     name: str
     components: Dict[str, ComponentDef] = field(default_factory=dict)
     functions: Dict[str, FunctionDef] = field(default_factory=dict)
+    # module-scoped events (≙ the reference's `//@ events` on IModule
+    # interfaces, e.g. gui_module.h:153-159 buttonClicked/rectHovered —
+    # CoreModule signals connect these, core.cpp:120-138)
+    events: Dict[str, EventDef] = field(default_factory=dict)
 
 
 class Registry:
@@ -94,6 +98,41 @@ class Registry:
         for m in self.modules.values():
             out.extend(m.components.keys())
         return out
+
+    # --- signal-scope resolution (≙ reference module-scoped reflection) -----
+    # .unv signals store reflection-MODULE names (core.cpp serializes the
+    # module each end lives in); this registry also keys by component, so a
+    # scope can legally be either. Resolution order: exact module match
+    # (module event / module function, then its components), then component.
+
+    def find_event(self, scope: str, name: str) -> Optional[str]:
+        """Resolve (scope, event) → canonical scope string, or None.
+        `scope` may be a module name or a component name."""
+        m = self.modules.get(scope)
+        if m is not None:
+            if name in m.events:
+                return scope
+            for cname, cd in m.components.items():
+                if name in cd.events:
+                    return cname
+        cd = self.component(scope)
+        if cd is not None and name in cd.events:
+            return scope
+        return None
+
+    def find_function(self, scope: str, name: str):
+        """Resolve (scope, function) → (FunctionDef, module_name) or None."""
+        m = self.modules.get(scope)
+        if m is not None:
+            if name in m.functions:
+                return m.functions[name], scope
+            for cname, cd in m.components.items():
+                if name in cd.functions:
+                    return cd.functions[name], scope
+        cd = self.component(scope)
+        if cd is not None and name in cd.functions:
+            return cd.functions[name], self.module_of_component(scope)
+        return None
 
     # --- generic property access (property-grid path) --------------------------
 
@@ -168,8 +207,10 @@ class ModuleBuilder:
         return self
 
     def event(self, name: str) -> "ModuleBuilder":
-        assert self._cd is not None
-        self._cd.events[name] = EventDef(name)
+        """Component-scoped if a component is active, else module-scoped
+        (≙ the reference's `//@ events` blocks on IModule interfaces)."""
+        target = self._cd.events if self._cd is not None else self.mdef.events
+        target[name] = EventDef(name)
         return self
 
 
@@ -189,10 +230,14 @@ def register_builtin_components() -> None:
         .prop("near", "float", min=1e-4)
         .prop("far", "float", min=1e-3)
         .prop("aspect", "float", min=1e-3)
+        .prop("ortho_size", "float", min=1e-3)
+        .prop("is_ortho", "bool")
         .cmp("point_light", "Point Light", "light")
         .prop("color", "vec3")
         .prop("intensity", "float", min=0.0)
         .prop("range", "float", min=0.0)
+        .prop("fov", "float", min=0.0, max=6.2831855, radians=True)
+        .prop("attenuation", "float", min=0.0)
         .cmp("environment", "Environment", "sun")
         .prop("color", "vec3")
         .prop("intensity", "float", min=0.0)
@@ -221,3 +266,11 @@ def register_builtin_components() -> None:
     (registry.module("core")
         .cmp("spline", "Spline")
         .cmp("signal", "Signal"))
+    # module-scoped gui events (≙ gui_module.h:153-159 `//@ events`):
+    # .unv signals reference these by module name ("gui")
+    (registry.module("gui")
+        .event("buttonClicked")
+        .event("rectHovered")
+        .event("rectHoveredOut")
+        .event("rectMouseDown")
+        .event("mousedButtonUnhandled"))

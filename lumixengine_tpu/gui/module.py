@@ -257,6 +257,18 @@ class GuiModule(IModule):
             out.append(int(self.rects.entity[slot]))
         return out
 
+    def pump_signals(self, state: WorldState) -> int:
+        """Fire this frame's module-scoped events into CoreModule signals
+        (≙ GUISystem's m_button_clicked delegate feeding reflected events,
+        gui_module.h:153-159 + core.cpp:120-138). Call once per frame after
+        update(). Returns the number of signal dispatches."""
+        core = self.world.modules.get("core")
+        if core is None:
+            return 0
+        evs = [{"module": "gui", "event": "buttonClicked", "entity": e}
+               for e in self.clicked_entities(state)]
+        return core.dispatch_signals(evs) if evs else 0
+
     def process_input(self, state: WorldState, input_system) -> None:
         """Host-side focus + text editing for input fields (≙ GUISystem
         routing OS text/key events to the focused InputField,

@@ -392,7 +392,8 @@ def populate_world(scene: Dict[str, Any], world, assets: SceneAssets,
         if e is None:
             continue
         world.create_component(e, "camera", fov=c["fov"], near=c["near"],
-                               far=c["far"])
+                               far=c["far"], ortho_size=c.get("ortho_size", 10.0),
+                               is_ortho=bool(c.get("is_ortho", False)))
         report["camera"] += 1
     for mi in r.get("model_instances", []):
         e = ent(mi["entity"])
@@ -406,7 +407,9 @@ def populate_world(scene: Dict[str, Any], world, assets: SceneAssets,
         if e is None:
             continue
         world.create_component(e, "point_light", color=np.asarray(pl["color"], np.float32),
-                               intensity=pl["intensity"], range=pl["range"])
+                               intensity=pl["intensity"], range=pl["range"],
+                               fov=pl.get("fov", 6.2831855),
+                               attenuation=pl.get("attenuation", 1.0))
         report["point_light"] += 1
     for env in r.get("environments", []):
         e = ent(env["entity"])
@@ -859,12 +862,19 @@ def populate_world(scene: Dict[str, Any], world, assets: SceneAssets,
         if e is None:
             continue
         # ≙ core.cpp CoreModuleImpl::deserialize (SIGNALS block): the .unv
-        # stores reflection-module names for both ends of the connection;
-        # they key the repo's reflection registry the same way.
+        # stores reflection-MODULE names for both ends of the connection.
+        # dispatch_signals resolves module OR component scopes through the
+        # registry (reflection.find_event/find_function); the only remap
+        # needed here is reference module names that differ from this
+        # engine's (lua_script → script).
+        _mod_names = {"lua_script": "script"}
         world.create_component(
             e, "signal",
-            event_component=sig["event_module"], event=sig["event"],
-            function_component=sig["function_module"],
+            event_component=_mod_names.get(sig["event_module"],
+                                           sig["event_module"]),
+            event=sig["event"],
+            function_component=_mod_names.get(sig["function_module"],
+                                              sig["function_module"]),
             function=sig["function"], target_entity=e)
         report["signal"] += 1
 
@@ -914,7 +924,12 @@ def export_scene(inst: InstantiatedScene) -> Dict[str, Any]:
     # partitions: if the world uses them (additive loads create them), the
     # save carries the named table + per-entity tags (≙ HAS_PARTITIONS flag)
     has_parts = bool(scene.get("flags", 0) & 1)
-    if len(world.partitions) > 1 or world.partition_of[:world.capacity].any():
+    # only LIVE entities' partition tags count — destroy_entity leaves stale
+    # tags behind (ADVICE-r3 low #5)
+    _live = np.zeros(world.capacity, bool)
+    for e in alive.values():
+        _live[e] = True
+    if len(world.partitions) > 1 or world.partition_of[:world.capacity][_live].any():
         has_parts = True
         scene["flags"] = scene.get("flags", 0) | 1
     if has_parts:
@@ -943,20 +958,87 @@ def export_scene(inst: InstantiatedScene) -> Dict[str, Any]:
         ents.append(rec)
     scene["entities"] = ents
 
-    # common renderer components on NEW entities export directly
+    # live component property write-back for SURVIVING entities: editor
+    # set_property edits land in the stores, not the parsed records — read
+    # them back so "edit → save → reload" round-trips (ADVICE-r3 medium #2;
+    # ≙ the reference serializing FROM the live module state)
     rmod = world.modules.get("renderer")
     rsc = scene.get("renderer")
+    if rmod is not None and rsc is not None:
+        for c in rsc.get("cameras", []):
+            e = alive.get(c["entity"])
+            if e is None or rmod.cameras.slot_of(e) < 0:
+                continue
+            for f in ("fov", "near", "far", "ortho_size"):
+                c[f] = float(rmod.cameras.get(e, f))
+            c["is_ortho"] = bool(rmod.cameras.get(e, "is_ortho"))
+        for pl in rsc.get("point_lights", []):
+            e = alive.get(pl["entity"])
+            if e is None or rmod.point_lights.slot_of(e) < 0:
+                continue
+            pl["color"] = tuple(float(x)
+                                for x in rmod.point_lights.get(e, "color"))
+            for f in ("intensity", "range", "fov", "attenuation"):
+                pl[f] = float(rmod.point_lights.get(e, f))
+        for env in rsc.get("environments", []):
+            e = alive.get(env["entity"])
+            if e is None or e != rmod.env_entity:
+                continue
+            env["light_color"] = tuple(float(x) for x in rmod.env_color)
+            env["direct_intensity"] = float(rmod.env_intensity)
+        path_of_model_live = {v: k for k, v in inst.assets._model_ids.items()}
+        for mi in rsc.get("model_instances", []):
+            e = alive.get(mi["entity"])
+            if e is None or rmod.model_instances.slot_of(e) < 0:
+                continue
+            live = path_of_model_live.get(
+                int(rmod.model_instances.get(e, "model")))
+            if live:
+                mi["model"] = live
+        for key, store in (("decals", rmod.decals),
+                           ("curve_decals", rmod.curve_decals)):
+            for d in rsc.get(key, []):
+                e = alive.get(d["entity"])
+                if e is None or store.slot_of(e) < 0:
+                    continue
+                d["half_extents"] = tuple(float(x)
+                                          for x in store.get(e, "half_extents"))
+                d["uv_scale"] = tuple(float(x)
+                                      for x in store.get(e, "uv_scale"))
+    pmod_wb = world.modules.get("physics")
+    psc_wb = scene.get("physics")
+    if pmod_wb is not None and psc_wb is not None:
+        for a in psc_wb.get("actors", []):
+            e = alive.get(a["entity"])
+            if e is None or pmod_wb.actors.slot_of(e) < 0:
+                continue
+            a["dynamic_type"] = int(pmod_wb.actors.get(e, "motion"))
+            a["layer"] = int(pmod_wb.actors.get(e, "layer"))
+            a["ccd"] = bool(pmod_wb.actors.get(e, "ccd"))
+    cmod_wb = world.modules.get("core")
+    if cmod_wb is not None and "core" in scene:
+        for sp in scene["core"].get("splines", []):
+            e = alive.get(sp["entity"])
+            if e is not None and e in cmod_wb.splines:
+                sp["points"] = cmod_wb.splines[e].tolist()
+
+    # common renderer components on NEW entities export directly
     exported_new = 0
     if rmod is not None and rsc is not None:
         path_of_model = {v: k for k, v in inst.assets._model_ids.items()}
+        # fresh light guids above every existing one (guid collisions break
+        # the reference's shadow-atlas keying)
+        next_guid = max([int(p.get("guid", 0))
+                         for p in rsc.get("point_lights", [])] or [0]) + 1
         for e, s in new_map.items():
             if rmod.cameras.slot_of(e) >= 0:
                 rsc["cameras"].append({
                     "entity": s, "fov": float(rmod.cameras.get(e, "fov")),
                     "near": float(rmod.cameras.get(e, "near")),
                     "far": float(rmod.cameras.get(e, "far")),
-                    "ortho_size": 10.0, "screen_width": 1920.0,
-                    "screen_height": 1080.0, "is_ortho": False,
+                    "ortho_size": float(rmod.cameras.get(e, "ortho_size")),
+                    "screen_width": 1920.0, "screen_height": 1080.0,
+                    "is_ortho": bool(rmod.cameras.get(e, "is_ortho")),
                     "film_grain_intensity": 0.0, "dof_enabled": False,
                     "dof_distance": 10.0, "dof_range": 5.0,
                     "dof_max_blur_size": 10.0, "dof_sharp_range": 1.0})
@@ -966,9 +1048,12 @@ def export_scene(inst: InstantiatedScene) -> Dict[str, Any]:
                     "color": tuple(float(x)
                                    for x in rmod.point_lights.get(e, "color")),
                     "intensity": float(rmod.point_lights.get(e, "intensity")),
-                    "entity": s, "fov": 6.2831855, "attenuation": 1.0,
+                    "entity": s,
+                    "fov": float(rmod.point_lights.get(e, "fov")),
+                    "attenuation": float(rmod.point_lights.get(e, "attenuation")),
                     "range": float(rmod.point_lights.get(e, "range")),
-                    "flags": 0, "guid": s})
+                    "flags": 0, "guid": next_guid})
+                next_guid += 1
                 exported_new += 1
             mid = rmod.model_instances.slot_of(e)
             if mid >= 0:

@@ -118,14 +118,31 @@ def resolve_cam_slot(statics: ViewStatics, cam_slot: int) -> int:
 
 
 def camera_frustum(ws: WorldState, rs, statics: ViewStatics, cam_slot: int) -> geom.Frustum:
-    """Build the active camera's frustum from its entity world transform."""
+    """Build the active camera's frustum from its entity world transform.
+
+    Supports both projections (≙ Viewport::getFrustum): perspective from
+    fov/aspect, orthographic from ortho_size (half-height). Both plane sets
+    are tiny, so compute both and select per-plane — no data-dependent
+    branching under jit."""
     cam_slot = resolve_cam_slot(statics, cam_slot)
     e = max(int(statics.cam_slots[cam_slot]), 0)
     pos = ws.world.pos[..., :, e]
     rot = ws.world.rot[..., :, e]
-    return geom.perspective_frustum(
+    persp = geom.perspective_frustum(
         pos, rot, rs.cam_fov[cam_slot], rs.cam_aspect[cam_slot],
         rs.cam_near[cam_slot], rs.cam_far[cam_slot],
+    )
+    oh = rs.cam_ortho_size[cam_slot]
+    ortho = geom.ortho_frustum(
+        pos, rot, 2.0 * oh * rs.cam_aspect[cam_slot], 2.0 * oh,
+        rs.cam_near[cam_slot], rs.cam_far[cam_slot],
+    )
+    is_o = rs.cam_is_ortho[cam_slot]
+    return geom.Frustum(
+        xs=jnp.where(is_o, ortho.xs, persp.xs),
+        ys=jnp.where(is_o, ortho.ys, persp.ys),
+        zs=jnp.where(is_o, ortho.zs, persp.zs),
+        ds=jnp.where(is_o, ortho.ds, persp.ds),
     )
 
 

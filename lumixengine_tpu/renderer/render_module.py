@@ -46,6 +46,8 @@ class RenderState:
     cam_near: jnp.ndarray       # f32 [C]
     cam_far: jnp.ndarray        # f32 [C]
     cam_aspect: jnp.ndarray     # f32 [C]
+    cam_ortho_size: jnp.ndarray  # f32 [C] half-height when orthographic
+    cam_is_ortho: jnp.ndarray   # bool [C]
     # point lights
     pl_entity: jnp.ndarray      # int32 [L]
     pl_color: jnp.ndarray       # f32 [3,L]
@@ -86,6 +88,9 @@ class RenderModule(IModule):
                 "near": ((), np.float32, 0.1),
                 "far": ((), np.float32, 10000.0),
                 "aspect": ((), np.float32, 16.0 / 9.0),
+                # ≙ render_module.h Camera ortho_size / is_ortho
+                "ortho_size": ((), np.float32, 10.0),
+                "is_ortho": ((), np.bool_, False),
             },
         )
         self.point_lights = DenseStore(
@@ -94,6 +99,9 @@ class RenderModule(IModule):
                 "color": ((3,), np.float32, 1.0),
                 "intensity": ((), np.float32, 1.0),
                 "range": ((), np.float32, 10.0),
+                # ≙ render_module.h PointLight fov (spot cone) / attenuation
+                "fov": ((), np.float32, 2.0 * np.pi),
+                "attenuation": ((), np.float32, 1.0),
             },
         )
         self.env_entity = -1
@@ -338,6 +346,8 @@ class RenderModule(IModule):
             cam_near=cam["near"],
             cam_far=cam["far"],
             cam_aspect=cam["aspect"],
+            cam_ortho_size=cam["ortho_size"],
+            cam_is_ortho=cam["is_ortho"],
             pl_entity=pl["entity"],
             pl_color=pl["color"].T,
             pl_intensity=pl["intensity"],

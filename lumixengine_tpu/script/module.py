@@ -622,3 +622,21 @@ class ScriptSystem(ISystem):
 
     def create_modules(self, world: World) -> ScriptModule:
         return ScriptModule(world, self)
+
+
+# -- module-scoped reflection (≙ the reference's reflected LuaScriptModule
+# functions that CoreModule signals can target, core.cpp:120-138) -------------
+
+def _signal_call(module, entity: int) -> None:
+    """Reflected module function "call": invoke ``onSignal()`` in every
+    script attached to the target entity — this engine's convention for
+    signal-driven script entry points."""
+    if module is None:
+        return
+    for env in module.lua_envs.get(entity, []):
+        env.call("onSignal")
+    for env in module.scripts.get(entity, []):
+        env.call("onSignal")
+
+
+reflection.registry.module("script").func("call", _signal_call)

@@ -310,3 +310,40 @@ def test_audio_device_consumer_and_wav():
     time.sleep(0.5)
     dev2.stop()
     assert len(dev2.blocks) >= 1
+
+
+def test_button_click_pumps_core_signal():
+    """gui buttonClicked is a module-scoped reflected event
+    (≙ gui_module.h:153-159): clicking a button with a Signal component fires
+    the connected reflected function through CoreModule (core.cpp:120-138)."""
+    from lumixengine_tpu.engine import reflection
+    from lumixengine_tpu.engine.core_module import CoreSystem
+
+    reflection.register_builtin_components()
+    fired = []
+    reflection.registry.module("test_sink").func(
+        "record", lambda module, entity: fired.append(entity))
+
+    engine = Engine()
+    engine.add_system(GuiSystem(engine))
+    engine.add_system(CoreSystem(engine))
+    world = engine.create_world(capacity=16)
+    gm = world.modules["gui"]
+    gm.canvas_size = (1000, 500)
+    b = world.create_entity()
+    world.create_component(b, "gui_rect", anchor=(0, 0, 0, 0),
+                           offset=(100, 100, 200, 150))
+    world.create_component(b, "gui_button")
+    world.create_component(b, "signal", event_component="gui",
+                           event="buttonClicked",
+                           function_component="test_sink",
+                           function="record", target_entity=b)
+    step = engine.build_step(world, donate=False)
+    state = world.device_state()
+    state = gm.inject_pointer(state, 150, 120, True)
+    state = step(state, jnp.float32(1 / 60))
+    assert gm.pump_signals(state) == 1
+    assert fired == [b]
+    # held button: no edge, no signal
+    state = step(state, jnp.float32(1 / 60))
+    assert gm.pump_signals(state) == 0

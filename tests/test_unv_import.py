@@ -87,7 +87,8 @@ def test_core_signals_instantiate():
     assert inst.report["signal"] == 1
     sig = cm.signals[inst.emap[0]]
     assert sig["event_component"] == "gui" and sig["event"] == "buttonClicked"
-    assert sig["function_component"] == "lua_script" and sig["function"] == "call"
+    # reference module name "lua_script" normalizes to this engine's "script"
+    assert sig["function_component"] == "script" and sig["function"] == "call"
 
 
 def test_unv_writer_roundtrips_all_maps():
@@ -236,3 +237,104 @@ def test_partitions_roundtrip_through_save(tmp_path):
     assert re.world.active_partition == 1
     e2 = re.world.find_by_name("lvl2_ent")
     assert int(re.world.partition_of[e2]) == 1
+
+
+def test_imported_signal_dispatches():
+    """ADVICE-r3 medium #1: .unv signals store MODULE names; dispatch must
+    resolve them. gui's buttonClicked is a module-scoped event
+    (≙ gui_module.h:153-159), lua_script's "call" resolves to this engine's
+    script module's reflected function, which invokes onSignal() in the
+    target entity's scripts."""
+    from lumixengine_tpu.importers.instantiate import instantiate_scene
+
+    scene = {
+        "version": 1,
+        "entities": [{"entity": 0, "pos": (0, 0, 0),
+                      "rot": (0, 0, 0, 1), "scale": (1, 1, 1)}],
+        "names": {0: "button"},
+        "hierarchy": [],
+        "lua_script": {"scripts": [], "inline_scripts": [
+            {"entity": 0,
+             "source": "fired = 0\nfunction onSignal() fired = fired + 1 end"}]},
+        "core": {"signals": [{"entity": 0,
+                              "event_module": "gui",
+                              "event": "buttonClicked",
+                              "function_module": "lua_script",
+                              "function": "call"}],
+                 "splines": []},
+    }
+    inst = instantiate_scene(scene, data_dirs=())
+    cm = inst.world.modules["core"]
+    e = inst.emap[0]
+    # module names normalized to this engine's registry scopes
+    assert cm.signals[e]["function_component"] == "script"
+    n = cm.dispatch_signals([
+        {"module": "gui", "event": "buttonClicked", "entity": e}])
+    assert n == 1
+    env = inst.world.modules["script"].lua_envs[e][0]
+    assert float(env.env.get("fired")) == 1.0
+    # wrong event name does not fire
+    assert cm.dispatch_signals([
+        {"module": "gui", "event": "rectHovered", "entity": e}]) == 0
+
+
+def test_export_writes_back_live_properties(tmp_path):
+    """ADVICE-r3 medium #2: editor property edits (set_property → live
+    stores) must survive export; stale parsed records would silently lose
+    them."""
+    from lumixengine_tpu.engine import reflection
+    from lumixengine_tpu.importers.instantiate import (
+        export_scene, instantiate_scene)
+
+    reflection.register_builtin_components()
+    scene = {
+        "version": 1,
+        "entities": [{"entity": 0, "pos": (0, 0, 0), "rot": (0, 0, 0, 1),
+                      "scale": (1, 1, 1)},
+                     {"entity": 1, "pos": (1, 0, 0), "rot": (0, 0, 0, 1),
+                      "scale": (1, 1, 1)}],
+        "names": {0: "cam", 1: "light"},
+        "hierarchy": [],
+        "renderer": {
+            "cameras": [{"entity": 0, "fov": 1.0, "near": 0.1, "far": 100.0,
+                         "ortho_size": 10.0, "screen_width": 1920.0,
+                         "screen_height": 1080.0, "is_ortho": False}],
+            "point_lights": [{"entity": 1, "color": (1.0, 1.0, 1.0),
+                              "intensity": 2.0, "fov": 6.2831855,
+                              "attenuation": 1.0, "range": 5.0, "flags": 0,
+                              "guid": 7}],
+            "model_instances": [], "environments": [], "terrains": [],
+            "particle_emitters": [], "bone_attachments": [],
+            "environment_probes": [], "reflection_probes": [], "decals": [],
+            "curve_decals": [], "instanced_models": [],
+            "procedural_geometries": []},
+    }
+    inst = instantiate_scene(scene, data_dirs=())
+    w = inst.world
+    cam_e, light_e = inst.emap[0], inst.emap[1]
+    reflection.registry.set_property(w, cam_e, "camera", "fov", 0.7)
+    reflection.registry.set_property(w, cam_e, "camera", "is_ortho", True)
+    reflection.registry.set_property(w, cam_e, "camera", "ortho_size", 25.0)
+    reflection.registry.set_property(w, light_e, "point_light", "intensity", 9.0)
+
+    out = export_scene(inst)
+    cam = out["renderer"]["cameras"][0]
+    assert abs(cam["fov"] - 0.7) < 1e-6
+    assert cam["is_ortho"] is True and abs(cam["ortho_size"] - 25.0) < 1e-6
+    pl = out["renderer"]["point_lights"][0]
+    assert abs(pl["intensity"] - 9.0) < 1e-6
+    assert pl["guid"] == 7  # untouched parsed fields keep their values
+
+    # a NEW ortho camera round-trips as ortho with live values (ADVICE low #3)
+    e2 = w.create_entity(name="cam2")
+    w.create_component(e2, "camera", fov=0.5, near=1.0, far=10.0,
+                       ortho_size=3.0, is_ortho=True)
+    e3 = w.create_entity(name="light2")
+    w.create_component(e3, "point_light", intensity=1.0, range=2.0)
+    out2 = export_scene(inst)
+    new_cam = [c for c in out2["renderer"]["cameras"]
+               if c["entity"] not in (0,)][0]
+    assert new_cam["is_ortho"] is True and abs(new_cam["ortho_size"] - 3.0) < 1e-6
+    new_pl = [p for p in out2["renderer"]["point_lights"]
+              if p["entity"] not in (1,)][0]
+    assert new_pl["guid"] > 7  # no guid collision with existing lights
