@@ -134,6 +134,29 @@ class TerminalWindowBackend(HeadlessWindowBackend):
         except (OSError, ValueError):
             return min(80, self.max_cols), 24
 
+    @staticmethod
+    def ansi_image(img: np.ndarray) -> str:
+        """Pure uint8 [H, W, 3] → ANSI half-block string at the image's own
+        resolution (one cell per 1x2 pixel column), no tty, no resize —
+        composable into other views (editor scene view)."""
+        top = img[0::2]
+        bot = img[1::2][: top.shape[0]]
+        out = []
+        for r in range(top.shape[0]):
+            last = None
+            row = []
+            for c in range(img.shape[1]):
+                tr, tg, tb = top[r, c]
+                br, bg_, bb = bot[r, c] if r < bot.shape[0] else (0, 0, 0)
+                key = (tr, tg, tb, br, bg_, bb)
+                if key != last:
+                    row.append(f"\x1b[38;2;{tr};{tg};{tb}m"
+                               f"\x1b[48;2;{br};{bg_};{bb}m")
+                    last = key
+                row.append("▀")
+            out.append("".join(row) + "\x1b[0m")
+        return "\n".join(out)
+
     def present(self, img: np.ndarray) -> str:
         """uint8 [H, W, 3] → ANSI half-block frame (2 pixels per cell row:
         fg=upper ▀, bg=lower). Returns the emitted string (tests assert on

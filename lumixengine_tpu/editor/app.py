@@ -47,6 +47,49 @@ class EditorApp:
         # when the world came from a .unv, save writes the reference format
         # back (≙ WorldEditor save); set by main()'s --world load
         self.scene_inst = None
+        # editor views (≙ StudioApp's dockable windows): "main" entity
+        # tree/property grid, plus asset browser / profiler / scene view,
+        # lazily constructed. '2'/'3'/'4' from main switches; esc returns.
+        self.view = "main"
+        self._asset_browser = None
+        self._profiler_ui = None
+        self._scene_view = None
+
+    # -- views ---------------------------------------------------------------
+
+    def asset_browser(self):
+        if self._asset_browser is None:
+            from lumixengine_tpu.editor.asset_browser import AssetBrowser
+            from lumixengine_tpu.editor.asset_compiler import AssetCompiler
+            from lumixengine_tpu.importers import anm as anm_codec
+            from lumixengine_tpu.importers.instantiate import DEFAULT_DATA_DIRS
+            from lumixengine_tpu.renderer import texture as tex
+
+            compiler = AssetCompiler()
+            anm_codec.register(compiler)
+
+            class _TexSink:            # browser-only: discard loaded textures
+                def add_texture(self, t):
+                    pass
+
+            tex.register_texture_plugins(compiler, _TexSink())
+            self._asset_browser = AssetBrowser(DEFAULT_DATA_DIRS,
+                                               compiler=compiler)
+        return self._asset_browser
+
+    def profiler_ui(self):
+        if self._profiler_ui is None:
+            from lumixengine_tpu.editor.profiler_ui import ProfilerUI
+
+            self._profiler_ui = ProfilerUI()
+        return self._profiler_ui
+
+    def scene_view(self):
+        if self._scene_view is None:
+            from lumixengine_tpu.editor.scene_view import SceneView
+
+            self._scene_view = SceneView(self.engine, self.world)
+        return self._scene_view
 
     # -- model ------------------------------------------------------------
 
@@ -105,6 +148,23 @@ class EditorApp:
     # -- key state machine --------------------------------------------------
 
     def handle_key(self, code: int, text: str = "") -> None:
+        if self.view != "main":
+            if code == 27:                   # esc returns to the main view
+                self.view = "main"
+                self.status = "main view"
+            elif text.lower() == "q" and self.view != "assets":
+                self.quit_requested = True
+            else:
+                {"assets": self.asset_browser,
+                 "profiler": self.profiler_ui,
+                 "scene": self.scene_view}[self.view]().handle_key(code, text)
+            return
+        if self.edit is None and text in ("2", "3", "4"):
+            self.view = {"2": "assets", "3": "profiler", "4": "scene"}[text]
+            if self.view == "profiler":
+                self.profiler_ui().snapshot()
+            self.status = f"{self.view} view (esc returns)"
+            return
         if self.edit is not None:
             if code == 13:                       # commit
                 self._commit_edit()
@@ -193,6 +253,18 @@ class EditorApp:
     # -- screen -----------------------------------------------------------
 
     def render_text(self, width: int = 100, height: int = 28) -> str:
+        if self.view == "assets":
+            return self.asset_browser().render_text(width, height)
+        if self.view == "profiler":
+            return self.profiler_ui().render_text(width, height)
+        if self.view == "scene":
+            sv = self.scene_view()
+            # world edits since the last scene frame → re-upload host state
+            n = len(self.stack._undo)
+            if getattr(self, "_scene_synced_undo", -1) != n:
+                sv.mark_dirty()
+                self._scene_synced_undo = n
+            return sv.render_text(width, height)
         ents = self.entities()
         e = self.selected_entity()
         rows = self.prop_rows(e)

@@ -1,0 +1,170 @@
+"""Scene view (≙ reference renderer/editor/scene_view.cpp:1-1856).
+
+The reference's SceneView owns an editor camera (fly navigation, WASD +
+mouse), renders the world through the pipeline into its own viewport, and can
+toggle game mode. Same surface here: an editor-owned camera entity, a fly
+controller driven by the same key state machine as the other views, presents
+through the software gpu backend (renderer/gpu_soft.py) — the full DrawStream
+replay, so what the editor shows is what the runner shows — and converts the
+frame to ANSI half-blocks for the terminal (core/os_terminal.py). 'g' toggles
+play (runner ticks the world) vs paused editing (host world state re-uploads,
+so transform/property edits show immediately).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from lumixengine_tpu.core import host_math as hm
+
+_UP, _DOWN, _LEFT, _RIGHT = 0x26, 0x28, 0x25, 0x27
+
+
+class SceneView:
+    def __init__(self, engine, world, width: int = 160, height: int = 90):
+        self.engine = engine
+        self.world = world
+        self.width = width
+        self.height = height
+        self.playing = False
+        self.status = ""
+        self.move_speed = 2.0        # m per keypress (≙ SceneView m_camera_speed)
+        self.turn_speed = 0.1        # rad per keypress
+        # editor camera: the view owns it, like the reference's SceneView
+        # viewport camera (scene_view.cpp editor camera universe entity)
+        self.yaw = 0.0
+        self.pitch = -0.3
+        self.cam_pos = np.array([0.0, 8.0, 24.0], np.float32)
+        try:
+            self.cam = world.create_entity(name="__editor_camera",
+                                           position=tuple(self.cam_pos))
+            world.create_component(self.cam, "camera", fov=1.1, near=0.1,
+                                   far=10000.0)
+        except (RuntimeError, IndexError):
+            # world at entity/camera capacity — fly the game camera instead
+            rmod = world.modules.get("renderer")
+            self.cam = int(getattr(rmod, "active_camera", -1))
+            self.status = "world full: flying the game camera"
+            p = np.asarray(world.get_local_transform(self.cam)[0], np.float32)
+            self.cam_pos = p.copy()
+        self._apply_camera()
+        self._runner = None
+        self._dirty = True           # host world changed → re-upload state
+
+    # -- camera ----------------------------------------------------------------
+
+    def _apply_camera(self) -> None:
+        qy = hm.quat_from_axis_angle(np.array([[0.0, 1.0, 0.0]], np.float32),
+                                     np.array([self.yaw], np.float32))[0]
+        qx = hm.quat_from_axis_angle(np.array([[1.0, 0.0, 0.0]], np.float32),
+                                     np.array([self.pitch], np.float32))[0]
+        rot = hm.quat_mul(qy[None], qx[None])[0]
+        self.world.set_local_transform(self.cam, position=tuple(self.cam_pos),
+                                       rotation=tuple(rot))
+        self._dirty = True
+
+    def fly(self, forward: float = 0.0, right: float = 0.0, up: float = 0.0,
+            yaw: float = 0.0, pitch: float = 0.0) -> None:
+        """Move/turn the editor camera (≙ SceneView::manipulateCamera)."""
+        self.yaw += yaw
+        self.pitch = float(np.clip(self.pitch + pitch, -1.5, 1.5))
+        qy = hm.quat_from_axis_angle(np.array([[0.0, 1.0, 0.0]], np.float32),
+                                     np.array([self.yaw], np.float32))[0]
+        qx = hm.quat_from_axis_angle(np.array([[1.0, 0.0, 0.0]], np.float32),
+                                     np.array([self.pitch], np.float32))[0]
+        rot = hm.quat_mul(qy[None], qx[None])[0]
+        fwd = hm.quat_rotate(rot[None], np.array([[0.0, 0.0, -1.0]],
+                                                 np.float32))[0]
+        rgt = hm.quat_rotate(rot[None], np.array([[1.0, 0.0, 0.0]],
+                                                 np.float32))[0]
+        self.cam_pos = (self.cam_pos + forward * fwd + right * rgt
+                        + np.array([0.0, up, 0.0], np.float32))
+        self._apply_camera()
+
+    # -- present ----------------------------------------------------------------
+
+    def runner(self):
+        """Lazy Runner over the editor's engine+world: builds the fused step
+        + snapshot once; paused editing re-snapshots from the host world so
+        edits show without re-tracing."""
+        if self._runner is None:
+            from lumixengine_tpu import app as app_mod
+
+            r = app_mod.Runner([], engine=self.engine)
+            r.use_world(self.world)
+            r.start()
+            self._runner = r
+            self._dirty = False
+        return self._runner
+
+    def frame(self) -> np.ndarray:
+        """One editor frame → uint8 [H, W, 3] image."""
+        r = self.runner()
+        if self.playing:
+            r.tick()
+        elif self._dirty:
+            # paused: host world is the source of truth (editor edits)
+            r.state = self.world.device_state()
+            self._dirty = False
+            r.state = r.step(r.state, np.float32(0.0))  # cull with dt=0
+        return r.present(cam_slot=self.cam, width=self.width,
+                         height=self.height)
+
+    def mark_dirty(self) -> None:
+        """Call after external world edits (EditorApp commands) so the next
+        frame re-uploads host state."""
+        self._dirty = True
+
+    # -- UI ---------------------------------------------------------------------
+
+    def handle_key(self, code: int, text: str = "") -> None:
+        ch = text.lower()
+        s, t = self.move_speed, self.turn_speed
+        if ch == "w":
+            self.fly(forward=s)
+        elif ch == "s":
+            self.fly(forward=-s)
+        elif ch == "a":
+            self.fly(right=-s)
+        elif ch == "d":
+            self.fly(right=s)
+        elif ch == "e":
+            self.fly(up=s)
+        elif ch == "c":
+            self.fly(up=-s)
+        elif code == _LEFT:
+            self.fly(yaw=t)
+        elif code == _RIGHT:
+            self.fly(yaw=-t)
+        elif code == _UP:
+            self.fly(pitch=t)
+        elif code == _DOWN:
+            self.fly(pitch=-t)
+        elif ch == "g":                      # toggle game mode (≙ play)
+            self.playing = not self.playing
+            self.status = "playing" if self.playing else "paused"
+        elif ch == "+":
+            self.move_speed *= 2.0
+        elif ch == "-":
+            self.move_speed = max(self.move_speed * 0.5, 0.125)
+
+    def render_text(self, width: int = 100, height: int = 28) -> str:
+        """Compose the presented frame as ANSI half-blocks + a status line.
+        Each terminal cell is 2 stacked pixels, so the image renders at
+        [2*(height-2), width]."""
+        from lumixengine_tpu.core.os_terminal import TerminalWindowBackend
+
+        img_h = max((height - 2) * 2, 2)
+        self.width, self.height = max(width, 2), img_h
+        img = self.frame()
+        ansi = TerminalWindowBackend.ansi_image(img)
+        head = (f"scene view — cam ({self.cam_pos[0]:.1f}, "
+                f"{self.cam_pos[1]:.1f}, {self.cam_pos[2]:.1f}) "
+                f"yaw {self.yaw:.2f} pitch {self.pitch:.2f} "
+                f"{'PLAYING' if self.playing else 'paused'} "
+                f"speed {self.move_speed:g}")
+        foot = (f"[{self.status}]  keys: wasd/ec fly · arrows look · "
+                "g play/pause · +/- speed")
+        return "\n".join([head.ljust(width)[:width], ansi,
+                          foot.ljust(width)[:width]])
