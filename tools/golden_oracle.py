@@ -1,0 +1,451 @@
+#!/usr/bin/env python
+"""Independent golden-trajectory oracle for the physics parity harness
+(VERDICT-r3 missing #6 / next-round #3).
+
+PROVENANCE — read this before trusting the goldens
+--------------------------------------------------
+The BASELINE parity row asks for "rigid-body trajectories within 1e-3 of
+PhysX over 1k steps" (≙ reference src/physics/physics_module.cpp:1870-1877,
+which binds the prebuilt PhysX 5 libs in /root/reference/external/physx).
+PhysX itself cannot execute in this image (Windows/Linux-GL prebuilt
+binaries, no GPU/GL runtime), so these goldens are NOT PhysX output and are
+not labeled as such. They are the strongest available independent ground
+truth: a from-scratch float64 rigid-body simulator that shares the device
+pipeline's documented CONTRACT (PhysX-style semi-implicit Euler, exponential
+damping, Coulomb friction, restitution with PhysX's 0.5 m/s threshold and
+max(bias, restitution) combination, split-impulse position projection,
+0.005 m contact slop) but deliberately uses a DIFFERENT algorithm everywhere
+an algorithm choice exists:
+
+  * sequential Gauss-Seidel impulse solver (PhysX PGS order), not the
+    device's under-relaxed projected Jacobi with incidence matmuls;
+  * per-contact immediate impulse application (each contact sees the
+    latest velocities), not same-iterate batch updates;
+  * exact all-pairs narrowphase in float64 on dicts of per-body contact
+    lists, not top-k slot compaction;
+  * no sleeping, no banded sweeps, no warm-start carry between runs unless
+    the scene asks for it.
+
+Agreement between two independent implementations of the same contract is
+evidence about the CONTRACT, which is exactly what the PhysX parity claim is
+about. Where solver-order divergence exceeds 1e-3 (contact-rich scenes: a
+Jacobi and a Gauss-Seidel pile do not take identical micro-trajectories),
+tests/test_golden_trajectories.py asserts the honestly measured envelope and
+documents it — see the per-scene tolerances there.
+
+Run `python tools/golden_oracle.py` to (re)generate tests/data/golden_*.npz.
+The files are committed so CI never depends on this script's runtime.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+DT = 1.0 / 60.0
+SLOP = 0.005
+REST_THRESH = 0.5  # m/s — PhysX bounce threshold (device: physics_ops.py:604)
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
+
+
+def _quat_rotate(q, v):
+    """Rotate vector v by quaternion q=[x,y,z,w] (f64)."""
+    x, y, z, w = q
+    u = np.array([x, y, z])
+    return 2.0 * np.dot(u, v) * u + (w * w - np.dot(u, u)) * v + 2.0 * w * np.cross(u, v)
+
+
+def _quat_integrate(q, omega, dt):
+    """q += 0.5 * (omega ⊗ q) * dt, renormalized (matches device
+    integrate_positions, physics_ops.py:61-71)."""
+    ox, oy, oz = omega
+    x, y, z, w = q
+    dq = 0.5 * np.array([
+        ox * w + oy * z - oz * y,
+        oy * w + oz * x - ox * z,
+        oz * w + ox * y - oy * x,
+        -ox * x - oy * y - oz * z,
+    ])
+    q = q + dq * dt
+    return q / np.linalg.norm(q)
+
+
+_CORNERS = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                     for sz in (-1, 1)], np.float64)  # [8,3]
+
+
+class Body:
+    __slots__ = ("pos", "rot", "vel", "ang", "inv_mass", "inv_inertia",
+                 "shape", "radius", "he", "friction", "restitution")
+
+    def __init__(self, pos, shape="box", radius=0.5, he=(0.5, 0.5, 0.5),
+                 mass=1.0, friction=0.6, restitution=0.0, vel=(0, 0, 0),
+                 ang=(0, 0, 0), rot=(0, 0, 0, 1)):
+        self.pos = np.array(pos, np.float64)
+        self.rot = np.array(rot, np.float64)
+        self.vel = np.array(vel, np.float64)
+        self.ang = np.array(ang, np.float64)
+        self.shape = shape
+        self.radius = float(radius)
+        self.he = np.array(he, np.float64)
+        self.friction = float(friction)
+        self.restitution = float(restitution)
+        if mass <= 0.0:
+            self.inv_mass = 0.0
+            self.inv_inertia = np.zeros(3)
+        else:
+            self.inv_mass = 1.0 / mass
+            if shape == "sphere":
+                i = 0.4 * mass * radius * radius
+                self.inv_inertia = np.full(3, 1.0 / i)
+            else:
+                d = 2.0 * self.he
+                ix = mass / 12.0 * (d[1] ** 2 + d[2] ** 2)
+                iy = mass / 12.0 * (d[0] ** 2 + d[2] ** 2)
+                iz = mass / 12.0 * (d[0] ** 2 + d[1] ** 2)
+                self.inv_inertia = 1.0 / np.array([ix, iy, iz])
+
+
+class Contact:
+    def __init__(self, a, b, point, normal, depth, key):
+        self.a, self.b = a, b
+        self.point = point
+        self.normal = normal  # points a → b (device convention); the solver
+        self.depth = depth    # applies -imp to a / +imp to b, pushing apart
+        self.key = key
+        self.lam_n = self.lam_t1 = self.lam_t2 = 0.0
+        self.vn0 = 0.0
+
+
+def _tangent_basis(n):
+    h = np.array([1.0, 0.0, 0.0]) if abs(n[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    t1 = np.cross(n, h)
+    t1 /= max(np.linalg.norm(t1), 1e-12)
+    return t1, np.cross(n, t1)
+
+
+def _box_corners(b):
+    return np.array([b.pos + _quat_rotate(b.rot, c * b.he) for c in _CORNERS])
+
+
+def _ground_contacts(bodies, ground_y=0.0):
+    out = []
+    for i, b in enumerate(bodies):
+        if b.inv_mass == 0.0:
+            continue
+        if b.shape == "sphere":
+            low = b.pos - [0.0, b.radius, 0.0]
+            d = ground_y - low[1]
+            if d > 0.0:
+                out.append(Contact(i, -1, low, np.array([0.0, -1.0, 0.0]), d,
+                                   ("g", i, 0)))
+        else:
+            for ci, c in enumerate(_box_corners(b)):
+                d = ground_y - c[1]
+                if d > 0.0:
+                    out.append(Contact(i, -1, c, np.array([0.0, -1.0, 0.0]),
+                                       d, ("g", i, ci)))
+    return out
+
+
+def _pair_contacts(bodies):
+    """Exact f64 narrowphase: sphere-sphere, sphere-box, box-box via mutual
+    corner-in-box tests (the device's manifold model, physics_ops.py:249-470,
+    recomputed independently without slot compaction)."""
+    out = []
+    n = len(bodies)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = bodies[i], bodies[j]
+            if a.inv_mass == 0.0 and b.inv_mass == 0.0:
+                continue
+            if a.shape == "sphere" and b.shape == "sphere":
+                dvec = b.pos - a.pos
+                dist = np.linalg.norm(dvec)
+                depth = a.radius + b.radius - dist
+                if depth > 0.0 and dist > 1e-9:
+                    nrm = dvec / dist
+                    pt = a.pos + nrm * (a.radius - 0.5 * depth)
+                    out.append(Contact(i, j, pt, nrm, depth, ("ss", i, j)))
+            elif a.shape == "box" and b.shape == "box":
+                # SAT over the 6 face axes; min-overlap axis = contact normal,
+                # manifold = the incident box's penetrating corners against
+                # the reference face (the device's box-box contract,
+                # physics_ops.py:358-424, recomputed sequentially in f64)
+                axes_a = [_quat_rotate(a.rot, np.eye(3)[k]) for k in range(3)]
+                axes_b = [_quat_rotate(b.rot, np.eye(3)[k]) for k in range(3)]
+
+                def proj(axes, he, u):
+                    return sum(he[k] * abs(np.dot(axes[k], u)) for k in range(3))
+
+                d_ab = b.pos - a.pos
+                best = None
+                for src, u in [(0, u) for u in axes_a] + [(1, u) for u in axes_b]:
+                    du = np.dot(d_ab, u)
+                    ov = proj(axes_a, a.he, u) + proj(axes_b, b.he, u) - abs(du)
+                    n_u = u * (1.0 if du >= 0 else -1.0)  # a → b
+                    if best is None or ov < best[0]:
+                        best = (ov, n_u, src)
+                overlap, n_bb, from_a = best
+                if overlap > 0.0:
+                    sup_a = np.dot(a.pos, n_bb) + proj(axes_a, a.he, n_bb)
+                    sup_b = np.dot(b.pos, n_bb) - proj(axes_b, b.he, n_bb)
+                    inc = b if from_a == 0 else a
+                    for ci, c in enumerate(_box_corners(inc)):
+                        depth = (sup_a - np.dot(c, n_bb) if from_a == 0
+                                 else np.dot(c, n_bb) - sup_b)
+                        depth = min(depth, overlap)
+                        if depth > 0.0:
+                            out.append(Contact(i, j, c, n_bb, depth,
+                                               ("bb", i, j, from_a, ci)))
+            else:  # sphere-box
+                si, bi = (i, j) if a.shape == "sphere" else (j, i)
+                sph, box = bodies[si], bodies[bi]
+                local = np.array([np.dot(
+                    _quat_rotate(box.rot, np.eye(3)[k]), sph.pos - box.pos)
+                    for k in range(3)])
+                cl = np.clip(local, -box.he, box.he)
+                dvec_l = local - cl
+                dist = np.linalg.norm(dvec_l)
+                depth = sph.radius - dist
+                if depth > 0.0 and dist > 1e-9:
+                    out_n = _quat_rotate(box.rot, dvec_l / dist)  # box → sphere
+                    pt = box.pos + _quat_rotate(box.rot, cl)
+                    # normal points a(=i) → b(=j); separation-of-sphere = out_n
+                    nrm = -out_n if si == i else out_n
+                    out.append(Contact(i, j, pt, nrm, depth, ("sb", si, bi)))
+    return out
+
+
+class GoldenSim:
+    """Sequential-impulse (Gauss-Seidel) f64 simulator. One `step(dt)` is the
+    same contract as the device frame: integrate velocities → contacts →
+    GS velocity solve (warm-started) → split-impulse position projection →
+    integrate positions."""
+
+    def __init__(self, bodies, gravity=(0.0, -9.81, 0.0),
+                 lin_damping=0.05, ang_damping=0.05, ground=True,
+                 ground_friction=0.6, iterations=32, position_iterations=8):
+        self.ground_friction = ground_friction
+        self.bodies = bodies
+        self.gravity = np.array(gravity, np.float64)
+        self.lin_damping = lin_damping
+        self.ang_damping = ang_damping
+        self.ground = ground
+        self.iterations = iterations
+        self.position_iterations = position_iterations
+        self._warm = {}
+
+    def step(self, dt):
+        bd = self.bodies
+        for b in bd:
+            if b.inv_mass == 0.0:
+                continue
+            b.vel = (b.vel + self.gravity * dt) * np.exp(-self.lin_damping * dt)
+            b.ang = b.ang * np.exp(-self.ang_damping * dt)
+
+        contacts = _pair_contacts(bd)
+        if self.ground:
+            contacts += _ground_contacts(bd)
+
+        # restitution targets come from PRE-warm-start velocities (device:
+        # physics_ops.py:603-606 computes vn0 from the solver's input state)
+        for c in contacts:
+            c.vn0 = np.dot(self._rel_vel(c), c.normal)
+
+        # warm start (PhysX-style persistent accumulated impulses)
+        new_warm = {}
+        for c in contacts:
+            if c.key in self._warm:
+                c.lam_n, c.lam_t1, c.lam_t2 = self._warm[c.key]
+                self._apply(c, c.normal * c.lam_n)
+                t1, t2 = _tangent_basis(c.normal)
+                self._apply(c, t1 * c.lam_t1 + t2 * c.lam_t2)
+
+        # sequential Gauss-Seidel velocity iterations
+        for _ in range(self.iterations):
+            for c in contacts:
+                self._solve_one(c, dt)
+        for c in contacts:
+            new_warm[c.key] = (c.lam_n, c.lam_t1, c.lam_t2)
+        self._warm = new_warm
+
+        # split-impulse position projection (linear only, frozen normals;
+        # device: physics_ops.project_positions). Depth is re-evaluated from
+        # the accumulated body displacements so several contacts on the same
+        # body (e.g. four ground corners) don't each re-apply a stale depth.
+        disp = [np.zeros(3) for _ in bd]
+        for _ in range(self.position_iterations):
+            for c in contacts:
+                a = bd[c.a]
+                im_b = bd[c.b].inv_mass if c.b >= 0 else 0.0
+                k = a.inv_mass + im_b
+                if k <= 0.0:
+                    continue
+                db = disp[c.b] if c.b >= 0 else np.zeros(3)
+                cur_depth = c.depth - np.dot(c.normal, db - disp[c.a])
+                corr = max(cur_depth - SLOP, 0.0) * 0.8 / k
+                da = c.normal * (-corr * a.inv_mass)
+                a.pos += da
+                disp[c.a] += da
+                if c.b >= 0:
+                    dbv = c.normal * (corr * im_b)
+                    bd[c.b].pos += dbv
+                    disp[c.b] += dbv
+
+        for b in bd:
+            if b.inv_mass == 0.0:
+                continue
+            b.pos = b.pos + b.vel * dt
+            b.rot = _quat_integrate(b.rot, b.ang, dt)
+
+    def _rel_vel(self, c):
+        a = self.bodies[c.a]
+        va = a.vel + np.cross(a.ang, c.point - a.pos)
+        if c.b >= 0:
+            b = self.bodies[c.b]
+            vb = b.vel + np.cross(b.ang, c.point - b.pos)
+        else:
+            vb = np.zeros(3)
+        return vb - va
+
+    def _eff_mass(self, c, d):
+        a = self.bodies[c.a]
+        ra = c.point - a.pos
+        k = a.inv_mass + np.dot(np.cross(a.inv_inertia * np.cross(ra, d), ra), d)
+        if c.b >= 0:
+            b = self.bodies[c.b]
+            rb = c.point - b.pos
+            k += b.inv_mass + np.dot(np.cross(b.inv_inertia * np.cross(rb, d), rb), d)
+        return max(k, 1e-12)
+
+    def _apply(self, c, imp):
+        """+imp to b, -imp to a (normal points a → b; separating impulse)."""
+        a = self.bodies[c.a]
+        a.vel -= imp * a.inv_mass
+        a.ang -= a.inv_inertia * np.cross(c.point - a.pos, imp)
+        if c.b >= 0:
+            b = self.bodies[c.b]
+            b.vel += imp * b.inv_mass
+            b.ang += b.inv_inertia * np.cross(c.point - b.pos, imp)
+
+    def _solve_one(self, c, dt):
+        n = c.normal
+        vr = self._rel_vel(c)
+        vn = np.dot(vr, n)
+        rest = max(self.bodies[c.a].restitution,
+                   self.bodies[c.b].restitution if c.b >= 0 else 0.0)
+        v_target = -rest * c.vn0 if c.vn0 < -REST_THRESH else 0.0
+        dlam = (v_target - vn) / self._eff_mass(c, n)
+        new_l = max(c.lam_n + dlam, 0.0)
+        dlam = new_l - c.lam_n
+        c.lam_n = new_l
+        self._apply(c, n * dlam)
+
+        # sqrt-product combine; ground uses the system ground_friction
+        # (device: physics/module.py:324-330, 1911)
+        fb = (self.bodies[c.b].friction if c.b >= 0 else self.ground_friction)
+        fr = np.sqrt(max(self.bodies[c.a].friction * fb, 0.0))
+        t1, t2 = _tangent_basis(n)
+        vr = self._rel_vel(c)
+        for t, attr in ((t1, "lam_t1"), (t2, "lam_t2")):
+            vt = np.dot(vr, t)
+            dl = -vt / self._eff_mass(c, t)
+            lam = getattr(c, attr)
+            new = np.clip(lam + dl, -fr * c.lam_n, fr * c.lam_n)
+            self._apply(c, t * (new - lam))
+            setattr(c, attr, new)
+            vr = self._rel_vel(c)
+
+
+def run(sim, steps, dt=DT, record=0):
+    traj_p = np.zeros((steps, 3))
+    traj_q = np.zeros((steps, 4))
+    for s in range(steps):
+        sim.step(dt)
+        traj_p[s] = sim.bodies[record].pos
+        traj_q[s] = sim.bodies[record].rot
+    final_pos = np.array([b.pos for b in sim.bodies])
+    final_vel = np.array([b.vel for b in sim.bodies])
+    return traj_p, traj_q, final_pos, final_vel
+
+
+def scene_ballistic():
+    b = Body((0.0, 40.0, 0.0), shape="sphere", vel=(3.0, 12.0, -2.0),
+             ang=(1.0, 2.0, 3.0))
+    return GoldenSim([b], ground=False), 1000
+
+
+def scene_tumbling():
+    b = Body((0.0, 0.0, 0.0), shape="box", he=(0.6, 0.3, 0.15),
+             ang=(2.5, 0.4, -1.2))
+    return GoldenSim([b], gravity=(0, 0, 0), lin_damping=0.0,
+                     ang_damping=0.0, ground=False), 1000
+
+
+def scene_bounce():
+    b = Body((0.0, 4.0, 0.0), shape="sphere", restitution=0.6, friction=0.2)
+    return GoldenSim([b], lin_damping=0.0, ang_damping=0.0), 600
+
+
+def scene_stack3():
+    bodies = [Body((0.0, 0.5 + 1.02 * i, 0.0), shape="box") for i in range(3)]
+    return GoldenSim(bodies), 600
+
+
+def scene_drop27():
+    rng = np.random.default_rng(7)
+    bodies = []
+    for ix in range(3):
+        for iy in range(3):
+            for iz in range(3):
+                p = (np.array([ix, iy, iz]) * 1.1
+                     + rng.uniform(0.0, 0.05, 3) + [0.0, 2.0, 0.0])
+                bodies.append(Body(p, shape="box"))
+    return GoldenSim(bodies), 400
+
+
+SCENES = {
+    "ballistic": scene_ballistic,
+    "tumbling": scene_tumbling,
+    "bounce": scene_bounce,
+    "stack3": scene_stack3,
+    "drop27": scene_drop27,
+}
+
+PROVENANCE = ("independent f64 sequential-impulse (Gauss-Seidel) oracle, "
+              "tools/golden_oracle.py — NOT PhysX output (PhysX cannot run "
+              "in this image); same documented contract, different algorithm")
+
+
+def main():
+    os.makedirs(DATA_DIR, exist_ok=True)
+    for name, make in SCENES.items():
+        sim, steps = make()
+        init = {
+            "pos": np.array([b.pos for b in sim.bodies]),
+            "rot": np.array([b.rot for b in sim.bodies]),
+            "vel": np.array([b.vel for b in sim.bodies]),
+            "ang": np.array([b.ang for b in sim.bodies]),
+            "he": np.array([b.he for b in sim.bodies]),
+            "radius": np.array([b.radius for b in sim.bodies]),
+            "shape": np.array([0 if b.shape == "sphere" else 1
+                               for b in sim.bodies], np.int32),
+            "friction": np.array([b.friction for b in sim.bodies]),
+            "restitution": np.array([b.restitution for b in sim.bodies]),
+        }
+        traj_p, traj_q, final_pos, final_vel = run(sim, steps)
+        path = os.path.join(DATA_DIR, f"golden_{name}.npz")
+        np.savez_compressed(
+            path, traj_pos=traj_p, traj_rot=traj_q, final_pos=final_pos,
+            final_vel=final_vel, dt=DT, steps=steps,
+            gravity=sim.gravity, lin_damping=sim.lin_damping,
+            ang_damping=sim.ang_damping, ground=int(sim.ground),
+            provenance=PROVENANCE, **{f"init_{k}": v for k, v in init.items()})
+        print(f"{name}: {steps} steps -> {path}  "
+              f"(final y of body0: {final_pos[0][1]:.4f})")
+
+
+if __name__ == "__main__":
+    main()
