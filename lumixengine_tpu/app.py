@@ -83,6 +83,9 @@ class Runner:
         self.frame_index = 0
         self._fixed_dt = None
         self._miss_warned = False
+        self._extra = None
+        self._phase_profile = None
+        self._frame_ms_ema = None
 
     # -- boot (≙ Runner::onInit) --------------------------------------------------
 
@@ -141,6 +144,9 @@ class Runner:
         self.step = self.engine.build_step(self.world, extra=extra, donate=False)
         self.state = self.world.device_state()
         self._state_perm = self.world._slot_of.copy()
+        self._extra = extra
+        self._phase_profile = None     # per-phase cost shares, built lazily
+        self._frame_ms_ema = None      # tick-to-tick wall time, EMA
 
     def _rebuild_after_structure_change(self, skip_entities) -> None:
         """Script structural edits (spawn/destroy) re-trace the step: copy the
@@ -156,6 +162,13 @@ class Runner:
 
     def tick(self, dt_raw: Optional[float] = None) -> None:
         dt_raw = self._fixed_dt if dt_raw is None else dt_raw
+        now = time.perf_counter()
+        last = getattr(self, "_last_tick_t", None)
+        if last is not None:
+            ms = (now - last) * 1e3
+            ema = self._frame_ms_ema
+            self._frame_ms_ema = ms if ema is None else 0.9 * ema + 0.1 * ms
+        self._last_tick_t = now
         with profiler.block("frame"):
             self.os.process_events(self.engine.input)
             rsys = getattr(self.world.modules.get("renderer"), "system", None)
@@ -225,13 +238,39 @@ class Runner:
             backend=getattr(self, "_present_backend", None))
         return img
 
-    def metrics(self) -> dict:
+    def metrics(self, phases: bool = True) -> dict:
         out = {"frame": int(self.state.frame), "time": float(self.state.time)}
         for mname, ms in self.state.modules.items():
             counters = getattr(ms, "counters", None)
             if isinstance(counters, dict):
                 for k, v in counters.items():
                     out[f"{mname}.{k}"] = float(v) if hasattr(v, "dtype") else v
+        if phases:
+            out.update(self.phase_metrics())
+        return out
+
+    def phase_metrics(self) -> dict:
+        """Live per-subsystem device-time attribution (≙ the reference
+        profiler's per-module frame shares, engine.cpp:285-313): the measured
+        tick-to-tick frame time split across module phases by each phase's
+        standalone XLA roofline cost — see engine/phase_profile.py for the
+        attribution model. The cost profile compiles once per step build."""
+        from lumixengine_tpu.engine import phase_profile as pp
+
+        if self._phase_profile is None:
+            self._phase_profile = pp.profile_phases(
+                self.world, state=self.state,
+                dt=self._fixed_dt or 1.0 / 60.0, extra=self._extra)
+        out = {}
+        frame_ms = self._frame_ms_ema
+        for k, c in self._phase_profile.items():
+            out[f"phase.{k}.frac"] = round(c["frac"], 4)
+            if frame_ms is not None:
+                v = c["frac"] * frame_ms
+                out[f"phase.{k}.ms"] = round(v, 4)
+                profiler.push_counter(f"phase.{k}.ms", v)
+        if frame_ms is not None:
+            out["frame_ms"] = round(frame_ms, 4)
         return out
 
     def shutdown(self, trace_path: Optional[str] = None) -> None:

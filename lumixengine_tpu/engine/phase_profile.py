@@ -1,0 +1,106 @@
+"""Live per-subsystem device-time attribution (VERDICT-r3 next-round #8;
+≙ reference engine.cpp:285-313 frame counters + render_module.cpp:560-566
+per-module profiler scopes).
+
+The engine's whole frame is ONE fused XLA program (by design — that is the
+perf model), so per-phase device timestamps cannot be read from inside it.
+Instead each module phase is lowered and compiled STANDALONE once, XLA's own
+compiled cost analysis (flops + bytes accessed) is read per phase, and the
+measured whole-frame wall time is attributed proportionally to each phase's
+roofline time estimate max(flops/peak_flops, bytes/hbm_bw). The estimates
+use the same v5e peaks as tools/roofline.py; on CPU backends the fractions
+remain byte/flop-proportional, which is what the tests assert.
+
+This mirrors what the reference's profiler shows per module (a time share of
+the frame), with the attribution model documented instead of implied: XLA
+fuses ACROSS phase boundaries in the real step, so the shares are a model,
+not a measurement — docs/ROOFLINE.md carries the validation that the fused
+step lands within ~1.5x of the HBM floor, which bounds the model error.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+# tools/roofline.py constants (TPU v5e)
+PEAK_F32 = 98.5e12
+HBM_BPS = 819e9
+
+PHASES = ("end_frame", "update_parallel", "update", "late_update")
+
+
+def _phase_overridden(module, phase: str) -> bool:
+    from lumixengine_tpu.engine.plugin import IModule
+
+    return getattr(type(module), phase, None) is not getattr(IModule, phase)
+
+
+def _cost_of(fn: Callable, state, dt) -> Optional[Dict[str, float]]:
+    try:
+        compiled = jax.jit(fn).lower(state, dt).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):  # older jax returns [dict]
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        return {"flops": flops, "bytes": bytes_acc,
+                "est_s": max(flops / PEAK_F32, bytes_acc / HBM_BPS)}
+    except Exception:  # backend without cost analysis: report zeros
+        return None
+
+
+def profile_phases(world, state=None, dt: float = 1.0 / 60.0,
+                   extra=None) -> Dict[str, Dict[str, float]]:
+    """Compile each overridden module phase standalone and return
+    {"<module>.<phase>": {flops, bytes, est_s, frac}} plus the hierarchy
+    propagate pass ("world.propagate") and optional ``extra`` pass."""
+    from lumixengine_tpu.ops import hierarchy as hier
+
+    if state is None:
+        state = world.device_state()
+    dt = jnp.float32(dt)
+    for m in world.modules.values():
+        m.prepare_statics()
+    # a state→state identity carries the whole pytree through XLA, so every
+    # phase's raw cost includes a constant passthrough term — measure it and
+    # subtract, so attribution reflects each phase's MARGINAL work
+    ident = _cost_of(lambda s, d: s, state, dt) or {"flops": 0.0, "bytes": 0.0}
+    out: Dict[str, Dict[str, float]] = {}
+
+    def marginal(cost):
+        flops = max(cost["flops"] - ident["flops"], 0.0)
+        bytes_acc = max(cost["bytes"] - ident["bytes"], 0.0)
+        return {"flops": flops, "bytes": bytes_acc,
+                "est_s": max(flops / PEAK_F32, bytes_acc / HBM_BPS)}
+
+    for m in world.modules.values():
+        for phase in PHASES:
+            if not _phase_overridden(m, phase):
+                continue
+            fn = functools.partial(getattr(m, phase))
+            cost = _cost_of(lambda s, d, f=fn: f(s, d), state, dt)
+            if cost is not None:
+                out[f"{m.name}.{phase}"] = marginal(cost)
+    plan = world.plan
+    cost = _cost_of(lambda s, d: hier.propagate_plan(s.local, plan),
+                    state, dt)
+    if cost is not None:
+        out["world.propagate"] = cost
+    if extra is not None:
+        cost = _cost_of(extra, state, dt)
+        if cost is not None:
+            out["extra.cull"] = marginal(cost)
+    total = sum(c["est_s"] for c in out.values()) or 1.0
+    for c in out.values():
+        c["frac"] = c["est_s"] / total
+    return out
+
+
+def attribute_frame(profile: Dict[str, Dict[str, float]],
+                    frame_ms: float) -> Dict[str, float]:
+    """Split a measured whole-frame wall time across phases by roofline
+    fraction → {"<module>.<phase>_ms": ms}."""
+    return {f"{k}_ms": profile[k]["frac"] * frame_ms for k in profile}

@@ -44,6 +44,46 @@ def test_runner_full_loop_with_scripts_and_metrics(tmp_path):
     assert os.path.exists(trace) and json.load(open(trace))["traceEvents"]
 
 
+def test_runner_phase_metrics_live_attribution():
+    """metrics() carries live per-subsystem device-time shares (VERDICT-r3
+    next-round #8, ≙ engine.cpp:285-313 frame counters): every overridden
+    module phase gets a roofline fraction, fractions sum to 1, the measured
+    frame time is split across them in ms, and the shares land in the
+    profiler's counter ring."""
+    from lumixengine_tpu.core import profiler
+
+    engine = app_mod.create_full_engine(model_instances=64)
+    runner = app_mod.Runner([], engine=engine)
+    world = engine.create_world(capacity=64)
+    cam = world.create_entity(position=(0, 2, 10), name="camera")
+    world.create_component(cam, "camera")
+    e = world.create_entity(position=(0, 5, 0))
+    world.create_component(e, "rigid_actor", motion="dynamic", shape="sphere",
+                           radius=0.5)
+    runner.use_world(world)
+    runner.start()
+    runner.run(4)
+    m = runner.metrics()
+    fracs = {k: v for k, v in m.items()
+             if k.startswith("phase.") and k.endswith(".frac")}
+    assert fracs, m.keys()
+    # physics is in this world and steps every frame; propagate always runs
+    assert "phase.physics.update.frac" in fracs
+    assert "phase.world.propagate.frac" in fracs
+    assert abs(sum(fracs.values()) - 1.0) < 1e-2, fracs
+    ms_keys = [k for k in m if k.startswith("phase.") and k.endswith(".ms")]
+    assert ms_keys and "frame_ms" in m
+    total_ms = sum(m[k] for k in ms_keys)
+    assert abs(total_ms - m["frame_ms"]) < 0.05 * m["frame_ms"] + 1e-3
+    # counters are live in the profiler ring for the profiler UI
+    name = ms_keys[0].rsplit(".ms", 1)[0] + ".ms"
+    assert profiler.counters(name)
+    # the profile is cached: second call must not recompile
+    m2 = runner.metrics()
+    assert {k for k in m2 if k.startswith("phase.")} == \
+           {k for k in m if k.startswith("phase.")}
+
+
 def test_runner_world_save_load_roundtrip(tmp_path):
     engine = app_mod.create_full_engine(model_instances=32)
     world = engine.create_world(capacity=32)
