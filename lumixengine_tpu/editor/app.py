@@ -54,6 +54,7 @@ class EditorApp:
         self._asset_browser = None
         self._profiler_ui = None
         self._scene_view = None
+        self._anim_editor = None
 
     # -- views ---------------------------------------------------------------
 
@@ -90,6 +91,29 @@ class EditorApp:
 
             self._scene_view = SceneView(self.engine, self.world)
         return self._scene_view
+
+    def anim_editor(self):
+        if self._anim_editor is None:
+            from lumixengine_tpu.editor.anim_editor import AnimGraphEditor
+
+            anim = self.world.modules.get("animation")
+            ctrls = getattr(getattr(anim, "system", None), "controllers", [])
+            if not ctrls:
+                raise ValueError("no animation controllers in this world")
+            ctrl = ctrls[0]
+            parsed = act_path = None
+            name = getattr(ctrl, "name", "")
+            if isinstance(name, str) and name.endswith(".act"):
+                try:
+                    from lumixengine_tpu.importers.act import parse_act
+                    with open(name, "rb") as f:
+                        parsed = parse_act(f.read())
+                    act_path = name
+                except OSError:
+                    pass
+            self._anim_editor = AnimGraphEditor(ctrl, parsed=parsed,
+                                                act_path=act_path)
+        return self._anim_editor
 
     # -- model ------------------------------------------------------------
 
@@ -157,10 +181,19 @@ class EditorApp:
             else:
                 {"assets": self.asset_browser,
                  "profiler": self.profiler_ui,
-                 "scene": self.scene_view}[self.view]().handle_key(code, text)
+                 "scene": self.scene_view,
+                 "anim": self.anim_editor}[self.view]().handle_key(code, text)
             return
-        if self.edit is None and text in ("2", "3", "4"):
-            self.view = {"2": "assets", "3": "profiler", "4": "scene"}[text]
+        if self.edit is None and text in ("2", "3", "4", "5"):
+            target = {"2": "assets", "3": "profiler", "4": "scene",
+                      "5": "anim"}[text]
+            if target == "anim":
+                try:
+                    self.anim_editor()
+                except ValueError as exc:
+                    self.status = str(exc)
+                    return
+            self.view = target
             if self.view == "profiler":
                 self.profiler_ui().snapshot()
             self.status = f"{self.view} view (esc returns)"
@@ -257,6 +290,10 @@ class EditorApp:
             return self.asset_browser().render_text(width, height)
         if self.view == "profiler":
             return self.profiler_ui().render_text(width, height)
+        if self.view == "anim":
+            ae = self.anim_editor()
+            ae.step_preview()
+            return ae.render_text(width, height)
         if self.view == "scene":
             sv = self.scene_view()
             # world edits since the last scene frame → re-upload host state

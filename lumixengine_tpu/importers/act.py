@@ -45,7 +45,9 @@ def parse_act(data: bytes) -> Dict[str, Any]:
     n_inputs = struct.unpack_from("<I", data, o)[0]
     o += 4
     inputs: List[Tuple[str, str]] = []
-    for _ in range(n_inputs):
+    raw_inputs: List[bytes] = []     # exact 36-byte records: a C char[32]
+    for _ in range(n_inputs):        # buffer can carry garbage after the \0,
+        raw_inputs.append(data[o:o + 36])   # kept for byte-exact re-export
         t = struct.unpack_from("<I", data, o)[0]
         name = data[o + 4:o + 36].split(b"\0")[0].decode("utf-8", "replace")
         inputs.append((VALUE_TYPES.get(t, str(t)), name))
@@ -69,7 +71,8 @@ def parse_act(data: bytes) -> Dict[str, Any]:
         o = end + 1
     return {"version": version, "id_counter": id_counter,
             "skeleton": skeleton, "inputs": inputs, "slots": slots,
-            "entries": entries, "graph_blob": data[o:]}
+            "entries": entries, "graph_blob": data[o:],
+            "raw_inputs": raw_inputs}
 
 
 _DIRS = {"forward": (0.0, 1.0), "backward": (0.0, -1.0),
@@ -163,3 +166,39 @@ def load_controller(path: str, assets, model_path: Optional[str] = None) -> int:
     with open(path, "rb") as f:
         parsed = parse_act(f.read())
     return build_controller(parsed, assets, name=path, model_path=model_path)
+
+
+_VALUE_TYPE_IDS = {v: k for k, v in VALUE_TYPES.items()}
+
+
+def write_act(parsed: Dict[str, Any]) -> bytes:
+    """Inverse of parse_act: re-emit the exactly-specified header portion
+    (magic/version/id_counter, skeleton, typed inputs, slots, slot→clip
+    entries) and pass the opaque editor-era node-graph blob through
+    unchanged, so an unedited file round-trips byte-exact and header edits
+    (retargeted entries, renamed slots/inputs) write the reference layout
+    (≙ controller.cpp:81-140 serialize)."""
+    out = bytearray()
+    out += MAGIC
+    out += struct.pack("<II", parsed["version"], parsed["id_counter"])
+    out += parsed["skeleton"].encode("utf-8") + b"\0"
+    out += struct.pack("<I", len(parsed["inputs"]))
+    raw = parsed.get("raw_inputs") or []
+    for i, (t, nm) in enumerate(parsed["inputs"]):
+        tid = _VALUE_TYPE_IDS.get(t)
+        if tid is None:
+            tid = int(t)  # unknown types round-trip via their numeric string
+        rec = struct.pack("<I", tid) + nm.encode("utf-8")[:31].ljust(32, b"\0")
+        if i < len(raw) and raw[i][:4] == rec[:4] and \
+                raw[i][4:].split(b"\0")[0] == nm.encode("utf-8")[:31]:
+            rec = raw[i]       # unedited: keep the exact on-disk bytes
+        out += rec
+    out += struct.pack("<I", len(parsed["slots"]))
+    for s in parsed["slots"]:
+        out += s.encode("utf-8") + b"\0"
+    out += struct.pack("<I", len(parsed["entries"]))
+    for e in parsed["entries"]:
+        out += struct.pack("<II", e["slot"], e["set"])
+        out += e["animation"].encode("utf-8") + b"\0"
+    out += parsed.get("graph_blob", b"")
+    return bytes(out)
