@@ -55,6 +55,7 @@ class EditorApp:
         self._profiler_ui = None
         self._scene_view = None
         self._anim_editor = None
+        self._particle_editor = None
 
     # -- views ---------------------------------------------------------------
 
@@ -114,6 +115,20 @@ class EditorApp:
             self._anim_editor = AnimGraphEditor(ctrl, parsed=parsed,
                                                 act_path=act_path)
         return self._anim_editor
+
+    def particle_editor(self, path: str = None):
+        if self._particle_editor is None or path is not None:
+            from lumixengine_tpu.editor.particle_editor import ParticleEditor
+
+            if path is None:
+                # default: the first .pat the asset browser knows about
+                pats = [e for e in self.asset_browser().entries
+                        if e.type == "particle_script"]
+                if not pats:
+                    raise ValueError("no .pat scripts in the data dirs")
+                path = pats[0].full
+            self._particle_editor = ParticleEditor(path)
+        return self._particle_editor
 
     # -- model ------------------------------------------------------------
 
@@ -182,14 +197,17 @@ class EditorApp:
                 {"assets": self.asset_browser,
                  "profiler": self.profiler_ui,
                  "scene": self.scene_view,
-                 "anim": self.anim_editor}[self.view]().handle_key(code, text)
+                 "anim": self.anim_editor,
+                 "particles": self.particle_editor}[self.view]().handle_key(
+                     code, text)
             return
-        if self.edit is None and text in ("2", "3", "4", "5"):
+        if self.edit is None and text in ("2", "3", "4", "5", "6"):
             target = {"2": "assets", "3": "profiler", "4": "scene",
-                      "5": "anim"}[text]
-            if target == "anim":
+                      "5": "anim", "6": "particles"}[text]
+            if target in ("anim", "particles"):
                 try:
-                    self.anim_editor()
+                    getattr(self, "anim_editor" if target == "anim"
+                            else "particle_editor")()
                 except ValueError as exc:
                     self.status = str(exc)
                     return
@@ -294,6 +312,8 @@ class EditorApp:
             ae = self.anim_editor()
             ae.step_preview()
             return ae.render_text(width, height)
+        if self.view == "particles":
+            return self.particle_editor().render_text(width, height)
         if self.view == "scene":
             sv = self.scene_view()
             # world edits since the last scene frame → re-upload host state
