@@ -31,6 +31,10 @@ class SceneView:
         self.status = ""
         self.move_speed = 2.0        # m per keypress (≙ SceneView m_camera_speed)
         self.turn_speed = 0.1        # rad per keypress
+        # terrain brush (≙ terrain_editor raise/lower tool)
+        self.brush_radius = 8.0      # heightmap cells
+        self.brush_strength = 1.0    # meters per press
+        self.brush_dist = 20.0       # brush center this far ahead of camera
         # editor camera: the view owns it, like the reference's SceneView
         # viewport camera (scene_view.cpp editor camera universe entity)
         self.yaw = 0.0
@@ -60,6 +64,7 @@ class SceneView:
         qx = hm.quat_from_axis_angle(np.array([[1.0, 0.0, 0.0]], np.float32),
                                      np.array([self.pitch], np.float32))[0]
         rot = hm.quat_mul(qy[None], qx[None])[0]
+        self._cam_rot = rot
         self.world.set_local_transform(self.cam, position=tuple(self.cam_pos),
                                        rotation=tuple(rot))
         self._dirty = True
@@ -148,6 +153,63 @@ class SceneView:
             self.move_speed *= 2.0
         elif ch == "-":
             self.move_speed = max(self.move_speed * 0.5, 0.125)
+        elif text == "t":                    # terrain brush: raise
+            self.sculpt(+self.brush_strength)
+        elif text == "T":                    # terrain brush: lower
+            self.sculpt(-self.brush_strength)
+        elif ch == "[":
+            self.brush_radius = max(self.brush_radius * 0.5, 1.0)
+            self.status = f"brush radius {self.brush_radius:.0f} cells"
+        elif ch == "]":
+            self.brush_radius = min(self.brush_radius * 2.0, 256.0)
+            self.status = f"brush radius {self.brush_radius:.0f} cells"
+
+    # -- terrain brush (≙ renderer/editor terrain_editor.cpp raise/lower) ---
+
+    def _terrain_target(self):
+        """First terrain component in the world → (entity, tid, registry)."""
+        rmod = self.world.modules.get("renderer")
+        if rmod is None:
+            return None
+        st = rmod.terrains
+        ents = np.asarray(st.entity)
+        tids = np.asarray(st.data["terrain"])
+        for e, tid in zip(ents, tids):
+            if e >= 0 and tid >= 0:
+                return int(e), int(tid), rmod.system.terrains
+        return None
+
+    def sculpt(self, amount: float) -> None:
+        """Gaussian raise/lower of the first terrain's heightmap at the
+        point `brush_dist` ahead of the editor camera. Edits the registry's
+        host heights in place — the software raster reads them live
+        (gpu_soft.draw_terrain), so the very next frame shows the sculpt;
+        physics/navigation pick it up at their next bank rebuild."""
+        tgt = self._terrain_target()
+        if tgt is None:
+            self.status = "no terrain in this world"
+            return
+        ent, tid, reg = tgt
+        tr = reg.get(tid)
+        hm_ = tr["heights"]
+        # brush center: a fixed distance along the camera forward ray,
+        # expressed in terrain-local cells
+        fwd = hm.quat_rotate(self._cam_rot[None],
+                             np.array([[0.0, 0.0, -1.0]], np.float32))[0]
+        center = self.cam_pos + fwd * self.brush_dist
+        origin = np.asarray(self.world.get_local_transform(ent)[0],
+                            np.float32)
+        sc = float(tr.get("xz_scale", 1.0))
+        cx = (center[0] - origin[0]) / sc
+        cz = (center[2] - origin[2]) / sc
+        H, W = hm_.shape
+        zz, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        d2 = (xx - cx) ** 2 + (zz - cz) ** 2
+        r2 = self.brush_radius ** 2
+        hm_ += (amount / max(float(tr.get("y_scale", 1.0)), 1e-6)
+                ) * np.exp(-d2 / max(r2 * 0.5, 1e-6)).astype(hm_.dtype)
+        self.status = (f"sculpt {'+' if amount >= 0 else ''}{amount:.2f} at "
+                       f"cell ({cx:.0f},{cz:.0f}) r={self.brush_radius:.0f}")
 
     def render_text(self, width: int = 100, height: int = 28) -> str:
         """Compose the presented frame as ANSI half-blocks + a status line.

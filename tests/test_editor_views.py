@@ -169,6 +169,35 @@ def test_scene_view_flies_and_presents():
     assert "scene view" in text and "\x1b[38;2;" in text
 
 
+def test_scene_view_terrain_brush_sculpts():
+    """Terrain brush (≙ renderer/editor terrain_editor.cpp raise/lower):
+    't' raises a gaussian bump at the point ahead of the editor camera,
+    'T' lowers it back; the registry heights are edited in place so the
+    software raster shows the sculpt on the next frame."""
+    from lumixengine_tpu.editor.scene_view import SceneView
+    from lumixengine_tpu.models.demo_scenes import build_engine
+
+    engine, renderer = build_engine(model_instances=8)
+    tid = renderer.terrains.add(np.zeros((64, 64), np.float32), xz_scale=1.0)
+    world = engine.create_world(capacity=16)
+    t = world.create_entity(position=(0.0, 0.0, 0.0), name="terrain")
+    world.create_component(t, "terrain", terrain=tid)
+    sv = SceneView(engine, world, width=32, height=18)
+    hm0 = renderer.terrains.get(tid)["heights"].copy()
+    sv.handle_key(0, "t")
+    hm1 = renderer.terrains.get(tid)["heights"]
+    assert hm1.max() > hm0.max() + 0.5            # raised ~brush_strength
+    assert (hm1 >= hm0 - 1e-6).all()              # raise-only brush
+    peak = np.unravel_index(np.argmax(hm1), hm1.shape)
+    assert hm1[peak] > hm1[0, 0] + 0.5            # localized, not uniform
+    sv.handle_key(0, "T")                         # lower undoes the bump
+    hm2 = renderer.terrains.get(tid)["heights"]
+    assert np.abs(hm2 - hm0).max() < 1e-4
+    sv.handle_key(0, "]")
+    assert sv.brush_radius == 16.0
+    assert "brush radius" in sv.status
+
+
 # ---------------------------------------------------------------------------
 # EditorApp integration
 # ---------------------------------------------------------------------------
