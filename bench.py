@@ -287,13 +287,19 @@ def main_all(args):
         # boxes: long horizon so the completeness certificates cover the
         # whole drop-impact-settle arc, not just the first frames
         ("boxes", ["--config", "boxes", "--steps", "300", "--trials", "1"]),
-        ("map", ["--config", "map"]),
         ("crowd", ["--config", "crowd", "--characters", "256"]),
         ("particles", ["--config", "particles"]),
-        # flagship mix with 4x the skinned characters (VERDICT-r2 weak #3)
-        ("full256", ["--config", "full", "--characters", "256"]),
+        # flagship mix with 4x the skinned characters (VERDICT-r2 weak #3);
+        # 2048 worlds — the 4x animation palette does not fit HBM at 4096
+        # (measured OOM on v5e); the metric normalizes per entity-step
+        ("full256", ["--config", "full", "--characters", "256",
+                     "--worlds", "2048"]),
         # flagship frame + shadow cascades + clustered lights (weak #7)
         ("render", ["--config", "render"]),
+        # map LAST: its cold-cache compile is the longest (the demo.unv step
+        # traces every subsystem of a real scene); running it last lets it
+        # use the whole remaining budget without starving the other configs
+        ("map", ["--config", "map"]),
     ]
     deadline = time.monotonic() + args.budget
     results = {}
@@ -317,7 +323,10 @@ def main_all(args):
             results[name] = {"error": "skipped (total budget exhausted)"}
             emit()
             continue
-        per_cfg = min(args.config_timeout, left)
+        # the last job may use everything that's left (45s floor guaranteed
+        # above); earlier jobs are capped so no single config starves the rest
+        per_cfg = (left - 15.0) if name == jobs[-1][0] else min(
+            args.config_timeout, left)
         cmd = [sys.executable, os.path.abspath(__file__)] + extra_args
         if "--steps" not in extra_args:
             cmd += ["--steps", str(args.steps)]

@@ -400,22 +400,38 @@ class World:
         """
         self._refresh_levels()
         p = self._perm
-        local = Transform(
-            pos=jnp.asarray(self.local_pos[p].T.copy()),
-            rot=jnp.asarray(self.local_rot[p].T.copy()),
-            scale=jnp.asarray(self.local_scale[p].T.copy()),
-        )
-        world = hier.propagate_plan(local, self._plan)
-        return WorldState(
-            alive=jnp.asarray(self.alive[p]),
-            parent=jnp.asarray(self._slot_parent),
-            level=jnp.asarray(self._slot_level),
-            local=local,
-            world=world,
-            modules={name: m.device_state() for name, m in self.modules.items()},
-            frame=jnp.int32(0),
-            time=jnp.float32(0.0),
-        )
+        import jax
+
+        # Build the whole snapshot on the CPU backend, then ship it in ONE
+        # batched device_put. Building it eagerly on the accelerator costs a
+        # tunnel round trip per jnp op and a REMOTE compile per unique tiny
+        # eager shape — ~400s of setup for demo.unv (round-4 map-timeout
+        # postmortem); on local CPU the same composition is <2s.
+        try:
+            host = jax.local_devices(backend="cpu")[0]
+        except Exception:  # cpu backend disabled — build on the default device
+            host = jax.devices()[0]
+        with jax.default_device(host):
+            local = Transform(
+                pos=jnp.asarray(self.local_pos[p].T.copy()),
+                rot=jnp.asarray(self.local_rot[p].T.copy()),
+                scale=jnp.asarray(self.local_scale[p].T.copy()),
+            )
+            world = hier.propagate_plan(local, self._plan)
+            state = WorldState(
+                alive=jnp.asarray(self.alive[p]),
+                parent=jnp.asarray(self._slot_parent),
+                level=jnp.asarray(self._slot_level),
+                local=local,
+                world=world,
+                modules={name: m.device_state() for name, m in self.modules.items()},
+                frame=jnp.int32(0),
+                time=jnp.float32(0.0),
+            )
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            return state
+        return jax.device_put(state, dev)
 
     def load_state(self, state: WorldState, slot_of=None, skip=None) -> None:
         """Copy a device snapshot's per-frame fields back to host (save path).

@@ -162,6 +162,13 @@ class ModelRegistry:
                 ip, ir = mo.skeleton.inverse_bind()
                 ibpos[i, :b] = ip
                 ibrot[i, :b] = ir
+        # host mirrors for trace-time consumers (ViewStatics et al) — a
+        # device→host readback of bank fields costs ~seconds per array on
+        # the tunneled TPU, and one readback PER COMPONENT made demo.unv's
+        # prepare_statics take 78s (round-4 map-timeout postmortem)
+        self.host_bounding_radius = radius
+        self.host_lod_dist2 = lod2.T.copy()
+        self.host_material_id = mat
         return ModelBank(
             bounding_radius=jnp.asarray(radius),
             lod_dist2=jnp.asarray(lod2.T.copy()),

@@ -65,14 +65,17 @@ class ViewStatics:
 
     def __init__(self, module):
         w = module.world
-        bank: ModelBank = module.system.bank
+        reg = module.system.models
+        _ = module.system.bank  # ensure baked (fills the host mirrors)
         self.mi_slots = w.to_slots(module.model_instances.entity)       # [K]
         self.mi_mask = self.mi_slots >= 0                               # [K]
         self.mi_model = np.asarray(module.model_instances.data["model"], np.int32)
         self.radius = np.asarray(module.culling.store.data["radius"], np.float32)
         mid = np.maximum(self.mi_model, 0)
-        self.lod_dist2 = np.asarray(bank.lod_dist2)[:, mid]             # [4,K]
-        self.material = np.asarray(bank.material_id)[mid]               # [K]
+        # host mirrors, NOT bank readbacks: device→host pulls cost seconds
+        # each through the TPU tunnel (round-4 map-timeout postmortem)
+        self.lod_dist2 = reg.host_lod_dist2[:, mid]                     # [4,K]
+        self.material = reg.host_material_id[mid]                       # [K]
         self.cam_slots = w.to_slots(module.cameras.entity)              # [C]
         self.cam_entities = np.asarray(module.cameras.entity, np.int64)  # [C]
         self.pl_slots = w.to_slots(module.point_lights.entity)          # [L]
@@ -85,7 +88,7 @@ class ViewStatics:
             if len(pos) == 0:
                 continue
             center = pos.mean(axis=0)
-            mdl_r = float(np.asarray(bank.bounding_radius)[im["model"]])
+            mdl_r = float(reg.host_bounding_radius[im["model"]])
             r = float(np.linalg.norm(pos - center, axis=-1).max()) + mdl_r
             im_entities.append(w.slot(e))
             im_models.append(im["model"])
