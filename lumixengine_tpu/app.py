@@ -238,6 +238,26 @@ class Runner:
             backend=getattr(self, "_present_backend", None))
         return img
 
+    def present_tpu(self, path: Optional[str] = None, cam_slot: int = 0,
+                    width: int = 480, height: int = 270):
+        """On-device present (renderer/gpu_tpu.py ≙ gpu_dx12.cpp): the View's
+        triangle soup is tile-binned and z-filled ON the TPU; only the final
+        framebuffer crosses to the host. The jitted raster is cached across
+        frames and rebaked on topology change. Returns (rgb u8 [H,W,3],
+        depth f32 [H,W], overflow int); saves a PNG when `path` is given."""
+        from lumixengine_tpu.renderer import gpu_tpu
+
+        tp = getattr(self, "_present_tpu", None)
+        if tp is None or (tp.width, tp.height) != (width, height):
+            tp = self._present_tpu = gpu_tpu.TpuPresent(width, height)
+        rgb, depth, overflow = tp(self, cam_slot)
+        import numpy as np
+        rgb = np.asarray(rgb)
+        if path is not None:
+            from PIL import Image
+            Image.fromarray(rgb).save(path)
+        return rgb, np.asarray(depth), int(overflow)
+
     def metrics(self, phases: bool = True) -> dict:
         out = {"frame": int(self.state.frame), "time": float(self.state.time)}
         for mname, ms in self.state.modules.items():

@@ -1,0 +1,369 @@
+"""TPU-native present path (≙ /root/reference/src/renderer/gpu_dx12.cpp — the
+reference's hardware GPU backend, 3263 LoC of D3D12 swapchain/PSO/barrier
+management). The software backend (gpu_soft.py + raster.py) is the diagnostic
+host rasterizer; THIS is the performance present: the culled View's triangle
+soup is rasterized ON the TPU as one jitted tile-binned pipeline, so a
+headless deployment never moves geometry to the host — only the final
+framebuffer (and the engine state it reads is already device-resident).
+
+Design (TPU-first — a vector-machine rasterizer, not a GPU translation):
+
+ * **static soup** — the scene's meshes are baked once per topology into an
+   instance-expanded triangle soup (every (instance, triangle) pair gets a
+   static slot), so per-frame work is pure fixed-shape device math: no
+   data-dependent shapes, everything jits once.
+ * **vertex stage** — all expanded vertices transform + project in one
+   batched op (instance SRT gathered per vertex).
+ * **binning** — each triangle's screen bbox claims up to WINDOW×WINDOW
+   tile slots; (tile, tri) keys are argsorted and per-tile slot lists read
+   off contiguously (the same sorted-compaction trick as the physics slots
+   pipeline, ops/physics_slots.py). Triangles larger than the window take a
+   brute-force "large" path over every tile (top-L by screen area) — a
+   bounded two-path split instead of variable-rate hardware rasterization.
+ * **fill** — each 32×32-pixel tile z-tests its K binned + L large
+   triangles with edge-function barycentrics over the whole pixel block at
+   once; the block is laid out as an (8,128) f32 VPU tile. A lax.fori_loop
+   over K-chunks keeps the live set VMEM-sized.
+ * **honesty counter** — like the physics certificates, the raster returns
+   `overflow` = number of (tile, tri) pairs that didn't fit the K slot cap;
+   a nonzero overflow means the image may be incomplete.
+
+Shading matches raster.py (flat Lambert |n·L|, palette by model id, both
+faces lit, bg 18) so the host and TPU rasterizers are cross-checkable.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lumixengine_tpu.core import math as dm
+from lumixengine_tpu.renderer.raster import _mesh_of, _PALETTE, _LIGHT
+
+TILE = 32          # spatial tile edge (pixels); 32x32 = 1024 px = (8,128) VPU tile
+
+
+class SoupStatics(NamedTuple):
+    """Host-baked instance-expanded soup (static per scene topology)."""
+
+    vpos: np.ndarray     # f32 [VE,3] model-local positions, instance-expanded
+    vinst: np.ndarray    # int32 [VE] owning instance (store slot)
+    tri: np.ndarray      # int32 [E,3] indices into the expanded vertex arrays
+    tinst: np.ndarray    # int32 [E] owning instance
+    tcolor: np.ndarray   # f32 [E,3] base color (palette by model id)
+    num_instances: int
+
+
+def bake_soup(statics, registry, max_tris_per_model: int = 200_000) -> SoupStatics:
+    """Expand (instance, model mesh) into one static soup (host, per topology).
+
+    Models without triangle data fall back to raster.py's unit octahedron
+    scaled by bounding radius, so every visible instance draws — same rule
+    as the host rasterizer."""
+    vpos, vinst, tris, tinst, tcol = [], [], [], [], []
+    voff = 0
+    for k in range(len(statics.mi_model)):
+        if not statics.mi_mask[k]:
+            continue
+        mid = int(statics.mi_model[k])
+        verts, t = _mesh_of(mid, registry)
+        if len(t) > max_tris_per_model:
+            t = t[:max_tris_per_model]
+        vpos.append(np.asarray(verts, np.float32))
+        vinst.append(np.full(len(verts), k, np.int32))
+        tris.append(np.asarray(t, np.int32) + voff)
+        tinst.append(np.full(len(t), k, np.int32))
+        base = _PALETTE[mid % len(_PALETTE)]
+        tcol.append(np.tile(base, (len(t), 1)))
+        voff += len(verts)
+    if not tris:
+        vpos = [np.zeros((3, 3), np.float32)]
+        vinst = [np.zeros(3, np.int32)]
+        tris = [np.zeros((1, 3), np.int32)]
+        tinst = [np.full(1, -1, np.int32)]
+        tcol = [np.zeros((1, 3), np.float32)]
+    return SoupStatics(
+        vpos=np.concatenate(vpos),
+        vinst=np.concatenate(vinst),
+        tri=np.concatenate(tris),
+        tinst=np.concatenate(tinst),
+        tcolor=np.concatenate(tcol).astype(np.float32),
+        num_instances=len(statics.mi_model),
+    )
+
+
+def make_raster(soup: SoupStatics, width: int, height: int,
+                k_slots: int = 192, window: int = 4, large_cap: int = 256,
+                chunk: int = 8):
+    """Build the jitted raster(ipos, irot, iscale, visible, cam_pos, cam_rot,
+    fov) -> (rgb u8 [H,W,3], depth f32 [H,W], overflow i32) for one soup.
+
+    width/height are rounded up to the 32-px tile grid internally and the
+    image cropped on return, so callers keep arbitrary sizes."""
+    W = int(np.ceil(width / TILE)) * TILE
+    H = int(np.ceil(height / TILE)) * TILE
+    tx_n, ty_n = W // TILE, H // TILE
+    nt = tx_n * ty_n
+    if nt >= 8192:  # (tile<<18 | depth) bin keys must fit int32
+        raise ValueError(f"framebuffer {width}x{height} = {nt} tiles; "
+                         "the int32 bin-key space caps at 8191 tiles (~2.7K x 1.5K)")
+    E = len(soup.tri)
+
+    # static per-tile pixel centers, tile-major [NT, 1024]
+    ty, tx = np.divmod(np.arange(nt), tx_n)
+    py0 = (ty * TILE)[:, None] + (np.arange(TILE * TILE) // TILE)[None, :]
+    px0 = (tx * TILE)[:, None] + (np.arange(TILE * TILE) % TILE)[None, :]
+    px_c = jnp.asarray(px0.astype(np.float32) + 0.5)
+    py_c = jnp.asarray(py0.astype(np.float32) + 0.5)
+
+    tri = jnp.asarray(soup.tri)
+    tinst = jnp.asarray(soup.tinst)
+    tcolor = jnp.asarray(soup.tcolor.T.copy())      # [3,E] SoA
+    vpos = jnp.asarray(soup.vpos.T.copy())          # [3,VE] SoA
+    vinst = jnp.asarray(soup.vinst)
+    f_cam = 1.0
+    aspect = width / height
+    n_keys = E * window * window
+
+    def raster(ipos, irot, iscale, visible, cam_pos, cam_rot, fov):
+        # -- vertex stage: world → camera → screen (matches raster.py) -------
+        scale_v = jnp.take(iscale, vinst, axis=-1)          # [3,VE]
+        rot_v = jnp.take(irot, vinst, axis=-1)              # [4,VE]
+        pos_v = jnp.take(ipos, vinst, axis=-1)              # [3,VE]
+        wv = dm.quat_rotate(rot_v, vpos * scale_v, axis=0) + pos_v  # [3,VE]
+        inv = dm.quat_conjugate(cam_rot, axis=0)
+        local = dm.quat_rotate(inv[:, None], wv - cam_pos[:, None], axis=0)
+        depth = -local[2]
+        safe = jnp.maximum(depth, 1e-3)
+        f = 1.0 / jnp.tan(fov * 0.5)
+        sx = ((local[0] * f / aspect) / safe * 0.5 + 0.5) * width
+        sy = (1.0 - ((local[1] * f) / safe * 0.5 + 0.5)) * height
+
+        # -- triangle setup ---------------------------------------------------
+        i0, i1, i2 = tri[:, 0], tri[:, 1], tri[:, 2]
+        ax, ay, az = sx[i0], sy[i0], depth[i0]
+        bx, by, bz = sx[i1], sy[i1], depth[i1]
+        cx, cy, cz = sx[i2], sy[i2], depth[i2]
+        area2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        vis_t = jnp.take(visible, jnp.maximum(tinst, 0)) & (tinst >= 0)
+        keep = (vis_t & (az > 1e-3) & (bz > 1e-3) & (cz > 1e-3)
+                & (jnp.abs(area2) > 1e-9))
+        # flat Lambert from the world-space face normal (both faces lit)
+        e1w = jnp.stack([wv[d][i1] - wv[d][i0] for d in range(3)])
+        e2w = jnp.stack([wv[d][i2] - wv[d][i0] for d in range(3)])
+        nx = e1w[1] * e2w[2] - e1w[2] * e2w[1]
+        ny = e1w[2] * e2w[0] - e1w[0] * e2w[2]
+        nz = e1w[0] * e2w[1] - e1w[1] * e2w[0]
+        nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+        keep &= nlen > 1e-9
+        ndl = jnp.abs(nx * _LIGHT[0] + ny * _LIGHT[1] + nz * _LIGHT[2]) \
+            / jnp.maximum(nlen, 1e-9)
+        shade = 0.35 + 0.65 * ndl
+        col = tcolor * shade                                  # [3,E]
+
+        # screen bbox in tile coords
+        minx = jnp.minimum(jnp.minimum(ax, bx), cx)
+        maxx = jnp.maximum(jnp.maximum(ax, bx), cx)
+        miny = jnp.minimum(jnp.minimum(ay, by), cy)
+        maxy = jnp.maximum(jnp.maximum(ay, by), cy)
+        keep &= (maxx >= 0) & (minx < width) & (maxy >= 0) & (miny < height)
+        tx0 = jnp.clip(jnp.floor(minx / TILE), 0, tx_n - 1).astype(jnp.int32)
+        tx1 = jnp.clip(jnp.floor(maxx / TILE), 0, tx_n - 1).astype(jnp.int32)
+        ty0 = jnp.clip(jnp.floor(miny / TILE), 0, ty_n - 1).astype(jnp.int32)
+        ty1 = jnp.clip(jnp.floor(maxy / TILE), 0, ty_n - 1).astype(jnp.int32)
+        spanx, spany = tx1 - tx0 + 1, ty1 - ty0 + 1
+        small = keep & (spanx <= window) & (spany <= window)
+        large = keep & ~small
+
+        # -- binning: (tile, depth, tri) keys, sorted, read off contiguously -
+        # depth rides the key's low 18 bits so each tile's slot list comes
+        # out NEAR-TO-FAR: if a tile overflows its k_slots cap, the dropped
+        # triangles are the scene's farthest (usually occluded) ones — and
+        # the overflow counter still reports the drop honestly.
+        s = jnp.arange(window * window, dtype=jnp.int32)
+        sx_off, sy_off = s % window, s // window              # [S]
+        cand_tx = tx0[:, None] + sx_off[None, :]
+        cand_ty = ty0[:, None] + sy_off[None, :]
+        cand_ok = (small[:, None] & (cand_tx <= tx1[:, None])
+                   & (cand_ty <= ty1[:, None]))
+        minz = jnp.minimum(jnp.minimum(az, bz), cz)
+        depth_q = (minz / (minz + 32.0) * 262143.0).astype(jnp.int32)  # 18 bit
+        tile_id = cand_ty * tx_n + cand_tx
+        key = jnp.where(cand_ok,
+                        (tile_id << 18) | depth_q[:, None],
+                        jnp.int32(nt) << 18).reshape(-1)
+        order = jnp.argsort(key)                              # [E*S]
+        skey = jnp.take(key, order)
+        stri = jnp.take(
+            jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32)[:, None],
+                             (E, window * window)).reshape(-1), order)
+        bounds = jnp.arange(nt + 1, dtype=jnp.int32) << 18
+        starts = jnp.searchsorted(skey, bounds[:-1])
+        ends = jnp.searchsorted(skey, bounds[1:])
+        counts = ends - starts                                # [NT]
+        # per-tile slot list [NT, KS] (tri index or -1)
+        kk = jnp.arange(k_slots, dtype=jnp.int32)
+        slot_pos = jnp.minimum(starts[:, None] + kk[None, :], n_keys - 1)
+        slot_tri = jnp.where(kk[None, :] < jnp.minimum(counts, k_slots)[:, None],
+                             jnp.take(stri, slot_pos), -1)    # [NT,KS]
+
+        # large triangles: top-L by |area|, every tile tests them
+        big_score = jnp.where(large, jnp.abs(area2), -1.0)
+        _, big_idx = jax.lax.top_k(big_score, min(large_cap, E))
+        big_tri = jnp.where(jnp.take(big_score, big_idx) > 0.0,
+                            big_idx.astype(jnp.int32), -1)    # [L]
+        large_dropped = jnp.maximum(
+            jnp.sum(large.astype(jnp.int32)) - large_cap, 0)
+
+        # -- fill: z-test chunks of triangles over each tile's pixel block ---
+        # All per-triangle setup is gathered into slot-list layout ONCE per
+        # frame ([NT,KS] / [L] arrays); the chunked fill then runs on pure
+        # vector ops. The first cut gathered per chunk AND selected colors
+        # with a per-PIXEL gather (col[wtri]) — ~160M scalar-core gathers a
+        # frame, 1.7s at 720p on v5e. Gathers on TPU belong outside the hot
+        # loop; selection inside it is unrolled jnp.where (one-hot style).
+        inv_za, inv_zb, inv_zc = 1.0 / az, 1.0 / bz, 1.0 / cz
+
+        def slot_layout(idx):           # gather setup for a slot table
+            t = jnp.maximum(idx, 0)
+            ok = (idx >= 0).astype(jnp.float32)
+            # pack 12 per-tri scalars as one leading axis for one gather op
+            flat = jnp.stack([ax, ay, bx, by, cx, cy, area2,
+                              inv_za, inv_zb, inv_zc], 0)     # [10,E]
+            setup = flat[:, t]                                # [10,...]
+            cols = col[:, t]                                  # [3,...]
+            return setup, cols, ok
+
+        def fill_chunks(carry, setup, cols, ok, n_chunks, kc):
+            # setup [10, NT?, KS], cols [3, NT?, KS], ok [NT?, KS] —
+            # NT? is nt for the binned path, broadcastable 1 for the large
+            # path. Scan chunks of kc slots; inner kc unrolled as selects.
+            px = px_c[:, None, :]                             # [NT,1,PIX]
+            py = py_c[:, None, :]
+
+            def body(i, c):
+                zbuf, r, g, b = c
+                s = jax.lax.dynamic_slice_in_dim(setup, i * kc, kc, axis=2)
+                cc = jax.lax.dynamic_slice_in_dim(cols, i * kc, kc, axis=2)
+                okc = jax.lax.dynamic_slice_in_dim(ok, i * kc, kc, axis=1)
+                gax, gay, gbx, gby, gcx, gcy, ga2, iza, izb, izc = s
+                w0 = ((gby - gcy)[..., None] * (px - gcx[..., None])
+                      + (gcx - gbx)[..., None] * (py - gcy[..., None])) \
+                    / ga2[..., None]
+                w1 = ((gcy - gay)[..., None] * (px - gax[..., None])
+                      + (gax - gcx)[..., None] * (py - gay[..., None])) \
+                    / ga2[..., None]
+                w2 = 1.0 - w0 - w1
+                inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+                          & (okc[..., None] > 0))
+                zinv = (w0 * iza[..., None] + w1 * izb[..., None]
+                        + w2 * izc[..., None])
+                d = jnp.where(inside & (zinv > 1e-9), 1.0 / zinv, jnp.inf)
+                # kc-unrolled z-test/select: pure vector selects, no argmin/
+                # take_along_axis lowering to per-pixel gathers
+                for j in range(kc):
+                    dj = d[:, j]                              # [NT,PIX]
+                    upd = dj < zbuf
+                    zbuf = jnp.where(upd, dj, zbuf)
+                    r = jnp.where(upd, cc[0, :, j, None], r)
+                    g = jnp.where(upd, cc[1, :, j, None], g)
+                    b = jnp.where(upd, cc[2, :, j, None], b)
+                return (zbuf, r, g, b)
+
+            return jax.lax.fori_loop(0, n_chunks, body, carry)
+
+        pix = TILE * TILE
+        carry = (jnp.full((nt, pix), jnp.inf, jnp.float32),
+                 jnp.full((nt, pix), 18.0, jnp.float32),
+                 jnp.full((nt, pix), 18.0, jnp.float32),
+                 jnp.full((nt, pix), 18.0, jnp.float32))
+        setup, cols, ok = slot_layout(slot_tri)               # [·,NT,KS]
+        carry = fill_chunks(carry, setup, cols, ok,
+                            (k_slots + chunk - 1) // chunk, chunk)
+        # large path: every tile tests the same L triangles (broadcast axis)
+        setup_l, cols_l, ok_l = slot_layout(big_tri[None, :])  # [·,1,L]
+        carry = fill_chunks(carry, setup_l, cols_l, ok_l,
+                            (len(big_tri) + chunk - 1) // chunk, chunk)
+        zbuf, r, g, b = carry
+
+        # -- occlusion-sound completeness certificate -------------------------
+        # Slot lists are NEAR-TO-FAR, so if a tile overflowed its cap, every
+        # dropped triangle starts at the first-dropped entry's depth or
+        # farther. The drop can only matter if that depth beats something the
+        # tile actually shows: incomplete ⇔ count > K AND q(first_dropped) ≤
+        # q(max filled z in tile) (a tile with any background pixel counts
+        # as z = ∞ and always fails on drop). This mirrors hierarchical-z
+        # rejection — and keeps the counter honest without unbounded slots.
+        zmax_t = jnp.max(zbuf, axis=1)                        # [NT]
+        zmax_q = jnp.where(jnp.isfinite(zmax_t),
+                           (zmax_t / (zmax_t + 32.0) * 262143.0)
+                           .astype(jnp.int32), jnp.int32(262144))
+        first_drop = jnp.where(
+            counts > k_slots,
+            jnp.take(skey, jnp.minimum(starts + k_slots, n_keys - 1))
+            & jnp.int32(0x3FFFF),
+            jnp.int32(262145))
+        incomplete = (counts > k_slots) & (first_drop <= zmax_q)
+        overflow = jnp.sum(incomplete.astype(jnp.int32)) + large_dropped
+
+        # -- untile [NT,PIX] → [H,W], crop, pack ------------------------------
+        def untile(x):
+            x = x.reshape(ty_n, tx_n, TILE, TILE)
+            return x.transpose(0, 2, 1, 3).reshape(H, W)[:height, :width]
+
+        rgb = jnp.stack([untile(r), untile(g), untile(b)], axis=-1)
+        rgb = jnp.clip(rgb, 0, 255).astype(jnp.uint8)
+        return rgb, untile(zbuf), overflow
+
+    return jax.jit(raster)
+
+
+class TpuPresent:
+    """Cached TPU present for a Runner: rebakes the soup on topology change,
+    reuses the jitted raster across frames (≙ gpu_dx12's PSO/heap reuse)."""
+
+    def __init__(self, width: int = 480, height: int = 270, **kw):
+        self.width, self.height = width, height
+        self.kw = kw
+        self._raster = None
+        self._soup_version = None
+
+    def device_frame(self, runner, cam_slot: int = 0):
+        """One jitted device dispatch: instance gathers + raster fused; the
+        visibility mask is the step's own cull output (state.mi_visible) so
+        presenting adds NO extra cull or host round trips. Returns DEVICE
+        arrays (rgb u8 [H,W,3], depth f32 [H,W], overflow i32) — reading
+        back `overflow` (4 bytes) is the cheap way to fence a frame through
+        the tunnel; fetch rgb only when actually blitting."""
+        world = runner.world
+        rmod = world.modules["renderer"]
+        st = rmod.statics()
+        from lumixengine_tpu.renderer.pipeline import resolve_cam_slot
+        cam_slot = resolve_cam_slot(st, cam_slot)
+        ver = (world.topology_version, cam_slot)
+        if self._raster is None or self._soup_version != ver:
+            soup = bake_soup(st, rmod.system.models)
+            raster = make_raster(soup, self.width, self.height, **self.kw)
+            eidx = jnp.asarray(np.maximum(st.mi_slots, 0))
+            cam_e = max(int(st.cam_slots[cam_slot]), 0)
+
+            @jax.jit
+            def frame(wpos, wrot, wscale, visible, fovs):
+                return raster(
+                    jnp.take(wpos, eidx, axis=-1),
+                    jnp.take(wrot, eidx, axis=-1),
+                    jnp.take(wscale, eidx, axis=-1),
+                    visible, wpos[:, cam_e], wrot[:, cam_e], fovs[cam_slot])
+
+            self._frame = frame
+            self._soup_version = ver
+            self._raster = raster
+        state = runner.state
+        rs = state.modules["renderer"]
+        return self._frame(state.world.pos, state.world.rot,
+                           state.world.scale, rs.mi_visible, rs.cam_fov)
+
+    def __call__(self, runner, cam_slot: int = 0):
+        return self.device_frame(runner, cam_slot)
