@@ -49,8 +49,22 @@ def _back(y, d):
 
 def banded_pair_data(x, K: int):
     """Stack the K partner views: [.., NB] → [.., K, NB] where
-    out[.., d-1, i] = x[.., i+d]."""
-    return jnp.stack([_fwd(x, d) for d in range(1, K + 1)], axis=-2)
+    out[.., d-1, i] = x[.., i+d] (zero-padded tail).
+
+    Built by a broadcast flat-reshape skew (pad to stride S, reinterpret at
+    stride S+1) — 3 HLO ops producing the exact same values as the old
+    K-deep slice/pad/concat chain, whose op count dominated build_slots'
+    remote compile time (VERDICT-r4 next #1)."""
+    nb = x.shape[-1]
+    S = nb + K + 1
+    px = jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (K + 1,), x.dtype)], axis=-1)  # [.., S]
+    b = jnp.broadcast_to(px[..., None, :], x.shape[:-1] + (K + 1, S))
+    flat = b.reshape(x.shape[:-1] + ((K + 1) * S,))
+    # row w of the stride-(S+1) view starts one column later per row:
+    # c[.., w, i] = px[.., w + i]  (w + i < S always holds on the slice below)
+    c = flat[..., :K * (S + 1)].reshape(x.shape[:-1] + (K, S + 1))
+    return c[..., 1:nb + 1]
 
 
 def _tangents0(n):

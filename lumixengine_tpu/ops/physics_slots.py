@@ -148,15 +148,23 @@ def build_slots(mn, mx, occ, dyn, n_sweeps: int, window: int, slots: int,
         return jnp.concatenate(
             [jnp.full((W, 1), INVALID, jnp.int32), b], axis=1)[:, :nb]
 
-    valid_rank = jnp.stack([iota + d < nb for d in range(1, W + 1)])
-    column_miss = jnp.int32(0)
-    cand_rows = []
-    for s, order in enumerate(orders):
+    # traced iota comparison: zero constant bytes in the shipped program
+    valid_rank = (jnp.arange(1, W + 1, dtype=jnp.int32)[:, None]
+                  + jnp.arange(nb, dtype=jnp.int32)[None, :]) < nb
+    n_orders = len(orders)
+    rank_all = jnp.stack(ranks)                        # [S, NB]
+
+    def sweep_cand(order, col_key, dedup_mask):
+        """One sweep's candidate block in BODY order ([2W, NB] packed int32)
+        plus its coverage-miss count.  dedup_mask [S] bool marks EARLIER
+        sweeps (whose windows already claimed a pair); col_key None = the
+        classic min-x sweep (no column certificate)."""
         F_r = jnp.take(F, order, axis=-1)
-        I_r = jnp.stack([order, jnp.take(flags, order, axis=-1)]
-                        + [jnp.take(r, order, axis=-1) for r in ranks[:s]])
+        I_r = jnp.concatenate([
+            jnp.stack([order, jnp.take(flags, order, axis=-1)]),
+            jnp.take(rank_all, order, axis=-1)])       # [2+S, NB]
         Fb = PBD.banded_pair_data(F_r, W)              # [CF, W, NB]
-        Ib = PBD.banded_pair_data(I_r, W)              # [2+s, W, NB]
+        Ib = PBD.banded_pair_data(I_r, W)              # [2+S, W, NB]
         s_mn, s_mx, bmn, bmx = F_r[0:3], F_r[3:6], Fb[0:3], Fb[3:6]
         # minimum per-axis overlap — upper-bounds contact penetration
         ov_amt = jnp.min(jnp.minimum(s_mx[:, None, :], bmx)
@@ -186,27 +194,54 @@ def build_slots(mn, mx, occ, dyn, n_sweeps: int, window: int, slots: int,
         either_dyn = ((I_r[1] & 1)[None, :] | (Ib[1] & 1)) != 0
         both_occ = ((I_r[1] & 2)[None, :] & (Ib[1] & 2)) != 0
         ov = (ov_amt > 0.0) & valid_rank & either_dyn & both_occ
-        if s > 0:   # cross-sweep dedup: pair already inside an earlier window
-            covered = jnp.any(
-                jnp.abs(Ib[2:2 + s] - I_r[2:2 + s][:, None, :]) <= W, axis=0)
-            ov = ov & ~covered
-        if col_keys[s] is not None:
-            column_miss = column_miss + PBD.column_window_miss(
-                s_mn, s_mx, jnp.take(col_keys[s], order, axis=-1), W,
+        # cross-sweep dedup: pair already inside an earlier sweep's window
+        covered = jnp.any((jnp.abs(Ib[2:] - I_r[2:, None, :]) <= W)
+                          & dedup_mask[:, None, None], axis=0)
+        ov = ov & ~covered
+        if col_key is not None:
+            miss = PBD.column_window_miss(
+                s_mn, s_mx, jnp.take(col_key, order, axis=-1), W,
                 occ=(I_r[1] & 2) != 0)
-        elif len(orders) == 1:
-            column_miss = column_miss + PBD.window_miss(
-                s_mn, s_mx, W, occ=(I_r[1] & 2) != 0)
+        elif n_orders == 1:
+            miss = PBD.window_miss(s_mn, s_mx, W, occ=(I_r[1] & 2) != 0)
+        else:
+            miss = jnp.int32(0)
         inv_pri = jnp.left_shift(
             pri_max - jnp.clip(ov_amt * pri_scale, 0, pri_max
                                ).astype(jnp.int32), id_bits)
         pk_fwd = jnp.where(ov, inv_pri | Ib[0], INVALID)
         pk_rev = skew_rev(jnp.where(ov, inv_pri | order[None, :], INVALID))
         cand = jnp.concatenate([pk_fwd, pk_rev], axis=0)   # [2W, NB]
-        cand_rows.append(jnp.full((2 * W, nb), INVALID, jnp.int32
-                                  ).at[:, order].set(cand))
+        return (jnp.full((2 * W, nb), INVALID, jnp.int32
+                         ).at[:, order].set(cand), miss)
 
-    cand_all = jnp.concatenate(cand_rows, axis=0)      # [2·sweeps·W, NB]
+    if all(ck is not None for ck in col_keys):
+        # homogeneous column sweeps (n_sweeps 2/4, the bench path): ONE
+        # lax.scan over stacked sweep operands — the sweep body is traced
+        # once instead of n_sweeps times, shrinking the HLO ~4× (the cold
+        # remote compile of this function starved the round-4 driver
+        # capture; VERDICT-r4 next #1)
+        sweep_iota = jnp.arange(n_orders, dtype=jnp.int32)
+
+        def scan_body(cm, xs):
+            order, ck, s = xs
+            cand_row, miss = sweep_cand(order, ck, sweep_iota < s)
+            return cm + miss, cand_row
+
+        column_miss, cand_rows = jax.lax.scan(
+            scan_body, jnp.int32(0),
+            (jnp.stack(orders), jnp.stack(col_keys), sweep_iota))
+        cand_all = cand_rows.reshape(-1, nb)           # [2·sweeps·W, NB]
+    else:
+        column_miss = jnp.int32(0)
+        rows = []
+        for s, order in enumerate(orders):
+            cand_row, miss = sweep_cand(
+                order, col_keys[s],
+                jnp.arange(n_orders, dtype=jnp.int32) < s)
+            column_miss = column_miss + miss
+            rows.append(cand_row)
+        cand_all = jnp.concatenate(rows, axis=0)       # [2·sweeps·W, NB]
     srt = jnp.sort(cand_all, axis=0)                   # deepest first
     top = srt[:slots]
     top_id = top & id_mask
@@ -250,25 +285,47 @@ def make_slot_world_step(
     k = points_per_pair
     Pn = slots
     gslots = 4
-    shape_j = jnp.asarray(shape_np)
-    radius_j = jnp.asarray(radius_np)
-    he_j = jnp.asarray(half_extents_np)
-    dyn_j = jnp.asarray(dyn_mask_np)
-    dyn_b = jnp.asarray(np.asarray(dyn_mask_np, bool))
-    im_j = jnp.asarray(inv_mass_np)
-    iib_j = jnp.asarray(inv_inertia_body_np)
-    fric_j = jnp.asarray(friction_np)
-    rest_j = jnp.asarray(restitution_np)
+    # Per-body material/shape tables: numpy here, and — CRITICALLY — offered
+    # as jit ARGUMENTS via init_consts().  Closure arrays become embedded
+    # HLO constants, and through the TPU tunnel constant bytes ship at
+    # ~0.03 MB/s on every process's first execution (measured 425 s for
+    # 12 MB; memory: tpu-tunnel-costs).  Arguments ride the fast device_put
+    # path instead.  consts=None keeps the embedded-constant behavior
+    # (fine on CPU and for small scenes).
+    _c_np = {
+        "shape": np.asarray(shape_np),
+        "radius": np.asarray(radius_np, np.float32),
+        "he": np.asarray(half_extents_np, np.float32),
+        "dyn": np.asarray(dyn_mask_np),
+        "im": np.asarray(inv_mass_np, np.float32),
+        "iib": np.asarray(inv_inertia_body_np, np.float32),
+        "fric": np.asarray(friction_np, np.float32),
+        "rest": np.asarray(restitution_np, np.float32),
+    }
+    dyn_b = np.asarray(dyn_mask_np, bool)       # static: picks code paths
     any_caps = bool(np.any(shape_np == P.SHAPE_CAPSULE))
-    occ_j = jnp.ones(nb, bool)
-    iota = jnp.arange(nb, dtype=jnp.int32)
+
+    def init_consts():
+        """Pass this (device_put once) as step(..., consts=...) so the body
+        tables are program ARGUMENTS, not embedded constants — first
+        execution through the tunnel is minutes faster (tpu-tunnel-costs)."""
+        return dict(_c_np)
 
     def init_carry():
-        return (jnp.zeros((3, k, Pn, nb), jnp.float32),     # pair λn/λt1/λt2
-                jnp.full((Pn, nb), -1, jnp.int32),          # pair partner ids
-                jnp.zeros((3, gslots, nb), jnp.float32))    # ground λ
+        # numpy on purpose (jit transfers it once; eager jnp.zeros here is
+        # three remote op compiles through the tunnel)
+        return (np.zeros((3, k, Pn, nb), np.float32),       # pair λn/λt1/λt2
+                np.full((Pn, nb), -1, np.int32),            # pair partner ids
+                np.zeros((3, gslots, nb), np.float32))      # ground λ
 
-    def step(pos, rot, vel, angvel, dt, carry=None):
+    def step(pos, rot, vel, angvel, dt, carry=None, consts=None):
+        c_ = _c_np if consts is None else consts
+        shape_j, radius_j, he_j = c_["shape"], c_["radius"], c_["he"]
+        dyn_j, im_j, iib_j = c_["dyn"], c_["im"], c_["iib"]
+        fric_j, rest_j = c_["fric"], c_["rest"]
+        # iota/occupancy as traced iota/broadcast ops: zero constant bytes
+        occ_j = jnp.ones(nb, bool)
+        iota = jnp.arange(nb, dtype=jnp.int32)
         vel, angvel = P.integrate_velocities(vel, angvel, dt, gravity,
                                              lin_damping, ang_damping, dyn_j)
         mn, mx = P.world_aabb(pos, rot, shape_j, radius_j, he_j)
@@ -406,11 +463,15 @@ def make_slot_world_step(
         # ---- warm start: match canonical λ by partner id -------------------
         if warm_start and carry is not None:
             prev_lam, prev_id, prev_glam = carry
-            wlam = jnp.zeros((3, k, Pn, nb), jnp.float32)
-            for p_old in range(Pn):
-                eq = (partner == prev_id[p_old][None, :]) & pvalid
-                wlam = wlam + jnp.where(eq[None, None],
-                                        prev_lam[:, :, p_old][:, :, None], 0.0)
+            # prev_id rows hold UNIQUE partner ids per body (duplicates were
+            # -1'd at build), so each (new slot, body) matches at most one
+            # old slot and this 0/1 einsum is an exact select — one
+            # dot_general instead of a Pn-deep unrolled where-chain
+            # (compile time; VERDICT-r4 next #1)
+            eq = ((partner[:, None, :] == prev_id[None, :, :])
+                  & pvalid[:, None, :])                 # [Pq, Pp, NB]
+            wlam = jnp.einsum('qpn,ckpn->ckqn',
+                              eq.astype(jnp.float32), prev_lam)
             # contact identity is the unordered pair; the canonical frame is
             # keyed by body ids, which are stable — no t2 flip needed (unlike
             # match_warm_lams' rank-space frames)
@@ -542,4 +603,5 @@ def make_slot_world_step(
         return pos, rot, vel, angvel, counters, carry_out
 
     step.init_carry = init_carry
+    step.init_consts = init_consts
     return step
