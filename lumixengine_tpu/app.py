@@ -192,6 +192,12 @@ class Runner:
                     self.state = sm.apply_pending(self.state, dt)
             with profiler.block("device_step"):
                 self.state = self.step(self.state, jnp.float32(dt))
+            # gui button→script signal connections fire during play, not
+            # only in tests (ADVICE-r4 medium); no-readback unless a press
+            # edge is pending, so idle frames cost nothing
+            gm = self.world.modules.get("gui")
+            if gm is not None:
+                gm.pump_signals(self.state)
         profiler.frame()
         self.frame_index += 1
         # broadphase-integrity watchdog (scalar readback every 64 frames —

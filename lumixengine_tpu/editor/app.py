@@ -188,18 +188,24 @@ class EditorApp:
 
     def handle_key(self, code: int, text: str = "") -> None:
         if self.view != "main":
-            if code == 27:                   # esc returns to the main view
+            view_obj = {"assets": self.asset_browser,
+                        "profiler": self.profiler_ui,
+                        "scene": self.scene_view,
+                        "anim": self.anim_editor,
+                        "particles": self.particle_editor}[self.view]()
+            # 'q' quits only when the sub-editor is NOT in a text-edit
+            # state — typing a .pat line containing 'q' ("quad", "sq")
+            # must insert the character, not drop unsaved edits
+            # (ADVICE-r4 medium)
+            editing = getattr(view_obj, "edit", None) is not None
+            if code == 27 and not editing:   # esc returns to the main view
                 self.view = "main"
                 self.status = "main view"
-            elif text.lower() == "q" and self.view != "assets":
+            elif (text.lower() == "q" and self.view != "assets"
+                  and not editing):
                 self.quit_requested = True
             else:
-                {"assets": self.asset_browser,
-                 "profiler": self.profiler_ui,
-                 "scene": self.scene_view,
-                 "anim": self.anim_editor,
-                 "particles": self.particle_editor}[self.view]().handle_key(
-                     code, text)
+                view_obj.handle_key(code, text)
             return
         if self.edit is None and text in ("2", "3", "4", "5", "6"):
             target = {"2": "assets", "3": "profiler", "4": "scene",

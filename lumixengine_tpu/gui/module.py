@@ -68,6 +68,12 @@ class GuiModule(IModule):
         self.focused: int = -1             # entity of the focused input field
         self._statics = None
         self._statics_version = -1
+        # host-side press-edge tracking: a click edge can only exist in a
+        # device state computed AFTER inject_pointer(down=True) on a frame
+        # where the pointer was up — lets pump_signals() skip its device
+        # readback on the (vast majority of) frames with no press
+        self._host_down = False
+        self._press_pending = False
         self._click_events: List[int] = []
 
     def _font(self, size: int):
@@ -244,6 +250,9 @@ class GuiModule(IModule):
     # -- host helpers -----------------------------------------------------------
 
     def inject_pointer(self, state: WorldState, x: float, y: float, down: bool) -> WorldState:
+        if bool(down) and not self._host_down:
+            self._press_pending = True     # a click edge will appear next step
+        self._host_down = bool(down)
         gs: GuiState = state.modules[self.name]
         gs = gs.replace(pointer=jnp.asarray([x, y], jnp.float32),
                         pointer_down=jnp.asarray(bool(down)))
@@ -261,10 +270,19 @@ class GuiModule(IModule):
         """Fire this frame's module-scoped events into CoreModule signals
         (≙ GUISystem's m_button_clicked delegate feeding reflected events,
         gui_module.h:153-159 + core.cpp:120-138). Call once per frame after
-        update(). Returns the number of signal dispatches."""
+        update() — Runner.tick does (ADVICE-r4 medium: .unv button→script
+        connections must fire during actual play, not only in tests).
+        Returns the number of signal dispatches.
+
+        Cheap on idle frames: the device readback only happens when a
+        host-injected press edge is pending (clicks are press edges by
+        construction — update()'s `pointer_down & ~prev_down`)."""
         core = self.world.modules.get("core")
         if core is None:
             return 0
+        if not self._press_pending:
+            return 0
+        self._press_pending = False
         evs = [{"module": "gui", "event": "buttonClicked", "entity": e}
                for e in self.clicked_entities(state)]
         return core.dispatch_signals(evs) if evs else 0
