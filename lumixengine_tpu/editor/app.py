@@ -56,6 +56,7 @@ class EditorApp:
         self._scene_view = None
         self._anim_editor = None
         self._particle_editor = None
+        self._physics_view = None
 
     # -- views ---------------------------------------------------------------
 
@@ -130,6 +131,19 @@ class EditorApp:
             self._particle_editor = ParticleEditor(path)
         return self._particle_editor
 
+    def physics_view(self):
+        if self._physics_view is None:
+            from lumixengine_tpu.editor.physics_view import PhysicsView
+
+            if "physics" not in self.world.modules:
+                raise ValueError("no physics module in this world")
+            self._physics_view = PhysicsView(self.engine, self.world)
+            # joint gizmos overlay the scene view's presented frame
+            # (≙ physics_plugins.cpp addLine through the editor viewport)
+            self.scene_view().overlays.append(
+                self._physics_view.overlay_segments)
+        return self._physics_view
+
     # -- model ------------------------------------------------------------
 
     def entities(self) -> List[int]:
@@ -192,7 +206,8 @@ class EditorApp:
                         "profiler": self.profiler_ui,
                         "scene": self.scene_view,
                         "anim": self.anim_editor,
-                        "particles": self.particle_editor}[self.view]()
+                        "particles": self.particle_editor,
+                        "physics": self.physics_view}[self.view]()
             # 'q' quits only when the sub-editor is NOT in a text-edit
             # state — typing a .pat line containing 'q' ("quad", "sq")
             # must insert the character, not drop unsaved edits
@@ -207,13 +222,14 @@ class EditorApp:
             else:
                 view_obj.handle_key(code, text)
             return
-        if self.edit is None and text in ("2", "3", "4", "5", "6"):
+        if self.edit is None and text in ("2", "3", "4", "5", "6", "7"):
             target = {"2": "assets", "3": "profiler", "4": "scene",
-                      "5": "anim", "6": "particles"}[text]
-            if target in ("anim", "particles"):
+                      "5": "anim", "6": "particles", "7": "physics"}[text]
+            if target in ("anim", "particles", "physics"):
                 try:
-                    getattr(self, "anim_editor" if target == "anim"
-                            else "particle_editor")()
+                    getattr(self, {"anim": "anim_editor",
+                                   "particles": "particle_editor",
+                                   "physics": "physics_view"}[target])()
                 except ValueError as exc:
                     self.status = str(exc)
                     return
@@ -320,6 +336,8 @@ class EditorApp:
             return ae.render_text(width, height)
         if self.view == "particles":
             return self.particle_editor().render_text(width, height)
+        if self.view == "physics":
+            return self.physics_view().render_text(width, height)
         if self.view == "scene":
             sv = self.scene_view()
             # world edits since the last scene frame → re-upload host state

@@ -55,6 +55,12 @@ class SceneView:
         self._apply_camera()
         self._runner = None
         self._dirty = True           # host world changed → re-upload state
+        # overlay hooks: callables returning world-space (p0, p1, rgb)
+        # segments drawn over the presented frame (joint gizmos etc. —
+        # ≙ the reference's WorldView addLine debug-draw channel)
+        self.overlays = []
+        self.fov = 1.1
+        self.near = 0.1
 
     # -- camera ----------------------------------------------------------------
 
@@ -113,8 +119,60 @@ class SceneView:
             r.state = self.world.device_state()
             self._dirty = False
             r.state = r.step(r.state, np.float32(0.0))  # cull with dt=0
-        return r.present(cam_slot=self.cam, width=self.width,
-                         height=self.height)
+        img = r.present(cam_slot=self.cam, width=self.width,
+                        height=self.height)
+        return self._draw_overlays(img)
+
+    def _project(self, p: np.ndarray):
+        """World → (x_px, y_px, view_z) under the editor camera."""
+        v = p - self.cam_pos
+        q = self._cam_rot
+        conj = np.array([-q[0], -q[1], -q[2], q[3]], np.float32)
+        v = hm.quat_rotate(conj[None], v[None].astype(np.float32))[0]
+        return v  # view space; z negative in front
+
+    def _draw_overlays(self, img: np.ndarray) -> np.ndarray:
+        segs = []
+        for hook in self.overlays:
+            try:
+                segs.extend(hook())
+            except Exception:      # an overlay must never kill the present
+                continue
+        if not segs:
+            return img
+        h, w = img.shape[0], img.shape[1]
+        th = np.tan(self.fov * 0.5)
+        aspect = w / max(h, 1)
+        img = np.ascontiguousarray(img)
+        for p0, p1, rgb in segs:
+            a = self._project(np.asarray(p0, np.float32))
+            b = self._project(np.asarray(p1, np.float32))
+            # clip to the near plane in view space
+            if a[2] > -self.near and b[2] > -self.near:
+                continue
+            if a[2] > -self.near or b[2] > -self.near:
+                t = (-self.near - a[2]) / (b[2] - a[2])
+                cpt = a + (b - a) * t
+                if a[2] > -self.near:
+                    a = cpt
+                else:
+                    b = cpt
+            def px(v):
+                sx = v[0] / (-v[2] * th * aspect)
+                sy = v[1] / (-v[2] * th)
+                return (int(round((sx * 0.5 + 0.5) * (w - 1))),
+                        int(round((1.0 - (sy * 0.5 + 0.5)) * (h - 1))))
+            x0, y0 = px(a)
+            x1, y1 = px(b)
+            n = max(abs(x1 - x0), abs(y1 - y0), 1)
+            xs = np.clip(np.linspace(x0, x1, n + 1).round().astype(int), 0, w - 1)
+            ys = np.clip(np.linspace(y0, y1, n + 1).round().astype(int), 0, h - 1)
+            inside = ((np.linspace(x0, x1, n + 1) >= 0)
+                      & (np.linspace(x0, x1, n + 1) <= w - 1)
+                      & (np.linspace(y0, y1, n + 1) >= 0)
+                      & (np.linspace(y0, y1, n + 1) <= h - 1))
+            img[ys[inside], xs[inside]] = np.asarray(rgb, img.dtype)
+        return img
 
     def mark_dirty(self) -> None:
         """Call after external world edits (EditorApp commands) so the next

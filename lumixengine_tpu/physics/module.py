@@ -758,6 +758,37 @@ class PhysicsModule(IModule):
         elif ctype == "instanced_mesh":
             self.instanced_meshes.pop(entity, None)
 
+    def serialize(self):
+        """Module-level blob (world save "extra" section): the collision
+        layer matrix + layer names, so the physics editor's layer edits
+        persist through save/load (≙ PhysicsSystem's serialized collision
+        layers; physics/editor/physics_plugins.cpp layer matrix UI)."""
+        sys = self.system
+        out = {}
+        if sys is not None:
+            # pack each row as a 32-bit mask (rows are MAX_LAYERS wide)
+            bits = (np.asarray(sys.layer_matrix, bool)
+                    @ (1 << np.arange(sys.layer_matrix.shape[1],
+                                      dtype=np.int64))).tolist()
+            out["layer_matrix_rows"] = bits
+            if hasattr(sys, "layer_names"):
+                out["layer_names"] = list(sys.layer_names)
+        return out
+
+    def deserialize(self, blob, entity_map) -> None:
+        sys = self.system
+        rows = (blob or {}).get("layer_matrix_rows")
+        if sys is None or not rows:
+            return
+        n = sys.layer_matrix.shape[1]
+        m = np.zeros_like(sys.layer_matrix)
+        for r, bits in enumerate(rows[:m.shape[0]]):
+            m[r] = (int(bits) >> np.arange(n)) & 1
+        sys.layer_matrix = m.astype(bool)
+        if "layer_names" in blob:
+            sys.layer_names = list(blob["layer_names"])
+        self.invalidate_statics()
+
     def serialize_components(self):
         from lumixengine_tpu.utils.store import dump_stores
 
