@@ -278,6 +278,7 @@ def make_slot_world_step(
     warm_start: bool = True, mass_split: bool = True,
     sleeping: bool = True, sleep_speed: float = 0.08,
     sleep_frames: int = 30, wake_speed: float = 0.25,
+    over_relax: float = 1.0, settle_damping: float = 0.0,
 ):
     """Drop-in alternative to physics_banded.make_banded_world_step for dense
     piles: step(pos, rot, vel, angvel, dt, carry) →
@@ -503,9 +504,12 @@ def make_slot_world_step(
             hi_deg = pick(p_deg, jnp.broadcast_to(deg[None, :], (Pn, nb)))
             s_lo = jnp.maximum(lo_deg, 1.0)[None]           # [1, P, NB]
             s_hi = jnp.maximum(hi_deg, 1.0)[None]
-            relax = jnp.float32(1.0)
+            # over_relax > 1 is sound here: splitting by per-POINT count is
+            # conservative (the k points of one pair share a normal, so they
+            # act as ~one constraint); measured stable and faster-settling
+            relax = jnp.float32(over_relax)
             g_split = jnp.maximum(deg, 1.0)[None]           # [1, NB]
-            g_relax = jnp.float32(1.0)
+            g_relax = jnp.float32(over_relax)
         else:
             s_lo = s_hi = jnp.float32(1.0)
             relax = jnp.minimum(relaxation,
@@ -631,6 +635,19 @@ def make_slot_world_step(
                                  gl_n, gl_1, gl_2))
         vel, angvel = out[0], out[1]
         lam_n, lam_1, lam_2, gl_n, gl_1, gl_2 = out[2:]
+
+        if settle_damping > 0.0:
+            # near-sleep stabilization (PhysX-style): a SUPPORTED body moving
+            # slower than 4·sleep_speed bleeds extra energy each frame, so
+            # the jostle tail crosses the sleep threshold instead of
+            # hovering above it. Contact-gated (deg > 0): free flight —
+            # projectile apexes, slow throws — is never damped.
+            sp2_post = jnp.sum(vel * vel, 0) + jnp.sum(angvel * angvel, 0)
+            damp_m = ((sp2_post < (4.0 * sleep_speed) ** 2) & (deg > 0.0)
+                      & dyn_j)
+            f = jnp.where(damp_m, 1.0 - settle_damping, 1.0)[None]
+            vel = vel * f
+            angvel = angvel * f
 
         pos, rot = P.integrate_positions(pos, rot, vel, angvel, dt, dyn_j)
 

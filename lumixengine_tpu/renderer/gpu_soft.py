@@ -151,8 +151,9 @@ class SoftwareGpuBackend:
                     posed * iscale[i]) + ipos[i]
                 raster.raster_mesh(self.fb, self.zb, w,
                                    m.vertex_triangles,
-                                   raster._PALETTE[int(models[i])
-                                                   % len(raster._PALETTE)],
+                                   raster.model_base_color(
+                                       int(models[i]), registry,
+                                       self.rmod.system.materials),
                                    self.cam_pos, self.cam_rot, self.fov,
                                    self.width, self.height)
                 drawn[i] = True
@@ -161,7 +162,8 @@ class SoftwareGpuBackend:
                                 iscale[keep], models[keep],
                                 self.rmod.system.models, self.cam_pos,
                                 self.cam_rot, self.fov, self.width,
-                                self.height)
+                                self.height,
+                                materials=self.rmod.system.materials)
         self._bound = None
 
     def _skin_map(self):
@@ -229,7 +231,8 @@ class SoftwareGpuBackend:
                                 im["rot"][:n], im["scale"][:n], models,
                                 self.rmod.system.models, self.cam_pos,
                                 self.cam_rot, self.fov, self.width,
-                                self.height)
+                                self.height,
+                                materials=self.rmod.system.materials)
 
     def draw_particles(self, emitter=None, **kw):
         """Splat alive particles' position OUT channel as additive points."""

@@ -56,12 +56,17 @@ class SoupStatics(NamedTuple):
     num_instances: int
 
 
-def bake_soup(statics, registry, max_tris_per_model: int = 200_000) -> SoupStatics:
+def bake_soup(statics, registry, max_tris_per_model: int = 200_000,
+              materials=None) -> SoupStatics:
     """Expand (instance, model mesh) into one static soup (host, per topology).
 
     Models without triangle data fall back to raster.py's unit octahedron
     scaled by bounding radius, so every visible instance draws — same rule
-    as the host rasterizer."""
+    as the host rasterizer. Per-mesh MATERIAL albedo (color_r/g/b uniforms,
+    ≙ material.cpp u_color) bakes into the triangle colors when `materials`
+    is given — same rule as the host path (raster.model_base_color)."""
+    from lumixengine_tpu.renderer.raster import model_base_color
+
     vpos, vinst, tris, tinst, tcol = [], [], [], [], []
     voff = 0
     for k in range(len(statics.mi_model)):
@@ -75,7 +80,7 @@ def bake_soup(statics, registry, max_tris_per_model: int = 200_000) -> SoupStati
         vinst.append(np.full(len(verts), k, np.int32))
         tris.append(np.asarray(t, np.int32) + voff)
         tinst.append(np.full(len(t), k, np.int32))
-        base = _PALETTE[mid % len(_PALETTE)]
+        base = model_base_color(mid, registry, materials)
         tcol.append(np.tile(base, (len(t), 1)))
         voff += len(verts)
     if not tris:
@@ -324,9 +329,11 @@ class TpuPresent:
     """Cached TPU present for a Runner: rebakes the soup on topology change,
     reuses the jitted raster across frames (≙ gpu_dx12's PSO/heap reuse)."""
 
-    def __init__(self, width: int = 480, height: int = 270, **kw):
+    def __init__(self, width: int = 480, height: int = 270,
+                 lights: bool = True, **kw):
         self.width, self.height = width, height
         self.kw = kw
+        self.lights = lights
         self._raster = None
         self._soup_version = None
 
@@ -344,26 +351,56 @@ class TpuPresent:
         cam_slot = resolve_cam_slot(st, cam_slot)
         ver = (world.topology_version, cam_slot)
         if self._raster is None or self._soup_version != ver:
-            soup = bake_soup(st, rmod.system.models)
+            soup = bake_soup(st, rmod.system.models,
+                             materials=rmod.system.materials)
             raster = make_raster(soup, self.width, self.height, **self.kw)
             eidx = jnp.asarray(np.maximum(st.mi_slots, 0))
             cam_e = max(int(st.cam_slots[cam_slot]), 0)
+            # clustered point lights shade the raster output DEFERRED,
+            # on-device, with the SAME pass the software present uses
+            # (postprocess.deferred_lights ≙ pipeline.cpp clustered
+            # shading) — raster emits albedo+depth, the light pass
+            # reconstructs view positions/normals from depth
+            has_lights = (self.lights and st.pl_slots.size > 0
+                          and bool(np.any(st.pl_mask)))
+            le = jnp.asarray(np.maximum(st.pl_slots, 0))
+            aspect = self.width / self.height
 
             @jax.jit
-            def frame(wpos, wrot, wscale, visible, fovs):
-                return raster(
+            def frame(state):
+                wpos = state.world.pos
+                wrot = state.world.rot
+                rs = state.modules["renderer"]
+                cam_pos, cam_rot = wpos[:, cam_e], wrot[:, cam_e]
+                rgb, zbuf, overflow = raster(
                     jnp.take(wpos, eidx, axis=-1),
                     jnp.take(wrot, eidx, axis=-1),
-                    jnp.take(wscale, eidx, axis=-1),
-                    visible, wpos[:, cam_e], wrot[:, cam_e], fovs[cam_slot])
+                    jnp.take(state.world.scale, eidx, axis=-1),
+                    rs.mi_visible, cam_pos, cam_rot, rs.cam_fov[cam_slot])
+                if has_lights:
+                    from lumixengine_tpu.renderer import clusters as _cls
+                    from lumixengine_tpu.renderer import postprocess as pp
+
+                    cl = _cls.fill_clusters(state, rmod, cam_slot=cam_slot,
+                                            statics=st)
+                    lw = jnp.take(wpos, le, axis=-1)          # [3, L]
+                    inv = dm.quat_conjugate(cam_rot, axis=0)
+                    lv = dm.quat_rotate(inv[:, None],
+                                        lw - cam_pos[:, None], axis=0).T
+                    lit = pp.deferred_lights(
+                        rgb.astype(jnp.float32) / 255.0, zbuf,
+                        rs.cam_fov[cam_slot], aspect, lv,
+                        jnp.moveaxis(rs.pl_color, 0, -1), rs.pl_intensity,
+                        rs.pl_range, cl.lights, grid=_cls.GRID,
+                        near=rs.cam_near[cam_slot],
+                        far_cluster=rs.cam_far[cam_slot])
+                    rgb = jnp.clip(lit * 255.0, 0, 255).astype(jnp.uint8)
+                return rgb, zbuf, overflow
 
             self._frame = frame
             self._soup_version = ver
             self._raster = raster
-        state = runner.state
-        rs = state.modules["renderer"]
-        return self._frame(state.world.pos, state.world.rot,
-                           state.world.scale, rs.mi_visible, rs.cam_fov)
+        return self._frame(runner.state)
 
     def __call__(self, runner, cam_slot: int = 0):
         return self.device_frame(runner, cam_slot)

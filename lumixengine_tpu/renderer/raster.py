@@ -35,6 +35,28 @@ _LIGHT = np.array([0.45, 0.8, 0.35], np.float32)
 _LIGHT /= np.linalg.norm(_LIGHT)
 
 
+def model_base_color(mid, registry, materials=None):
+    """Per-model albedo (0-255 [3]): the model's material color when
+    EXPLICITLY set (color_r/g/b uniforms, ≙ material.cpp u_color), else the
+    diagnostic palette keyed by model id. Shared by the host rasterizer and
+    the TPU soup bake (gpu_tpu.py) so both present paths shade the same
+    materials."""
+    base = _PALETTE[int(mid) % len(_PALETTE)]
+    if materials is None or mid < 0:
+        return base
+    try:
+        m = registry.get(int(mid))
+        mat = materials.get(int(m.material_id))
+    except (IndexError, KeyError, AttributeError):
+        return base
+    if any(k in mat.uniforms for k in ("color_r", "color_g", "color_b")):
+        return np.array([mat.uniforms.get("color_r", 1.0),
+                         mat.uniforms.get("color_g", 1.0),
+                         mat.uniforms.get("color_b", 1.0)],
+                        np.float32) * 255.0
+    return base
+
+
 def _mesh_of(model, registry):
     m = registry.get(int(model)) if model >= 0 else None
     if m is not None and m.vertex_positions is not None \
@@ -74,12 +96,12 @@ def rasterize_view(runner, cam_slot: int = 0, width: int = 480,
 
     raster_instances(fb, zb, ipos, irot, iscale, models,
                      rmod.system.models, cam_pos, cam_rot, fov,
-                     width, height)
+                     width, height, materials=rmod.system.materials)
     return np.clip(fb, 0, 255).astype(np.uint8), zb
 
 
 def raster_instances(fb, zb, ipos, irot, iscale, models, registry,
-                     cam_pos, cam_rot, fov, width, height):
+                     cam_pos, cam_rot, fov, width, height, materials=None):
     """Z-buffered fill of instance meshes into an existing fb/zb pair (the
     core draw used by both rasterize_view and the software gpu backend's
     OP_DRAW_INSTANCED replay). Mutates fb [H,W,3] f32 and zb [H,W] in place."""
@@ -92,7 +114,7 @@ def raster_instances(fb, zb, ipos, irot, iscale, models, registry,
         verts, tris = _mesh_of(int(models[i]), registry)
         w = hm.quat_rotate(np.broadcast_to(irot[i], (len(verts), 4)),
                            verts * iscale[i]) + ipos[i]
-        base = _PALETTE[int(models[i]) % len(_PALETTE)]
+        base = model_base_color(int(models[i]), registry, materials)
         raster_mesh(fb, zb, w, tris, base, cam_pos, cam_rot, fov,
                     width, height)
 

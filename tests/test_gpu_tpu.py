@@ -81,3 +81,83 @@ def test_tpu_raster_rebakes_on_topology_change():
     runner.state = w.device_state()
     _ = present(runner)
     assert present._soup_version != v0
+
+
+def test_tpu_raster_material_albedo_and_clustered_lights():
+    """VERDICT-r4 next #5: the TPU present shades per-mesh MATERIAL albedo
+    and applies the clustered point lights — with the SAME deferred pass
+    (postprocess.deferred_lights) the software present uses, so the two
+    paths cross-check."""
+    import jax.numpy as jnp
+    from lumixengine_tpu.engine.engine import Engine
+    from lumixengine_tpu.renderer.model import Model
+    from lumixengine_tpu.renderer.material import Material
+    from lumixengine_tpu.renderer.render_module import RendererSystem
+    from lumixengine_tpu.renderer import clusters as CL
+    from lumixengine_tpu.renderer import postprocess as pp
+
+    engine = Engine()
+    rsys = RendererSystem(engine)
+    red_mat = rsys.materials.add(Material(
+        "red", uniforms={"color_r": 1.0, "color_g": 0.1, "color_b": 0.1}))
+    mid = rsys.add_model(Model(name="ball", bounding_radius=1.0,
+                               material_id=red_mat))
+    engine.add_system(rsys)
+    world = engine.create_world(capacity=16)
+    cam = world.create_entity(position=(0.0, 0.0, 6.0))
+    world.create_component(cam, "camera", fov=np.pi / 3, near=0.1, far=100.0)
+    e = world.create_entity(position=(0.0, 0.0, 0.0))
+    world.create_component(e, "model_instance", model=mid)
+    lt = world.create_entity(position=(0.0, 1.5, 1.5))
+    world.create_component(lt, "point_light", range=12.0, intensity=6.0)
+
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(1)
+
+    lit_p = gpu_tpu.TpuPresent(width=96, height=64)
+    rgb, depth, overflow = lit_p(runner)
+    rgb, depth = np.asarray(rgb), np.asarray(depth)
+    unlit_p = gpu_tpu.TpuPresent(width=96, height=64, lights=False)
+    rgb0, depth0, _ = unlit_p(runner)
+    rgb0 = np.asarray(rgb0)
+
+    hit = depth < np.inf
+    assert hit.any() and int(overflow) == 0
+    # material albedo: the unlit surface is red-dominant (not the palette)
+    fg = rgb0[hit].astype(np.float32)
+    assert fg[:, 0].mean() > 2.0 * fg[:, 1].mean()
+    # the point light visibly brightens lit geometry
+    assert rgb[hit].astype(np.int32).sum() > rgb0[hit].astype(np.int32).sum()
+    # background untouched by the light pass
+    assert (rgb[~hit] == rgb0[~hit]).all()
+
+    # cross-check: applying the SAME deferred pass to the unlit TPU output
+    # reproduces the lit TPU output bit-for-bit (same inputs, same pass)
+    st = world.modules["renderer"].statics()
+    rs = runner.state.modules["renderer"]
+    cl = CL.fill_clusters(runner.state, world.modules["renderer"],
+                          statics=st)
+    cam_e = int(st.cam_slots[0])
+    import lumixengine_tpu.core.host_math as hm
+    wpos = np.asarray(runner.state.world.pos)
+    cpos, crot = wpos[:, cam_e], np.asarray(runner.state.world.rot)[:, cam_e]
+    le = np.maximum(np.asarray(st.pl_slots), 0)
+    lw = wpos[:, le].T
+    lv = hm.quat_rotate(np.broadcast_to(hm.quat_conjugate(crot), (len(lw), 4)),
+                        lw - cpos)
+    ref = pp.deferred_lights(
+        jnp.asarray(rgb0.astype(np.float32) / 255.0), jnp.asarray(depth0),
+        float(np.asarray(rs.cam_fov[0])), 96 / 64, jnp.asarray(lv),
+        jnp.moveaxis(rs.pl_color, 0, -1), rs.pl_intensity, rs.pl_range,
+        cl.lights, grid=CL.GRID, near=float(np.asarray(rs.cam_near[0])),
+        far_cluster=float(np.asarray(rs.cam_far[0])))
+    ref8 = np.clip(np.asarray(ref) * 255.0, 0, 255).astype(np.uint8)
+    assert (ref8 == rgb).all()
+
+    # and the software present shades the same material albedo
+    fb, zb = raster.rasterize_view(runner, width=96, height=64)
+    hh = zb[:64] < np.inf
+    sf = fb[:64][hh].astype(np.float32)
+    assert sf[:, 0].mean() > 2.0 * sf[:, 1].mean()
