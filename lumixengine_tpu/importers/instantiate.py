@@ -91,8 +91,16 @@ class SceneAssets:
         if doc is not None:
             try:
                 from lumixengine_tpu.importers import fbx
+                from lumixengine_tpu.importers import model_meta as MM
 
                 model = fbx.to_model(doc, name=path)
+                # honor the reference's .meta sidecar (import scale, origin,
+                # culling scale, LOD distances — model_meta.h): the demo's
+                # own assets ship with these (e.g. Snake.fbx.meta scale 0.5)
+                real = self.find_file(path)
+                if real is not None:
+                    meta = MM.load_meta_for(real)
+                    MM.apply_meta(model, meta)
                 self.report["model_fbx"] += 1
             except Exception:
                 model = None

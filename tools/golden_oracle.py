@@ -71,6 +71,21 @@ def _quat_integrate(q, omega, dt):
     return q / np.linalg.norm(q)
 
 
+def _quat_mul(a, b):
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return np.array([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by + ay * bw + az * bx - ax * bz,
+        aw * bz + az * bw + ax * by - ay * bx,
+        aw * bw - ax * bx - ay * by - az * bz,
+    ])
+
+
+def _quat_conj(q):
+    return np.array([-q[0], -q[1], -q[2], q[3]])
+
+
 _CORNERS = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
                      for sz in (-1, 1)], np.float64)  # [8,3]
 
@@ -88,7 +103,7 @@ class Body:
         self.ang = np.array(ang, np.float64)
         self.shape = shape
         self.radius = float(radius)
-        self.he = np.array(he, np.float64)
+        self.he = np.array(he, np.float64)   # capsule: he[1] = half height
         self.friction = float(friction)
         self.restitution = float(restitution)
         if mass <= 0.0:
@@ -96,7 +111,9 @@ class Body:
             self.inv_inertia = np.zeros(3)
         else:
             self.inv_mass = 1.0 / mass
-            if shape == "sphere":
+            if shape in ("sphere", "capsule"):
+                # the device maps capsules onto the sphere inertia branch
+                # (physics/module.py:157-175 contract)
                 i = 0.4 * mass * radius * radius
                 self.inv_inertia = np.full(3, 1.0 / i)
             else:
@@ -105,6 +122,27 @@ class Body:
                 iy = mass / 12.0 * (d[0] ** 2 + d[2] ** 2)
                 iz = mass / 12.0 * (d[0] ** 2 + d[1] ** 2)
                 self.inv_inertia = 1.0 / np.array([ix, iy, iz])
+
+
+class Joint:
+    """≙ the device joint table (physics/module.py joints DenseStore):
+    jtype 0=distance 1=spherical 2=hinge 3=d6; anchors body-local; axis in
+    frame A; lin_mask = d6 per-axis locked flags (1 = locked)."""
+
+    __slots__ = ("jtype", "a", "b", "anchor_a", "anchor_b", "axis",
+                 "length", "rest_rel", "lin_mask", "limit")
+
+    def __init__(self, jtype, a, b, anchor_a=(0, 0, 0), anchor_b=(0, 0, 0),
+                 axis=(0, 1, 0), length=1.0, lin_mask=(1, 1, 1), limit=None):
+        self.jtype = jtype
+        self.a, self.b = a, b
+        self.anchor_a = np.array(anchor_a, np.float64)
+        self.anchor_b = np.array(anchor_b, np.float64)
+        self.axis = np.array(axis, np.float64)
+        self.length = float(length)
+        self.lin_mask = np.array(lin_mask, np.float64)
+        self.limit = limit
+        self.rest_rel = None      # captured at sim construction
 
 
 class Contact:
@@ -129,6 +167,41 @@ def _box_corners(b):
     return np.array([b.pos + _quat_rotate(b.rot, c * b.he) for c in _CORNERS])
 
 
+def _capsule_segment(b):
+    """Axis endpoints (local +Y · half-height, ≙ physics_ops.capsule_segment)."""
+    up = _quat_rotate(b.rot, np.array([0.0, b.he[1], 0.0]))
+    return b.pos + up, b.pos - up
+
+
+def _closest_segment_points(p1, q1, p2, q2):
+    """Closest points between segments p1q1 / p2q2 (f64, exact)."""
+    d1, d2 = q1 - p1, q2 - p2
+    r = p1 - p2
+    a, e, f = np.dot(d1, d1), np.dot(d2, d2), np.dot(d2, r)
+    if a <= 1e-12 and e <= 1e-12:
+        return p1, p2
+    if a <= 1e-12:
+        s = 0.0
+        t = np.clip(f / e, 0.0, 1.0)
+    else:
+        c = np.dot(d1, r)
+        if e <= 1e-12:
+            t = 0.0
+            s = np.clip(-c / a, 0.0, 1.0)
+        else:
+            bb = np.dot(d1, d2)
+            den = a * e - bb * bb
+            s = np.clip((bb * f - c * e) / den, 0.0, 1.0) if den > 1e-12 else 0.0
+            t = (bb * s + f) / e
+            if t < 0.0:
+                t = 0.0
+                s = np.clip(-c / a, 0.0, 1.0)
+            elif t > 1.0:
+                t = 1.0
+                s = np.clip((bb - c) / a, 0.0, 1.0)
+    return p1 + d1 * s, p2 + d2 * t
+
+
 def _ground_contacts(bodies, ground_y=0.0):
     out = []
     for i, b in enumerate(bodies):
@@ -140,6 +213,16 @@ def _ground_contacts(bodies, ground_y=0.0):
             if d > 0.0:
                 out.append(Contact(i, -1, low, np.array([0.0, -1.0, 0.0]), d,
                                    ("g", i, 0)))
+        elif b.shape == "capsule":
+            # both axis endpoints dropped by radius (the device's capsule
+            # ground manifold, physics_ops ground_contacts)
+            for ci, end in enumerate(_capsule_segment(b)):
+                low = end - [0.0, b.radius, 0.0]
+                d = ground_y - low[1]
+                if d > 0.0:
+                    out.append(Contact(i, -1, low,
+                                       np.array([0.0, -1.0, 0.0]), d,
+                                       ("g", i, ci)))
         else:
             for ci, c in enumerate(_box_corners(b)):
                 d = ground_y - c[1]
@@ -168,6 +251,19 @@ def _pair_contacts(bodies):
                     nrm = dvec / dist
                     pt = a.pos + nrm * (a.radius - 0.5 * depth)
                     out.append(Contact(i, j, pt, nrm, depth, ("ss", i, j)))
+            elif a.shape == "capsule" and b.shape == "capsule":
+                # capsules collide as spheres at the closest points of their
+                # axis segments (the device's capsule contract,
+                # physics_ops.py pair_contacts capsule handling)
+                ca, cb = _closest_segment_points(*_capsule_segment(a),
+                                                 *_capsule_segment(b))
+                dvec = cb - ca
+                dist = np.linalg.norm(dvec)
+                depth = a.radius + b.radius - dist
+                if depth > 0.0 and dist > 1e-9:
+                    nrm = dvec / dist
+                    pt = ca + nrm * (a.radius - 0.5 * depth)
+                    out.append(Contact(i, j, pt, nrm, depth, ("cc", i, j)))
             elif a.shape == "box" and b.shape == "box":
                 # SAT over the 6 face axes; min-overlap axis = contact normal,
                 # manifold = the incident box's penetrating corners against
@@ -199,7 +295,7 @@ def _pair_contacts(bodies):
                         if depth > 0.0:
                             out.append(Contact(i, j, c, n_bb, depth,
                                                ("bb", i, j, from_a, ci)))
-            else:  # sphere-box
+            elif {a.shape, b.shape} == {"sphere", "box"}:
                 si, bi = (i, j) if a.shape == "sphere" else (j, i)
                 sph, box = bodies[si], bodies[bi]
                 local = np.array([np.dot(
@@ -226,7 +322,8 @@ class GoldenSim:
 
     def __init__(self, bodies, gravity=(0.0, -9.81, 0.0),
                  lin_damping=0.05, ang_damping=0.05, ground=True,
-                 ground_friction=0.6, iterations=32, position_iterations=8):
+                 ground_friction=0.6, iterations=32, position_iterations=8,
+                 joints=()):
         self.ground_friction = ground_friction
         self.bodies = bodies
         self.gravity = np.array(gravity, np.float64)
@@ -235,6 +332,13 @@ class GoldenSim:
         self.ground = ground
         self.iterations = iterations
         self.position_iterations = position_iterations
+        self.joints = list(joints)
+        for jnt in self.joints:
+            # rest relative rotation captured at creation (hinge angle ref —
+            # the device does the same in create_component)
+            ra = bodies[jnt.a].rot
+            rb = bodies[jnt.b].rot
+            jnt.rest_rel = _quat_mul(_quat_conj(ra), rb)
         self._warm = {}
 
     def step(self, dt):
@@ -271,6 +375,9 @@ class GoldenSim:
             new_warm[c.key] = (c.lam_n, c.lam_t1, c.lam_t2)
         self._warm = new_warm
 
+        if self.joints:
+            self._solve_joints(dt)
+
         # split-impulse position projection (linear only, frozen normals;
         # device: physics_ops.project_positions). Depth is re-evaluated from
         # the accumulated body displacements so several contacts on the same
@@ -299,6 +406,113 @@ class GoldenSim:
                 continue
             b.pos = b.pos + b.vel * dt
             b.rot = _quat_integrate(b.rot, b.ang, dt)
+
+    def _solve_joints(self, dt):
+        """Velocity-level joint constraints with positional Baumgarte bias —
+        the DEVICE CONTRACT (physics/module.py:_solve_joints: beta=0.1,
+        relax=0.6, 4 mini-iterations, anchors/effective masses frozen over
+        the mini-iterations; hinge removes off-axis relative angular
+        velocity with per-axis diagonal inertia + angular limits; d6 solves
+        its locked linear/angular frame-A axes) — applied SEQUENTIALLY per
+        joint (this oracle's deliberate algorithmic difference)."""
+        bd = self.bodies
+        beta, relax = 0.1, 0.6
+
+        def iiw(b):
+            """World-space diagonal inertia approx: rotate body diag
+            (matches P.inv_inertia_world_diag's diagonal contract)."""
+            # R diag(i) R^T diagonal: sum_k R[a,k]^2 i[k]
+            R = np.stack([_quat_rotate(b.rot, np.eye(3)[k]) for k in range(3)],
+                         axis=1)                          # columns = axes
+            return (R ** 2) @ b.inv_inertia
+
+        frozen = []
+        for jnt in self.joints:
+            a, b = bd[jnt.a], bd[jnt.b]
+            r_a = _quat_rotate(a.rot, jnt.anchor_a)
+            r_b = _quat_rotate(b.rot, jnt.anchor_b)
+            pa, pb = a.pos + r_a, b.pos + r_b
+            err_vec = pb - pa
+            frozen.append((r_a, r_b, err_vec, iiw(a), iiw(b)))
+
+        def kterm(b, r, d, II):
+            return b.inv_mass + np.dot(np.cross(II * np.cross(r, d), r), d)
+
+        for _ in range(4):
+            for jnt, (r_a, r_b, err_vec, II_a, II_b) in zip(self.joints,
+                                                            frozen):
+                a, b = bd[jnt.a], bd[jnt.b]
+                va = a.vel + np.cross(a.ang, r_a)
+                vb = b.vel + np.cross(b.ang, r_b)
+                vrel = vb - va
+
+                def apply_lin(imp):
+                    a.vel -= imp * a.inv_mass
+                    a.ang -= II_a * np.cross(r_a, imp)
+                    b.vel += imp * b.inv_mass
+                    b.ang += II_b * np.cross(r_b, imp)
+
+                if jnt.jtype == 0:            # distance
+                    dist = max(np.linalg.norm(err_vec), 1e-6)
+                    n = err_vec / dist
+                    err = dist - jnt.length
+                    k = max(kterm(a, r_a, n, II_a) + kterm(b, r_b, n, II_b),
+                            1e-9)
+                    lam = -(np.dot(vrel, n) + beta * err / dt) / k * relax
+                    apply_lin(n * lam)
+                else:                          # point constraint per axis
+                    imp = np.zeros(3)
+                    if jnt.jtype == 3:         # d6: frame-A axes, lin_mask
+                        for i in range(3):
+                            if jnt.lin_mask[i] == 0.0:
+                                continue
+                            e = _quat_rotate(a.rot, np.eye(3)[i])
+                            k = max(kterm(a, r_a, e, II_a)
+                                    + kterm(b, r_b, e, II_b), 1e-9)
+                            lam = -(np.dot(vrel, e)
+                                    + beta * np.dot(err_vec, e) / dt) / k * relax
+                            imp += e * lam
+                    else:                      # spherical/hinge: world axes
+                        for i in range(3):
+                            e = np.eye(3)[i]
+                            k = max(kterm(a, r_a, e, II_a)
+                                    + kterm(b, r_b, e, II_b), 1e-9)
+                            imp[i] = -(vrel[i] + beta * err_vec[i] / dt) \
+                                / k * relax
+                    apply_lin(imp)
+
+        # hinge: remove off-axis relative angular velocity (+ limits)
+        for jnt, (r_a, r_b, err_vec, II_a, II_b) in zip(self.joints, frozen):
+            a, b = bd[jnt.a], bd[jnt.b]
+            if jnt.jtype == 2:
+                axis_w = _quat_rotate(a.rot, jnt.axis)
+                wrel = b.ang - a.ang
+                off = wrel - axis_w * np.dot(wrel, axis_w)
+                tau = -off / np.maximum(II_a + II_b, 1e-9)
+                if jnt.limit is not None:
+                    k_ax = max(np.dot(axis_w * (II_a + II_b), axis_w), 1e-9)
+                    rel = _quat_mul(_quat_conj(a.rot), b.rot)
+                    dtw = _quat_mul(_quat_conj(jnt.rest_rel), rel)
+                    angle = 2.0 * np.arctan2(np.dot(dtw[:3], jnt.axis), dtw[3])
+                    lo, hi = jnt.limit
+                    over = max(angle - hi, 0.0) - max(lo - angle, 0.0)
+                    w_ax = np.dot(wrel, axis_w)
+                    lam_l = (-(0.2 / dt) * over
+                             - (w_ax if abs(over) > 0 else 0.0)) / k_ax
+                    tau = tau + axis_w * lam_l
+                a.ang -= II_a * tau
+                b.ang += II_b * tau
+            elif jnt.jtype == 3:
+                wrel = b.ang - a.ang
+                locked = np.zeros(3)
+                # device contract: d6_angular mask (here: all axes locked —
+                # the scenes below use fully angular-locked d6)
+                for i in range(3):
+                    e = _quat_rotate(a.rot, np.eye(3)[i])
+                    locked += e * np.dot(wrel, e)
+                tau = -locked / np.maximum(II_a + II_b, 1e-9)
+                a.ang -= II_a * tau
+                b.ang += II_b * tau
 
     def _rel_vel(self, c):
         a = self.bodies[c.a]
@@ -406,12 +620,65 @@ def scene_drop27():
     return GoldenSim(bodies), 400
 
 
+def scene_friction_slide():
+    """Box sliding on the ground, friction brings it to rest (the classic
+    μ·g deceleration arc; VERDICT-r4 next #7)."""
+    b = Body((0.0, 0.5, 0.0), shape="box", friction=0.3,
+             vel=(3.0, 0.0, 0.0))
+    return GoldenSim([b], lin_damping=0.0, ang_damping=0.0), 600
+
+
+def scene_capsule_stack():
+    """Crossed capsule stack: one capsule on the ground (axis X), one
+    dropped across it (axis Z) — unique segment-segment closest point, so
+    the top capsule rocks and settles balanced."""
+    s2 = np.sqrt(0.5)
+    rot_x = (0.0, 0.0, -s2, s2)     # local +Y → +X
+    rot_z = (s2, 0.0, 0.0, s2)      # local +Y → -Z (axis along Z)
+    r, hh = 0.3, 0.7
+    bottom = Body((0.0, r, 0.0), shape="capsule", radius=r,
+                  he=(r, hh, r), rot=rot_x, friction=0.8)
+    top = Body((0.0, 3 * r + 0.3, 0.0), shape="capsule", radius=r,
+               he=(r, hh, r), rot=rot_z, friction=0.8)
+    return GoldenSim([bottom, top]), 400, 1
+
+
+def scene_hinge_pendulum():
+    """3-link hinge pendulum chain from a static anchor (≙ PxRevoluteJoint
+    chain): starts horizontal, swings under gravity, damps toward hanging."""
+    anchor = Body((0.0, 5.0, 0.0), shape="box", he=(0.1, 0.1, 0.1), mass=0.0)
+    bodies = [anchor] + [Body((0.55 + 0.9 * i, 5.0, 0.0), shape="box",
+                              he=(0.4, 0.1, 0.1)) for i in range(3)]
+    joints = []
+    for i in range(3):
+        a = i            # 0 = anchor, else previous link
+        aa = (0.1, 0.0, 0.0) if i == 0 else (0.45, 0.0, 0.0)
+        joints.append(Joint(2, a, i + 1, anchor_a=aa,
+                            anchor_b=(-0.45, 0.0, 0.0), axis=(0, 0, 1)))
+    return GoldenSim(bodies, ground=False, joints=joints), 900, 3
+
+
+def scene_d6_slider():
+    """D6 joint, linear X free / Y,Z locked, all angular locked
+    (≙ PxD6Joint setMotion eFREE/eLOCKED): the box slides along X with
+    damped drift while gravity is held by the locked Y axis."""
+    anchor = Body((0.0, 2.0, 0.0), shape="box", he=(0.1, 0.1, 0.1), mass=0.0)
+    slider = Body((0.0, 2.0, 0.0), shape="box", he=(0.3, 0.3, 0.3),
+                  vel=(3.0, 0.0, 0.0))
+    jnt = Joint(3, 0, 1, lin_mask=(0.0, 1.0, 1.0))
+    return GoldenSim([anchor, slider], ground=False, joints=[jnt]), 600, 1
+
+
 SCENES = {
     "ballistic": scene_ballistic,
     "tumbling": scene_tumbling,
     "bounce": scene_bounce,
     "stack3": scene_stack3,
     "drop27": scene_drop27,
+    "friction_slide": scene_friction_slide,
+    "capsule_stack": scene_capsule_stack,
+    "hinge_pendulum": scene_hinge_pendulum,
+    "d6_slider": scene_d6_slider,
 }
 
 PROVENANCE = ("independent f64 sequential-impulse (Gauss-Seidel) oracle, "
@@ -422,7 +689,9 @@ PROVENANCE = ("independent f64 sequential-impulse (Gauss-Seidel) oracle, "
 def main():
     os.makedirs(DATA_DIR, exist_ok=True)
     for name, make in SCENES.items():
-        sim, steps = make()
+        made = make()
+        sim, steps = made[0], made[1]
+        record = made[2] if len(made) > 2 else 0
         init = {
             "pos": np.array([b.pos for b in sim.bodies]),
             "rot": np.array([b.rot for b in sim.bodies]),
@@ -430,19 +699,40 @@ def main():
             "ang": np.array([b.ang for b in sim.bodies]),
             "he": np.array([b.he for b in sim.bodies]),
             "radius": np.array([b.radius for b in sim.bodies]),
-            "shape": np.array([0 if b.shape == "sphere" else 1
+            "shape": np.array([{"sphere": 0, "box": 1, "capsule": 2}[b.shape]
                                for b in sim.bodies], np.int32),
             "friction": np.array([b.friction for b in sim.bodies]),
             "restitution": np.array([b.restitution for b in sim.bodies]),
+            "mass": np.array([0.0 if b.inv_mass == 0.0 else 1.0 / b.inv_mass
+                              for b in sim.bodies]),
         }
-        traj_p, traj_q, final_pos, final_vel = run(sim, steps)
+        jd = {}
+        if sim.joints:
+            jd = {
+                "joint_type": np.array([j.jtype for j in sim.joints], np.int32),
+                "joint_a": np.array([j.a for j in sim.joints], np.int32),
+                "joint_b": np.array([j.b for j in sim.joints], np.int32),
+                "joint_anchor_a": np.array([j.anchor_a for j in sim.joints]),
+                "joint_anchor_b": np.array([j.anchor_b for j in sim.joints]),
+                "joint_axis": np.array([j.axis for j in sim.joints]),
+                "joint_length": np.array([j.length for j in sim.joints]),
+                "joint_lin_mask": np.array([j.lin_mask for j in sim.joints]),
+                "joint_limit_on": np.array(
+                    [1 if j.limit is not None else 0 for j in sim.joints],
+                    np.int32),
+                "joint_limit": np.array(
+                    [j.limit if j.limit is not None else (0.0, 0.0)
+                     for j in sim.joints]),
+            }
+        traj_p, traj_q, final_pos, final_vel = run(sim, steps, record=record)
         path = os.path.join(DATA_DIR, f"golden_{name}.npz")
         np.savez_compressed(
             path, traj_pos=traj_p, traj_rot=traj_q, final_pos=final_pos,
             final_vel=final_vel, dt=DT, steps=steps,
             gravity=sim.gravity, lin_damping=sim.lin_damping,
             ang_damping=sim.ang_damping, ground=int(sim.ground),
-            provenance=PROVENANCE, **{f"init_{k}": v for k, v in init.items()})
+            provenance=PROVENANCE, **jd,
+            **{f"init_{k}": v for k, v in init.items()})
         print(f"{name}: {steps} steps -> {path}  "
               f"(final y of body0: {final_pos[0][1]:.4f})")
 
