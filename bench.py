@@ -49,6 +49,20 @@ def build_world(args):
         engine, world, *_ = demo_scenes.skinned_crowd_world(num_characters=args.characters)
     elif args.config == "particles":
         engine, world, _ = demo_scenes.particle_stress_world(capacity=args.particles)
+    elif args.config == "scripts":
+        # script-heavy config (VERDICT-r4 next #8): every entity runs a
+        # real Lua update(), compiled to the device fast path. start_game
+        # BEFORE the build so chunk locals hold post-start() values (the
+        # fast-path compile contract, script/lua_fastpath.py).
+        engine, world, _ = demo_scenes.script_stress_world(
+            num_scripts=args.entities if args.entities != 10240 else 64)
+        engine.start_game(world)
+        sm = world.modules["script"]
+        sm.prepare_statics()
+        n_fast = sum(len(g.entities) for g in sm._fast_groups)
+        if n_fast == 0:
+            raise SystemExit("scripts config: nothing compiled to the "
+                             "device fast path")
     else:
         raise SystemExit(f"unknown config {args.config}")
     return engine, world
@@ -269,6 +283,8 @@ def _normalize_config_args(args):
         args.worlds = 1
         if args.particles == 2048:
             args.particles = 1_000_000
+    if args.config == "scripts" and args.entities == 10240:
+        args.entities = 64     # 64 scripted movers × the world batch
     return args
 
 
@@ -320,6 +336,9 @@ def main_all(args):
         # (measured OOM on v5e); the metric normalizes per entity-step
         ("full256", {"config": "full", "characters": 256, "worlds": 2048},
          None),
+        # script-heavy: 64 compiled-Lua movers × the world batch
+        # (VERDICT-r4 next #8 — the Lua device fast path at batch scale)
+        ("scripts", {"config": "scripts"}, None),
         # flagship frame + shadow cascades + clustered lights; the chunked
         # bitset binning (renderer/clusters.py) holds 4096 worlds — fall
         # back to 2048 if HBM says otherwise, recording the fallback
@@ -390,7 +409,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="all",
                    choices=["all", "full", "demo", "crowd", "particles",
-                            "boxes", "map", "render"])
+                            "boxes", "map", "render", "scripts"])
     p.add_argument("--map", default=None)
     # 4096 worlds x 10240 entities = the BASELINE.md flagship config. Fits in
     # 16G HBM since the narrowphase layout fix + bf16 incidence (1024 worlds

@@ -129,12 +129,18 @@ class Runner:
         self.world = world
 
     def start(self, fixed_dt: Optional[float] = 1.0 / 60.0) -> None:
-        """Build the fused step and start the game (≙ startGame)."""
+        """Start the game, THEN build the fused step (≙ startGame).
+
+        Order matters for two reasons: (1) scripts' start() writes land in
+        the host world and are captured by the snapshot directly; (2) the
+        restricted-Lua device fast path (script/lua_fastpath.py) compiles
+        update() bodies against their post-start() chunk locals, so the
+        build must come after start_game for scripts to run on-device."""
         assert self.world is not None, "load or set a world first"
         self._fixed_dt = fixed_dt
+        self.engine.start_game(self.world)
         with profiler.block("build_step"):
             self._build_and_snapshot()
-        self.engine.start_game(self.world)
         if self.settings.get("profile_start"):
             profiler.enable(True)
 

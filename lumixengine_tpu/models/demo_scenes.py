@@ -151,6 +151,53 @@ emitter storm {
 """
 
 
+SCRIPT_MOVER_LUA = """
+local pos = {}
+local t = 0
+local speed = %(speed)f
+
+function start()
+    pos = this.position
+end
+
+function update(time_delta)
+    t = t + time_delta * speed
+    this.position = {
+        pos[1] + math.cos(t) * 3,
+        pos[2] + math.abs(math.sin(t * 0.7)),
+        pos[3] + math.sin(t) * 3
+    }
+end
+"""
+
+
+def script_stress_world(num_scripts: int = 64):
+    """Script-heavy config (VERDICT-r4 next #8): every entity runs a real
+    Lua update() (the demo's move.lua kinematics pattern) — compiled to the
+    device fast path (script/lua_fastpath.py), so the per-frame script cost
+    scales with the world batch instead of stalling it host-side. Returns
+    (engine, world, renderer)."""
+    from lumixengine_tpu import app as app_mod
+    from lumixengine_tpu.renderer.model import Model
+
+    engine = app_mod.create_full_engine(model_instances=num_scripts + 2)
+    rsys = engine.system_manager.get_system("renderer_system")
+    mid = rsys.add_model(Model(name="mover_ball", bounding_radius=0.5))
+    world = engine.create_world(capacity=num_scripts + 8)
+    cam = world.create_entity(position=(0.0, 10.0, 60.0), name="camera")
+    world.create_component(cam, "camera")
+    sm = world.modules["script"]
+    rng = np.random.default_rng(3)
+    for i in range(num_scripts):
+        e = world.create_entity(
+            position=tuple(rng.uniform(-30, 30, 3).astype(float)),
+            name=f"mover{i}")
+        world.create_component(e, "model_instance", model=mid)
+        sm.attach_lua_script(
+            e, source=SCRIPT_MOVER_LUA % {"speed": 0.5 + 0.1 * (i % 7)})
+    return engine, world, world.modules["renderer"]
+
+
 def particle_stress_world(capacity: int = 1_000_000):
     """1M-particle stress (BASELINE.md config 4): one emitter script at 1M
     capacity. Returns (engine, world, renderer)."""

@@ -263,6 +263,10 @@ class ScriptModule(IModule):
         self.lua_search_dirs: List[str] = []
         self.pending_sounds: List[tuple] = []
         self._started = False
+        # restricted-Lua device fast path (script/lua_fastpath.py): groups of
+        # compiled update() instances, rebuilt in prepare_statics
+        self._fast_groups: list = []
+        self._fast_envs: set = set()
         self._timers: List[tuple] = []   # (remaining_s, callback)
         # last frame's device state, set by the Runner before script update —
         # scripts query against the previous sim results like the reference's
@@ -549,6 +553,97 @@ class ScriptModule(IModule):
     def api(self) -> Dict[str, Any]:
         return self.system.api
 
+    # -- restricted-Lua device fast path (script/lua_fastpath.py) -----------------
+
+    def prepare_statics(self) -> None:
+        """Compile eligible update() bodies to jnp and group identical
+        sources for vectorized execution. Only after start() ran — chunk
+        locals (the state vector) must hold their post-start values."""
+        self._fast_groups = []
+        self._fast_envs = set()
+        if not self._started or not self.lua_envs:
+            return
+        from lumixengine_tpu.script import lua_fastpath as FP
+
+        groups: Dict[tuple, FP.FastUpdate] = {}
+        for envs in self.lua_envs.values():
+            for env in envs:
+                fu = FP.try_compile(env, self.world)
+                if fu is None:
+                    continue
+                key = (fu.source_key, tuple(fu.layout))
+                if key in groups:
+                    g = groups[key]
+                    g.entities.extend(fu.entities)
+                    g.init_rows.extend(fu.init_rows)
+                    g.envs.extend(fu.envs)
+                else:
+                    groups[key] = fu
+                self._fast_envs.add(id(env))
+        self._fast_groups = list(groups.values())
+        for g in self._fast_groups:
+            g.slots = self.world.to_slots(np.asarray(g.entities, np.int64))
+
+    def device_state(self):
+        if not self._fast_groups:
+            return None
+        import jax.numpy as jnp
+
+        return {"fast": {str(i): jnp.asarray(np.stack(g.init_rows))
+                         for i, g in enumerate(self._fast_groups)
+                         if g.nslots > 0},
+                "fast0": {str(i): jnp.zeros((len(g.entities), 0))
+                          for i, g in enumerate(self._fast_groups)
+                          if g.nslots == 0}}
+
+    def update(self, state, dt):
+        """Device phase: run every compiled script instance vectorized
+        (and vmapped across worlds by the caller) — ≙ the reference's
+        per-instance update pcall loop (lua_script_system.cpp:1661-1684),
+        moved onto the chip for the restricted subset."""
+        if not self._fast_groups:
+            return state
+        import jax.numpy as jnp
+
+        ss = state.modules[self.name]
+        local = state.local
+        new_fast = dict(ss["fast"])
+        for i, g in enumerate(self._fast_groups):
+            rows = (ss["fast"][str(i)] if g.nslots > 0
+                    else ss["fast0"][str(i)])
+            sl = np.asarray(g.slots)
+            pos = local.pos[..., :, sl]
+            run = g.batched()
+            if pos.ndim == 2:
+                nrows, npos = run(rows, pos, jnp.asarray(dt, jnp.float32))
+            else:   # defensive: explicit world batch without outer vmap
+                import jax
+
+                nrows, npos = jax.vmap(run, in_axes=(0, 0, None))(
+                    rows, pos, jnp.asarray(dt, jnp.float32))
+            local = local.replace(pos=local.pos.at[..., :, sl].set(npos))
+            if g.nslots > 0:
+                new_fast[str(i)] = nrows
+        state = state.replace(local=local)
+        return state.replace(modules={**state.modules,
+                                      self.name: {**ss, "fast": new_fast}})
+
+    def load_state(self, module_state) -> None:
+        """Device rows → Lua chunk scopes so host reads (save, editor
+        property grid) see the fast path's current values."""
+        if not self._fast_groups or module_state is None:
+            return
+        from lumixengine_tpu.script import lua_fastpath as FP
+
+        for i, g in enumerate(self._fast_groups):
+            if g.nslots == 0:
+                continue
+            rows = np.asarray(module_state["fast"][str(i)])
+            if rows.ndim == 3:      # world batch: world 0 is the canonical
+                rows = rows[0]
+            for env, row in zip(g.envs, rows):
+                FP.write_back(env, g.layout, row)
+
     # -- lifecycle / frame hooks (host side) --------------------------------------
 
     def start_game(self) -> None:
@@ -587,6 +682,8 @@ class ScriptModule(IModule):
                 env.call("update", dt)
         for envs in list(self.lua_envs.values()):
             for env in list(envs):
+                if id(env) in self._fast_envs:
+                    continue     # compiled: runs inside the device step
                 env.call("update", float(dt))
 
     def on_input(self, event) -> None:
