@@ -76,6 +76,8 @@ class EditorApp:
                     pass
 
             tex.register_texture_plugins(compiler, _TexSink())
+            from lumixengine_tpu.importers import composite_texture as ct
+            ct.register(compiler)
             self._asset_browser = AssetBrowser(DEFAULT_DATA_DIRS,
                                                compiler=compiler)
         return self._asset_browser
