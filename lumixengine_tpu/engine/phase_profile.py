@@ -102,5 +102,7 @@ def profile_phases(world, state=None, dt: float = 1.0 / 60.0,
 def attribute_frame(profile: Dict[str, Dict[str, float]],
                     frame_ms: float) -> Dict[str, float]:
     """Split a measured whole-frame wall time across phases by roofline
-    fraction → {"<module>.<phase>_ms": ms}."""
-    return {f"{k}_ms": profile[k]["frac"] * frame_ms for k in profile}
+    fraction → {"<module>.<phase>_est_ms": ms}. The _est_ suffix is the
+    contract: these are MODELED shares of a measured total, not per-phase
+    measurements (VERDICT-r4 weak #6)."""
+    return {f"{k}_est_ms": profile[k]["frac"] * frame_ms for k in profile}

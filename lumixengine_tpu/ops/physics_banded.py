@@ -305,15 +305,20 @@ def solve_contacts_banded(
 def project_positions_banded(pos_rank, g_normal, g_depth, g_active,
                              p_normal, p_depth, p_active, inv_mass,
                              iterations: int = 3, slop: float = 0.005,
-                             relaxation: float = 0.8):
-    """Split-impulse position projection in rank space (shift-based)."""
+                             relaxation: float = 0.8,
+                             max_correction: float = 0.02):
+    """Split-impulse position projection in rank space (shift-based).
+    max_correction caps the per-frame push (see physics_ops.project_positions
+    — the linear-only correction pumps energy on tipped end contacts)."""
     K = p_normal.shape[-2]
     im = inv_mass
     im_b = banded_pair_data(im, K)
     g_k = jnp.maximum(im[None, :], 1e-9)
     p_k = jnp.maximum(im[None, None, :] + im_b[None, :, :], 1e-9)
-    g_e0 = jnp.where(g_active, jnp.maximum(g_depth - slop, 0.0), 0.0)
-    p_e0 = jnp.where(p_active, jnp.maximum(p_depth - slop, 0.0), 0.0)
+    g_e0 = jnp.where(g_active,
+                     jnp.clip(g_depth - slop, 0.0, max_correction), 0.0)
+    p_e0 = jnp.where(p_active,
+                     jnp.clip(p_depth - slop, 0.0, max_correction), 0.0)
 
     ga = g_active.astype(jnp.float32)
     pa = p_active.astype(jnp.float32)
@@ -641,9 +646,12 @@ def match_warm_lams(prev_lams, prev_rank, order, K: int):
 
 def project_positions_banded_multi(pos_body, sweeps, inv_mass_body,
                                    iterations: int = 3, slop: float = 0.005,
-                                   relaxation: float = 0.8):
+                                   relaxation: float = 0.8,
+                                   max_correction: float = 0.02):
     """Multi-sweep split-impulse position projection (body-order positions;
-    per-sweep rank/unrank of the [3, NB] correction each iteration)."""
+    per-sweep rank/unrank of the [3, NB] correction each iteration).
+    max_correction caps the per-frame push (see physics_ops.project_positions
+    — linear-only corrections pump energy on tipped end contacts)."""
     if iterations <= 0:
         return pos_body
 
@@ -672,13 +680,15 @@ def project_positions_banded_multi(pos_body, sweeps, inv_mass_body,
         c = {"order": order, "K": K, "im": s_im,
              "p_k": jnp.maximum(s_im[None, None, :] + im_b[None, :, :], 1e-9),
              "p_e0": jnp.where(sw["p_active"],
-                               jnp.maximum(sw["p_depth"] - slop, 0.0), 0.0),
+                               jnp.clip(sw["p_depth"] - slop, 0.0,
+                                        max_correction), 0.0),
              "p_rx": jnp.minimum(relaxation, 1.6 / jnp.maximum(
                  jnp.maximum(s_deg[None, None, :], deg_b[None, :, :]), 1.0))}
         if "g_active" in sw:
             c["g_k"] = jnp.maximum(s_im[None, :], 1e-9)
             c["g_e0"] = jnp.where(sw["g_active"],
-                                  jnp.maximum(sw["g_depth"] - slop, 0.0), 0.0)
+                                  jnp.clip(sw["g_depth"] - slop, 0.0,
+                                           max_correction), 0.0)
             c["g_rx"] = jnp.minimum(relaxation,
                                     1.6 / jnp.maximum(s_deg[None, :], 1.0))
         consts.append(c)

@@ -162,7 +162,10 @@ def project_positions_dynamic(
     im_a = jnp.take(inv_mass_arr, body_a)
     im_b = jnp.take(inv_mass_arr, body_b) * has_b
     k_lin = jnp.maximum(im_a + im_b, 1e-9)
-    e0 = jnp.where(active, jnp.maximum(depth - slop, 0.0), 0.0)
+    # max_correction caps the per-frame push (see physics_ops
+    # project_positions — linear-only corrections pump energy on tipped
+    # end contacts); same 0.02 m cap as every other projection path
+    e0 = jnp.where(active, jnp.clip(depth - slop, 0.0, 0.02), 0.0)
 
     act_f = active.astype(jnp.float32)
     deg = jax.ops.segment_sum(act_f, body_a, num_segments=nb) + \

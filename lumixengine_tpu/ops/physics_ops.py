@@ -674,12 +674,20 @@ def project_positions(
     iterations: int = 3,
     slop: float = 0.005,
     relaxation: float = 0.8,
+    max_correction: float = 0.02,
 ):
     """Split-impulse position projection (≙ Box2D NGS / PhysX TGS position
     iterations): pushes penetrating contacts out at the POSITION level with a
     frozen-Jacobian linear-only correction, so resting depth converges to the
     slop regardless of velocity-solve convergence and no energy is injected
-    into velocities. Returns corrected pos."""
+    into velocities. Returns corrected pos.
+
+    max_correction (≙ Box2D maxLinearCorrection): the per-frame push is
+    capped because the correction is LINEAR-ONLY — an end contact of a
+    tipped long body would otherwise raise the whole COM by the end's full
+    depth each frame, pumping potential energy into a rock-launch-fall
+    limit cycle (measured on a capsule bridging two static capsules: the
+    cycle never decayed; with the cap it settles in ~1 s)."""
     inc_a = jnp.asarray(incidence_a)
     inc_b = jnp.asarray(incidence_b)
 
@@ -699,7 +707,7 @@ def project_positions(
     k_lin = jnp.maximum(im_a + im_b, 1e-9)
     n = contacts.normal
     e0 = jnp.where(contacts.active,
-                   jnp.maximum(contacts.depth - slop, 0.0), 0.0)
+                   jnp.clip(contacts.depth - slop, 0.0, max_correction), 0.0)
 
     # degree-scaled relaxation (same Jacobi-stability rule as the solvers)
     act_f = contacts.active.astype(jnp.float32)

@@ -45,6 +45,7 @@ import numpy as np
 DT = 1.0 / 60.0
 SLOP = 0.005
 REST_THRESH = 0.5  # m/s — PhysX bounce threshold (device: physics_ops.py:604)
+MAX_CORRECTION = 0.02  # m/frame positional push cap (device max_correction)
 
 DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
 
@@ -392,7 +393,13 @@ class GoldenSim:
                     continue
                 db = disp[c.b] if c.b >= 0 else np.zeros(3)
                 cur_depth = c.depth - np.dot(c.normal, db - disp[c.a])
-                corr = max(cur_depth - SLOP, 0.0) * 0.8 / k
+                # MAX_CORRECTION caps the per-frame positional push — part
+                # of the documented contract (device: physics_ops.py
+                # project_positions max_correction; ≙ Box2D
+                # maxLinearCorrection): linear-only projection would
+                # otherwise pump energy on tipped end contacts
+                corr = min(max(cur_depth - SLOP, 0.0),
+                           MAX_CORRECTION) * 0.8 / k
                 da = c.normal * (-corr * a.inv_mass)
                 a.pos += da
                 disp[c.a] += da
@@ -629,18 +636,22 @@ def scene_friction_slide():
 
 
 def scene_capsule_stack():
-    """Crossed capsule stack: one capsule on the ground (axis X), one
-    dropped across it (axis Z) — unique segment-segment closest point, so
-    the top capsule rocks and settles balanced."""
+    """Capsule bridge stack: a dynamic capsule (axis X) drops onto two
+    STATIC capsules (axis Z) at x=±0.6 and rests bridging them — two
+    unique crossed-segment contact points straddling the COM, a stable
+    capsule-on-capsule rest pose (a crossed single-point balance is an
+    inverted pendulum: chaotic, useless as a golden)."""
     s2 = np.sqrt(0.5)
     rot_x = (0.0, 0.0, -s2, s2)     # local +Y → +X
     rot_z = (s2, 0.0, 0.0, s2)      # local +Y → -Z (axis along Z)
     r, hh = 0.3, 0.7
-    bottom = Body((0.0, r, 0.0), shape="capsule", radius=r,
-                  he=(r, hh, r), rot=rot_x, friction=0.8)
-    top = Body((0.0, 3 * r + 0.3, 0.0), shape="capsule", radius=r,
-               he=(r, hh, r), rot=rot_z, friction=0.8)
-    return GoldenSim([bottom, top]), 400, 1
+    left = Body((-0.6, 0.5, 0.0), shape="capsule", radius=r,
+                he=(r, hh, r), rot=rot_z, friction=0.8, mass=0.0)
+    right = Body((0.6, 0.5, 0.0), shape="capsule", radius=r,
+                 he=(r, hh, r), rot=rot_z, friction=0.8, mass=0.0)
+    top = Body((0.0, 1.2, 0.0), shape="capsule", radius=r,
+               he=(r, hh, r), rot=rot_x, friction=0.8)
+    return GoldenSim([left, right, top]), 700, 2
 
 
 def scene_hinge_pendulum():
@@ -662,10 +673,14 @@ def scene_d6_slider():
     """D6 joint, linear X free / Y,Z locked, all angular locked
     (≙ PxD6Joint setMotion eFREE/eLOCKED): the box slides along X with
     damped drift while gravity is held by the locked Y axis."""
-    anchor = Body((0.0, 2.0, 0.0), shape="box", he=(0.1, 0.1, 0.1), mass=0.0)
+    anchor = Body((0.0, 2.6, 0.0), shape="box", he=(0.1, 0.1, 0.1), mass=0.0)
     slider = Body((0.0, 2.0, 0.0), shape="box", he=(0.3, 0.3, 0.3),
                   vel=(3.0, 0.0, 0.0))
-    jnt = Joint(3, 0, 1, lin_mask=(0.0, 1.0, 1.0))
+    # anchor frame offset puts the constraint point at the slider's start
+    # WITHOUT overlapping boxes (jointed bodies collide here — PhysX
+    # disables jointed-pair collision; keeping the bodies apart tests the
+    # same constraint without that divergence)
+    jnt = Joint(3, 0, 1, anchor_a=(0.0, -0.6, 0.0), lin_mask=(0.0, 1.0, 1.0))
     return GoldenSim([anchor, slider], ground=False, joints=[jnt]), 600, 1
 
 
@@ -686,9 +701,11 @@ PROVENANCE = ("independent f64 sequential-impulse (Gauss-Seidel) oracle, "
               "in this image); same documented contract, different algorithm")
 
 
-def main():
+def main(only=None):
     os.makedirs(DATA_DIR, exist_ok=True)
     for name, make in SCENES.items():
+        if only and name not in only:
+            continue
         made = make()
         sim, steps = made[0], made[1]
         record = made[2] if len(made) > 2 else 0
@@ -738,4 +755,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(only=set(sys.argv[1:]) or None)
