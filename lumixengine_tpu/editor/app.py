@@ -57,6 +57,7 @@ class EditorApp:
         self._anim_editor = None
         self._particle_editor = None
         self._physics_view = None
+        self._game_view = None
 
     # -- views ---------------------------------------------------------------
 
@@ -146,6 +147,30 @@ class EditorApp:
                 self._physics_view.overlay_segments)
         return self._physics_view
 
+    def game_view(self):
+        if self._game_view is None:
+            from lumixengine_tpu.editor.game_view import GameView
+
+            self._game_view = GameView(self.engine, self.world,
+                                       on_world_replaced=self.replace_world)
+        return self._game_view
+
+    def replace_world(self, new_world) -> None:
+        """Swap the edited world (≙ WorldEditor leaving game mode: the
+        played world is destroyed and the pre-play blob is loaded into a
+        fresh one, world_editor.cpp:2290-2302). Every world-bound view and
+        the undo stack are dropped — they rebuild lazily on next use."""
+        self.world = new_world
+        self.stack = CommandStack(new_world)
+        self.sel = 0
+        self.prop_sel = 0
+        self._scene_view = None
+        self._anim_editor = None
+        self._physics_view = None
+        gv = self._game_view
+        if gv is not None:
+            gv.world = new_world
+
     # -- model ------------------------------------------------------------
 
     def entities(self) -> List[int]:
@@ -209,7 +234,8 @@ class EditorApp:
                         "scene": self.scene_view,
                         "anim": self.anim_editor,
                         "particles": self.particle_editor,
-                        "physics": self.physics_view}[self.view]()
+                        "physics": self.physics_view,
+                        "game": self.game_view}[self.view]()
             # 'q' quits only when the sub-editor is NOT in a text-edit
             # state — typing a .pat line containing 'q' ("quad", "sq")
             # must insert the character, not drop unsaved edits
@@ -224,9 +250,10 @@ class EditorApp:
             else:
                 view_obj.handle_key(code, text)
             return
-        if self.edit is None and text in ("2", "3", "4", "5", "6", "7"):
+        if self.edit is None and text in ("2", "3", "4", "5", "6", "7", "8"):
             target = {"2": "assets", "3": "profiler", "4": "scene",
-                      "5": "anim", "6": "particles", "7": "physics"}[text]
+                      "5": "anim", "6": "particles", "7": "physics",
+                      "8": "game"}[text]
             if target in ("anim", "particles", "physics"):
                 try:
                     getattr(self, {"anim": "anim_editor",
@@ -340,6 +367,8 @@ class EditorApp:
             return self.particle_editor().render_text(width, height)
         if self.view == "physics":
             return self.physics_view().render_text(width, height)
+        if self.view == "game":
+            return self.game_view().render_text(width, height)
         if self.view == "scene":
             sv = self.scene_view()
             # world edits since the last scene frame → re-upload host state
