@@ -306,7 +306,7 @@ def project_positions_banded(pos_rank, g_normal, g_depth, g_active,
                              p_normal, p_depth, p_active, inv_mass,
                              iterations: int = 3, slop: float = 0.005,
                              relaxation: float = 0.8,
-                             max_correction: float = 0.02):
+                             max_correction: float = 0.05):
     """Split-impulse position projection in rank space (shift-based).
     max_correction caps the per-frame push (see physics_ops.project_positions
     — the linear-only correction pumps energy on tipped end contacts)."""
@@ -647,7 +647,7 @@ def match_warm_lams(prev_lams, prev_rank, order, K: int):
 def project_positions_banded_multi(pos_body, sweeps, inv_mass_body,
                                    iterations: int = 3, slop: float = 0.005,
                                    relaxation: float = 0.8,
-                                   max_correction: float = 0.02):
+                                   max_correction: float = 0.05):
     """Multi-sweep split-impulse position projection (body-order positions;
     per-sweep rank/unrank of the [3, NB] correction each iteration).
     max_correction caps the per-frame push (see physics_ops.project_positions

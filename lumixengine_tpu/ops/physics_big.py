@@ -164,8 +164,9 @@ def project_positions_dynamic(
     k_lin = jnp.maximum(im_a + im_b, 1e-9)
     # max_correction caps the per-frame push (see physics_ops
     # project_positions — linear-only corrections pump energy on tipped
-    # end contacts); same 0.02 m cap as every other projection path
-    e0 = jnp.where(active, jnp.clip(depth - slop, 0.0, 0.02), 0.0)
+    # end contacts); same 0.05 m cap as the other body-order projection
+    # paths (0.02 was too tight: boxes tunneled under pile pressure)
+    e0 = jnp.where(active, jnp.clip(depth - slop, 0.0, 0.05), 0.0)
 
     act_f = active.astype(jnp.float32)
     deg = jax.ops.segment_sum(act_f, body_a, num_segments=nb) + \

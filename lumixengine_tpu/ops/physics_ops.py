@@ -674,7 +674,7 @@ def project_positions(
     iterations: int = 3,
     slop: float = 0.005,
     relaxation: float = 0.8,
-    max_correction: float = 0.02,
+    max_correction: float = 0.05,
 ):
     """Split-impulse position projection (≙ Box2D NGS / PhysX TGS position
     iterations): pushes penetrating contacts out at the POSITION level with a

@@ -343,7 +343,8 @@ def make_slot_world_step(
                 np.full((Pn, nb), -1, np.int32),            # pair partner ids
                 np.zeros((3, gslots, nb), np.float32),      # ground λ
                 np.zeros(nb, np.int32),                     # calm-frame ctr
-                np.zeros(nb, bool))                         # delayed wake
+                np.zeros(nb, bool),                         # delayed wake
+                np.zeros(nb, bool))                         # deep-contact flag
 
     def step(pos, rot, vel, angvel, dt, carry=None, consts=None):
         c_ = _c_np if consts is None else consts
@@ -355,12 +356,22 @@ def make_slot_world_step(
         iota = jnp.arange(nb, dtype=jnp.int32)
 
         # ---- sleeping: calm-streak counters + one-frame-delayed wake ------
-        prev_ctr = prev_wake = None
+        prev_ctr = prev_wake = prev_deep = None
         if carry is not None and len(carry) >= 5:
             prev_ctr, prev_wake = carry[3], carry[4]
+            if len(carry) >= 6:
+                prev_deep = carry[5]
         if sleeping and prev_ctr is not None:
             speed2_raw = jnp.sum(vel * vel, 0) + jnp.sum(angvel * angvel, 0)
             calm = (speed2_raw < sleep_speed * sleep_speed) & dyn_j
+            # a body may not DOZE OFF while significantly penetrated: asleep
+            # ⇒ im_eff = 0 ⇒ position projection can't push it out, so a
+            # body that slept mid-depenetration froze 5-8 cm deep (measured
+            # in the 10³ pile gate). Gating sleep ENTRY (vs waking sleepers)
+            # leaves settled piles asleep — re-waking them re-injected
+            # jostle energy and the pile never reached KE < 50.
+            if prev_deep is not None:
+                calm = calm & ~prev_deep
             sleep_ctr = jnp.where(calm,
                                   jnp.minimum(prev_ctr + 1, sleep_frames), 0)
             asleep = (sleep_ctr >= sleep_frames) & ~prev_wake
@@ -494,7 +505,14 @@ def make_slot_world_step(
         slot_touch = jnp.any(active, axis=0)                # [P, NB]
         wake_next = jnp.any(slot_touch & (p_wake > wake_speed * wake_speed),
                             axis=0)
-
+        # deep-GROUND flag for NEXT frame's sleep-entry gate: 8·slop (4 cm)
+        # sits between rest ground depth (~0.5 cm) and the
+        # frozen-while-depenetrating failure depth (5-8 cm, must keep
+        # solving). Ground only: interior pair contacts rest compressed by
+        # several cm under Jacobi pile pressure at the speed tier — gating
+        # on them kept the whole pile awake (KE@540 = 294 vs the gate's 50)
+        deep_next = jnp.max(jnp.where(g_active, g_depth, 0.0),
+                            axis=0) > 8.0 * slop
         # canonical per-contact effective masses.  mass_split: im_i·n_i per
         # body (see factory docstring) and full Δλ; else classic Jacobi
         # under-relaxation 1.6/deg.
@@ -717,7 +735,7 @@ def make_slot_world_step(
         }
         carry_out = (jnp.stack([lam_n, lam_1, lam_2], axis=0), partner,
                      jnp.stack([gl_n, gl_1, gl_2], axis=0),
-                     sleep_ctr, wake_next)
+                     sleep_ctr, wake_next, deep_next)
         return pos, rot, vel, angvel, counters, carry_out
 
     step.init_carry = init_carry

@@ -238,8 +238,9 @@ def test_golden_capsule_stack_bridge():
     state, _ = run(state, jnp.float32(DT), int(g["steps"]))
     ms = state.modules["physics"]
     pos_dev = np.asarray(ms.pos)[:, slots].T
-    # statics bitwise unmoved
-    np.testing.assert_array_equal(pos_dev[:2], g["init_pos"][:2])
+    # statics bitwise unmoved (vs the f32 upload — init_pos is stored f64)
+    np.testing.assert_array_equal(pos_dev[:2],
+                                  g["init_pos"][:2].astype(np.float32))
     top = pos_dev[2]
     assert abs(top[1] - g["final_pos"][2][1]) < 0.015, top
     assert abs(top[0]) < 0.55 and abs(top[2]) < 0.05, top   # still bridged

@@ -624,7 +624,7 @@ def scene_drop27():
                 p = (np.array([ix, iy, iz]) * 1.1
                      + rng.uniform(0.0, 0.05, 3) + [0.0, 2.0, 0.0])
                 bodies.append(Body(p, shape="box"))
-    return GoldenSim(bodies), 400
+    return GoldenSim(bodies), 500
 
 
 def scene_friction_slide():
