@@ -58,6 +58,7 @@ class EditorApp:
         self._particle_editor = None
         self._physics_view = None
         self._game_view = None
+        self._material_editor = None
 
     # -- views ---------------------------------------------------------------
 
@@ -79,6 +80,8 @@ class EditorApp:
             tex.register_texture_plugins(compiler, _TexSink())
             from lumixengine_tpu.importers import composite_texture as ct
             ct.register(compiler)
+            from lumixengine_tpu.importers import mat as mat_codec
+            mat_codec.register(compiler)
             self._asset_browser = AssetBrowser(DEFAULT_DATA_DIRS,
                                                compiler=compiler)
         return self._asset_browser
@@ -154,6 +157,19 @@ class EditorApp:
             self._game_view = GameView(self.engine, self.world,
                                        on_world_replaced=self.replace_world)
         return self._game_view
+
+    def material_editor(self, path: str = None):
+        if self._material_editor is None or path is not None:
+            from lumixengine_tpu.editor.material_editor import MaterialEditor
+
+            if path is None:
+                mats = [e for e in self.asset_browser().entries
+                        if e.type == "material"]
+                if not mats:
+                    raise ValueError("no .mat files in the data dirs")
+                path = mats[0].full
+            self._material_editor = MaterialEditor(path)
+        return self._material_editor
 
     def replace_world(self, new_world) -> None:
         """Swap the edited world (≙ WorldEditor leaving game mode: the
@@ -235,7 +251,8 @@ class EditorApp:
                         "anim": self.anim_editor,
                         "particles": self.particle_editor,
                         "physics": self.physics_view,
-                        "game": self.game_view}[self.view]()
+                        "game": self.game_view,
+                        "material": self.material_editor}[self.view]()
             # 'q' quits only when the sub-editor is NOT in a text-edit
             # state — typing a .pat line containing 'q' ("quad", "sq")
             # must insert the character, not drop unsaved edits
@@ -250,15 +267,17 @@ class EditorApp:
             else:
                 view_obj.handle_key(code, text)
             return
-        if self.edit is None and text in ("2", "3", "4", "5", "6", "7", "8"):
+        if self.edit is None and text in ("2", "3", "4", "5", "6", "7", "8",
+                                          "9"):
             target = {"2": "assets", "3": "profiler", "4": "scene",
                       "5": "anim", "6": "particles", "7": "physics",
-                      "8": "game"}[text]
-            if target in ("anim", "particles", "physics"):
+                      "8": "game", "9": "material"}[text]
+            if target in ("anim", "particles", "physics", "material"):
                 try:
                     getattr(self, {"anim": "anim_editor",
                                    "particles": "particle_editor",
-                                   "physics": "physics_view"}[target])()
+                                   "physics": "physics_view",
+                                   "material": "material_editor"}[target])()
                 except ValueError as exc:
                     self.status = str(exc)
                     return
@@ -369,6 +388,8 @@ class EditorApp:
             return self.physics_view().render_text(width, height)
         if self.view == "game":
             return self.game_view().render_text(width, height)
+        if self.view == "material":
+            return self.material_editor().render_text(width, height)
         if self.view == "scene":
             sv = self.scene_view()
             # world edits since the last scene frame → re-upload host state
