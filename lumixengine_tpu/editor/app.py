@@ -59,6 +59,7 @@ class EditorApp:
         self._physics_view = None
         self._game_view = None
         self._material_editor = None
+        self._voxelizer = None
 
     # -- views ---------------------------------------------------------------
 
@@ -171,6 +172,19 @@ class EditorApp:
             self._material_editor = MaterialEditor(path)
         return self._material_editor
 
+    def voxelizer(self, path: str = None):
+        if self._voxelizer is None or path is not None:
+            from lumixengine_tpu.editor.voxelizer_ui import VoxelizerUI
+
+            if path is None:
+                models = [e for e in self.asset_browser().entries
+                          if e.type == "model" and e.path.endswith(".fbx")]
+                if not models:
+                    raise ValueError("no .fbx models in the data dirs")
+                path = models[0].full
+            self._voxelizer = VoxelizerUI(path)
+        return self._voxelizer
+
     def replace_world(self, new_world) -> None:
         """Swap the edited world (≙ WorldEditor leaving game mode: the
         played world is destroyed and the pre-play blob is loaded into a
@@ -252,7 +266,8 @@ class EditorApp:
                         "particles": self.particle_editor,
                         "physics": self.physics_view,
                         "game": self.game_view,
-                        "material": self.material_editor}[self.view]()
+                        "material": self.material_editor,
+                        "voxelizer": self.voxelizer}[self.view]()
             # 'q' quits only when the sub-editor is NOT in a text-edit
             # state — typing a .pat line containing 'q' ("quad", "sq")
             # must insert the character, not drop unsaved edits
@@ -268,16 +283,18 @@ class EditorApp:
                 view_obj.handle_key(code, text)
             return
         if self.edit is None and text in ("2", "3", "4", "5", "6", "7", "8",
-                                          "9"):
+                                          "9", "0"):
             target = {"2": "assets", "3": "profiler", "4": "scene",
                       "5": "anim", "6": "particles", "7": "physics",
-                      "8": "game", "9": "material"}[text]
-            if target in ("anim", "particles", "physics", "material"):
+                      "8": "game", "9": "material", "0": "voxelizer"}[text]
+            if target in ("anim", "particles", "physics", "material",
+                          "voxelizer"):
                 try:
                     getattr(self, {"anim": "anim_editor",
                                    "particles": "particle_editor",
                                    "physics": "physics_view",
-                                   "material": "material_editor"}[target])()
+                                   "material": "material_editor",
+                                   "voxelizer": "voxelizer"}[target])()
                 except ValueError as exc:
                     self.status = str(exc)
                     return
@@ -390,6 +407,8 @@ class EditorApp:
             return self.game_view().render_text(width, height)
         if self.view == "material":
             return self.material_editor().render_text(width, height)
+        if self.view == "voxelizer":
+            return self.voxelizer().render_text(width, height)
         if self.view == "scene":
             sv = self.scene_view()
             # world edits since the last scene frame → re-upload host state
