@@ -60,6 +60,7 @@ class EditorApp:
         self._game_view = None
         self._material_editor = None
         self._voxelizer = None
+        self._log_ui = None
 
     # -- views ---------------------------------------------------------------
 
@@ -185,6 +186,13 @@ class EditorApp:
             self._voxelizer = VoxelizerUI(path)
         return self._voxelizer
 
+    def log_ui(self):
+        if self._log_ui is None:
+            from lumixengine_tpu.editor.log_ui import LogUI
+
+            self._log_ui = LogUI()
+        return self._log_ui
+
     def replace_world(self, new_world) -> None:
         """Swap the edited world (≙ WorldEditor leaving game mode: the
         played world is destroyed and the pre-play blob is loaded into a
@@ -267,7 +275,8 @@ class EditorApp:
                         "physics": self.physics_view,
                         "game": self.game_view,
                         "material": self.material_editor,
-                        "voxelizer": self.voxelizer}[self.view]()
+                        "voxelizer": self.voxelizer,
+                        "log": self.log_ui}[self.view]()
             # 'q' quits only when the sub-editor is NOT in a text-edit
             # state — typing a .pat line containing 'q' ("quad", "sq")
             # must insert the character, not drop unsaved edits
@@ -282,11 +291,12 @@ class EditorApp:
             else:
                 view_obj.handle_key(code, text)
             return
-        if self.edit is None and text in ("2", "3", "4", "5", "6", "7", "8",
-                                          "9", "0"):
-            target = {"2": "assets", "3": "profiler", "4": "scene",
-                      "5": "anim", "6": "particles", "7": "physics",
-                      "8": "game", "9": "material", "0": "voxelizer"}[text]
+        if self.edit is None and text in ("1", "2", "3", "4", "5", "6", "7",
+                                          "8", "9", "0"):
+            target = {"1": "log", "2": "assets", "3": "profiler",
+                      "4": "scene", "5": "anim", "6": "particles",
+                      "7": "physics", "8": "game", "9": "material",
+                      "0": "voxelizer"}[text]
             if target in ("anim", "particles", "physics", "material",
                           "voxelizer"):
                 try:
@@ -409,6 +419,8 @@ class EditorApp:
             return self.material_editor().render_text(width, height)
         if self.view == "voxelizer":
             return self.voxelizer().render_text(width, height)
+        if self.view == "log":
+            return self.log_ui().render_text(width, height)
         if self.view == "scene":
             sv = self.scene_view()
             # world edits since the last scene frame → re-upload host state
