@@ -61,10 +61,13 @@ def build_world(args):
         sm.prepare_statics()
         n_fast = sum(len(g.entities) for g in sm._fast_groups)
         if n_fast == 0:
-            raise SystemExit("scripts config: nothing compiled to the "
+            # ValueError, not SystemExit: main_all's per-config catch is
+            # `except Exception` and SystemExit is NOT one — it killed the
+            # whole sweep (r5 postmortem, /tmp/bench_mid.log)
+            raise ValueError("scripts config: nothing compiled to the "
                              "device fast path")
     else:
-        raise SystemExit(f"unknown config {args.config}")
+        raise ValueError(f"unknown config {args.config}")
     return engine, world
 
 
@@ -327,7 +330,8 @@ def main_all(args):
 
     # job list: (name, overrides, fallback-overrides-on-error)
     jobs = [
-        ("full", {}, None),
+        # args.config arrives as "all" — EVERY job must set its own config
+        ("full", {"config": "full"}, None),
         # boxes: long horizon so the completeness certificates cover the
         # whole drop-impact-settle arc, not just the first frames
         ("boxes", {"config": "boxes", "steps": 300, "trials": 1},
