@@ -32,10 +32,11 @@ _UP, _DOWN = 0x26, 0x28
 
 
 class EditorApp:
-    def __init__(self, engine, world):
+    def __init__(self, engine, world, settings_path: str = ".lumix_editor.ini"):
         reflection.register_builtin_components()
         self.engine = engine
         self.world = world
+        self.settings_path = settings_path
         self.stack = CommandStack(world)
         self.sel = 0                 # index into entities()
         self.panel = "tree"          # "tree" | "props"
@@ -61,6 +62,23 @@ class EditorApp:
         self._material_editor = None
         self._voxelizer = None
         self._log_ui = None
+        self._settings_ui = None
+        # typed editor options with ini persistence (≙ editor/settings.cpp:
+        # every subsystem registers its options; the user file merges over
+        # defaults at startup)
+        from lumixengine_tpu.core.config import Settings
+
+        s = Settings()
+        s.register("save_path", self.save_path, "editor")
+        s.register("move_speed", 2.0, "scene_view")
+        s.register("turn_speed", 0.1, "scene_view")
+        s.register("brush_radius", 8.0, "scene_view")
+        s.register("time_multiplier", 1.0, "game_view")
+        s.register("autoscroll", True, "log")
+        s.load_ini(settings_path)
+        self.settings = s
+        for name in s.options:
+            self._apply_setting(name)
 
     # -- views ---------------------------------------------------------------
 
@@ -100,6 +118,8 @@ class EditorApp:
             from lumixengine_tpu.editor.scene_view import SceneView
 
             self._scene_view = SceneView(self.engine, self.world)
+            for name in ("move_speed", "turn_speed", "brush_radius"):
+                self._apply_setting(name)
         return self._scene_view
 
     def anim_editor(self):
@@ -191,7 +211,31 @@ class EditorApp:
             from lumixengine_tpu.editor.log_ui import LogUI
 
             self._log_ui = LogUI()
+            self._apply_setting("autoscroll")
         return self._log_ui
+
+    def settings_ui(self):
+        if self._settings_ui is None:
+            from lumixengine_tpu.editor.settings_ui import SettingsUI
+
+            self._settings_ui = SettingsUI(self.settings, self.settings_path,
+                                           on_change=self._apply_setting)
+        return self._settings_ui
+
+    def _apply_setting(self, name: str) -> None:
+        """Push a settings value into the live owner (≙ settings.cpp
+        registerPtr options pointing straight at the subsystem field)."""
+        v = self.settings.get(name)
+        if name == "save_path":
+            self.save_path = v
+        elif name == "time_multiplier":
+            self.engine.time_multiplier = float(v)
+        elif name in ("move_speed", "turn_speed", "brush_radius"):
+            if self._scene_view is not None:
+                setattr(self._scene_view, name, float(v))
+        elif name == "autoscroll":
+            if self._log_ui is not None:
+                self._log_ui.autoscroll = bool(v)
 
     def replace_world(self, new_world) -> None:
         """Swap the edited world (≙ WorldEditor leaving game mode: the
@@ -276,7 +320,8 @@ class EditorApp:
                         "game": self.game_view,
                         "material": self.material_editor,
                         "voxelizer": self.voxelizer,
-                        "log": self.log_ui}[self.view]()
+                        "log": self.log_ui,
+                        "settings": self.settings_ui}[self.view]()
             # 'q' quits only when the sub-editor is NOT in a text-edit
             # state — typing a .pat line containing 'q' ("quad", "sq")
             # must insert the character, not drop unsaved edits
@@ -292,11 +337,11 @@ class EditorApp:
                 view_obj.handle_key(code, text)
             return
         if self.edit is None and text in ("1", "2", "3", "4", "5", "6", "7",
-                                          "8", "9", "0"):
+                                          "8", "9", "0", ","):
             target = {"1": "log", "2": "assets", "3": "profiler",
                       "4": "scene", "5": "anim", "6": "particles",
                       "7": "physics", "8": "game", "9": "material",
-                      "0": "voxelizer"}[text]
+                      "0": "voxelizer", ",": "settings"}[text]
             if target in ("anim", "particles", "physics", "material",
                           "voxelizer"):
                 try:
@@ -421,6 +466,8 @@ class EditorApp:
             return self.voxelizer().render_text(width, height)
         if self.view == "log":
             return self.log_ui().render_text(width, height)
+        if self.view == "settings":
+            return self.settings_ui().render_text(width, height)
         if self.view == "scene":
             sv = self.scene_view()
             # world edits since the last scene frame → re-upload host state
