@@ -63,6 +63,7 @@ class EditorApp:
         self._voxelizer = None
         self._log_ui = None
         self._settings_ui = None
+        self._spline_editor = None
         # typed editor options with ini persistence (≙ editor/settings.cpp:
         # every subsystem registers its options; the user file merges over
         # defaults at startup)
@@ -222,6 +223,21 @@ class EditorApp:
                                            on_change=self._apply_setting)
         return self._settings_ui
 
+    def spline_editor(self):
+        if self._spline_editor is None:
+            from lumixengine_tpu.editor.spline_editor import SplineEditor
+
+            core = self.world.modules.get("core")
+            if core is None or not getattr(core, "splines", None):
+                raise ValueError("no splines in this world")
+            self._spline_editor = SplineEditor(self.engine, self.world,
+                                               self.stack)
+            # polyline + point gizmos overlay the scene view's frame
+            # (≙ spline_editor.cpp drawing through the WorldView)
+            self.scene_view().overlays.append(
+                self._spline_editor.overlay_segments)
+        return self._spline_editor
+
     def _apply_setting(self, name: str) -> None:
         """Push a settings value into the live owner (≙ settings.cpp
         registerPtr options pointing straight at the subsystem field)."""
@@ -321,7 +337,8 @@ class EditorApp:
                         "material": self.material_editor,
                         "voxelizer": self.voxelizer,
                         "log": self.log_ui,
-                        "settings": self.settings_ui}[self.view]()
+                        "settings": self.settings_ui,
+                        "spline": self.spline_editor}[self.view]()
             # 'q' quits only when the sub-editor is NOT in a text-edit
             # state — typing a .pat line containing 'q' ("quad", "sq")
             # must insert the character, not drop unsaved edits
@@ -337,19 +354,20 @@ class EditorApp:
                 view_obj.handle_key(code, text)
             return
         if self.edit is None and text in ("1", "2", "3", "4", "5", "6", "7",
-                                          "8", "9", "0", ","):
+                                          "8", "9", "0", ",", "."):
             target = {"1": "log", "2": "assets", "3": "profiler",
                       "4": "scene", "5": "anim", "6": "particles",
                       "7": "physics", "8": "game", "9": "material",
-                      "0": "voxelizer", ",": "settings"}[text]
+                      "0": "voxelizer", ",": "settings", ".": "spline"}[text]
             if target in ("anim", "particles", "physics", "material",
-                          "voxelizer"):
+                          "voxelizer", "spline"):
                 try:
                     getattr(self, {"anim": "anim_editor",
                                    "particles": "particle_editor",
                                    "physics": "physics_view",
                                    "material": "material_editor",
-                                   "voxelizer": "voxelizer"}[target])()
+                                   "voxelizer": "voxelizer",
+                                   "spline": "spline_editor"}[target])()
                 except ValueError as exc:
                     self.status = str(exc)
                     return
@@ -468,6 +486,8 @@ class EditorApp:
             return self.log_ui().render_text(width, height)
         if self.view == "settings":
             return self.settings_ui().render_text(width, height)
+        if self.view == "spline":
+            return self.spline_editor().render_text(width, height)
         if self.view == "scene":
             sv = self.scene_view()
             # world edits since the last scene frame → re-upload host state

@@ -132,6 +132,36 @@ class DestroyEntitiesCommand(Command):
         serialize.deserialize_into(world, self._blob, keep_ids=True)
 
 
+class SetSplinePointsCommand(Command):
+    """≙ spline_editor.cpp EditorCommand:145-190 — snapshot the whole point
+    array; continuous drags of the same point merge (recordUndo's id)."""
+
+    name = "set_spline_points"
+
+    def __init__(self, entity: int, points, merge_id: Optional[int] = None):
+        self.entity = entity
+        self.points = np.asarray(points, np.float32).reshape(-1, 3)
+        self.merge_id = merge_id
+        self._old = None
+
+    def execute(self, world: World) -> None:
+        core = world.modules["core"]
+        self._old = core.splines[self.entity].copy()
+        core.set_spline_points(self.entity, self.points)
+
+    def undo(self, world: World) -> None:
+        world.modules["core"].set_spline_points(self.entity, self._old)
+
+    def merge(self, other: Command) -> bool:
+        if (isinstance(other, SetSplinePointsCommand)
+                and other.entity == self.entity
+                and self.merge_id is not None
+                and other.merge_id == self.merge_id):
+            self.points = other.points     # keep the ORIGINAL old array
+            return True
+        return False
+
+
 class AddComponentCommand(Command):
     name = "add_component"
 
