@@ -422,6 +422,36 @@ class EditorApp:
                 self.status = f"destroyed entity {e}"
         elif ch == "s":
             self.save()
+        elif ch == "c" and self.panel == "props":
+            # signal event/function rows cycle through the reflection
+            # registry's known pairs (≙ signal_editor.cpp:1-73's Event and
+            # Function combos — the only editor for these string pairs)
+            ent = self.selected_entity()
+            rows = self.prop_rows(ent)
+            if rows and self.prop_sel < len(rows):
+                ctype, pname, _ = rows[self.prop_sel]
+                if ctype == "signal" and pname in ("event", "function"):
+                    self._cycle_signal(ent, pname)
+
+    def _cycle_signal(self, ent: int, which: str) -> None:
+        reg = reflection.registry
+        pairs = (reg.all_events() if which == "event"
+                 else reg.all_functions())
+        if not pairs:
+            self.status = f"no reflected {which}s registered"
+            return
+        scope_prop = f"{which}_component"
+        cur = (reg.get_property(self.world, ent, "signal", scope_prop),
+               reg.get_property(self.world, ent, "signal", which))
+        try:
+            i = (pairs.index(cur) + 1) % len(pairs)
+        except ValueError:
+            i = 0
+        scope, name = pairs[i]
+        self.stack.execute(SetPropertyCommand(ent, "signal", scope_prop,
+                                              scope))
+        self.stack.execute(SetPropertyCommand(ent, "signal", which, name))
+        self.status = f"signal {which} → {scope}::{name}"
 
     def _commit_edit(self) -> None:
         e = self.selected_entity()

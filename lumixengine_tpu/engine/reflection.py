@@ -120,6 +120,26 @@ class Registry:
             return scope
         return None
 
+    def all_events(self) -> List[tuple]:
+        """Every (scope, event) pair — module- and component-scoped
+        (≙ signal_editor.cpp's Event combo walking every module)."""
+        out = []
+        for mn, m in self.modules.items():
+            out.extend((mn, en) for en in m.events)
+            for cn, cd in m.components.items():
+                out.extend((cn, en) for en in cd.events)
+        return out
+
+    def all_functions(self) -> List[tuple]:
+        """Every (scope, function) pair (≙ the Function combo's
+        module::fn list)."""
+        out = []
+        for mn, m in self.modules.items():
+            out.extend((mn, fn) for fn in m.functions)
+            for cn, cd in m.components.items():
+                out.extend((cn, fn) for fn in cd.functions)
+        return out
+
     def find_function(self, scope: str, name: str):
         """Resolve (scope, function) → (FunctionDef, module_name) or None."""
         m = self.modules.get(scope)
@@ -263,9 +283,27 @@ def register_builtin_components() -> None:
         .prop("layer", "int", min=0, max=31)
         .cmp("distance_joint", "Distance Joint", "link")
         .prop("length", "float", min=0.0))
-    (registry.module("core")
+    def _sig_get(key):
+        return lambda module, e: module.signals[e][key]
+
+    def _sig_set(key):
+        def s(module, e, v):
+            module.signals[e][key] = int(v) if key == "target_entity" \
+                else str(v)
+        return s
+
+    def _sig_prop(b, key, type_="string"):
+        return b.prop(key, type_, getter=_sig_get(key), setter=_sig_set(key))
+
+    b = (registry.module("core")
         .cmp("spline", "Spline")
         .cmp("signal", "Signal"))
+    # signal connection fields surface in the property grid (≙ the
+    # reference's SignalEditor property-grid plugin, signal_editor.cpp:1-73)
+    for key in ("event_component", "event", "function_component",
+                "function"):
+        _sig_prop(b, key)
+    _sig_prop(b, "target_entity", "entity")
     # module-scoped gui events (≙ gui_module.h:153-159 `//@ events`):
     # .unv signals reference these by module name ("gui")
     (registry.module("gui")
