@@ -394,6 +394,52 @@ def build_skeleton(doc: FbxDoc):
     return sk, bone_ids, bind_global
 
 
+def _geo_cp_uvs(geo: FbxObject, n_cp: int) -> Optional[np.ndarray]:
+    """Per-control-point UVs [n_cp, 2] from a geometry's LayerElementUV
+    (mapping ByControlPoint or ByPolygonVertex, reference Direct or
+    IndexToDirect — the shipped content uses ByPolygonVertex+IndexToDirect).
+    Our meshes are control-point indexed, so polygon-vertex UVs AVERAGE
+    onto their control point — exact on seamless meshes, a documented
+    mip-0-ish approximation across UV seams."""
+    uvn = geo.node.find("LayerElementUV")
+    if uvn is None:
+        return None
+    uvv = uvn.find("UV")
+    if uvv is None or uvv.prop(0) is None:
+        return None
+    uv = np.asarray(uvv.prop(0), np.float64).reshape(-1, 2)
+
+    def _s(node, default=""):
+        v = node.prop(0) if node is not None else None
+        return v.decode() if isinstance(v, bytes) else (v or default)
+
+    mapping = _s(uvn.find("MappingInformationType"), "ByPolygonVertex")
+    ref = _s(uvn.find("ReferenceInformationType"), "Direct")
+    idxn = uvn.find("UVIndex")
+    if ref == "IndexToDirect" and idxn is not None and len(uv):
+        uvi = np.asarray(idxn.prop(0), np.int64)
+        per = uv[np.clip(uvi, 0, len(uv) - 1)]
+        per[uvi < 0] = 0.0                   # -1 = polygon vertex without UV
+    else:
+        per = uv
+    out = np.zeros((n_cp, 2), np.float64)
+    if mapping == "ByControlPoint":
+        n = min(n_cp, len(per))
+        out[:n] = per[:n]
+        return out
+    pvi = geo.node.find("PolygonVertexIndex")
+    if pvi is None:
+        return None
+    raw = np.asarray(pvi.prop(0), np.int64)
+    cp = np.where(raw < 0, ~raw, raw)
+    cnt = np.zeros(n_cp, np.float64)
+    n = min(len(cp), len(per))
+    good = cp[:n] < n_cp
+    np.add.at(out, cp[:n][good], per[:n][good])
+    np.add.at(cnt, cp[:n][good], 1.0)
+    return out / np.maximum(cnt[:, None], 1.0)
+
+
 def to_model(doc: FbxDoc, name: str = "fbx"):
     """FBX → renderer Model: merged control points, top-4 skin weights,
     skeleton, bounding radius. Unskinned meshes give a static model."""
@@ -411,12 +457,18 @@ def to_model(doc: FbxDoc, name: str = "fbx"):
     all_w: List[np.ndarray] = []
     all_b: List[np.ndarray] = []
     all_tris: List[np.ndarray] = []
+    all_uv: List[np.ndarray] = []
+    any_uv = False
     vert_base = 0
     for geo in doc.by_class.get("Geometry", []):
         vn = geo.node.find("Vertices")
         if vn is None:
             continue
         cp = np.asarray(vn.prop(0), np.float64).reshape(-1, 3)
+        uv_cp = _geo_cp_uvs(geo, cp.shape[0])
+        any_uv = any_uv or uv_cp is not None
+        all_uv.append((uv_cp if uv_cp is not None
+                       else np.zeros((cp.shape[0], 2))).astype(np.float32))
         # polygons → fan-triangulated indices (negative = ~last-of-polygon,
         # the FBX PolygonVertexIndex convention); kept for trimesh cooking
         pvi = geo.node.find("PolygonVertexIndex")
@@ -485,6 +537,7 @@ def to_model(doc: FbxDoc, name: str = "fbx"):
     return Model(
         name=name, bounding_radius=max(radius, 1e-3), skeleton=skeleton,
         vertex_positions=vpos,
+        vertex_uvs=np.concatenate(all_uv) if any_uv else None,
         vertex_triangles=np.concatenate(all_tris) if all_tris else None,
         vertex_bone=vb[:, 0] if skeleton is not None else None,
         vertex_weights=vw if skeleton is not None else None,

@@ -63,9 +63,12 @@ def bake_soup(statics, registry, max_tris_per_model: int = 200_000,
     Models without triangle data fall back to raster.py's unit octahedron
     scaled by bounding radius, so every visible instance draws — same rule
     as the host rasterizer. Per-mesh MATERIAL albedo (color_r/g/b uniforms,
-    ≙ material.cpp u_color) bakes into the triangle colors when `materials`
-    is given — same rule as the host path (raster.model_base_color)."""
-    from lumixengine_tpu.renderer.raster import model_base_color
+    ≙ material.cpp u_color) AND the material's first texture sampled at
+    each triangle's UV centroid bake into the triangle colors when
+    `materials` is given — same rule as the host path
+    (raster.model_triangle_colors; bake-time centroid sampling keeps the
+    hot raster gather-free, the TPU-honest texturing)."""
+    from lumixengine_tpu.renderer.raster import model_triangle_colors
 
     vpos, vinst, tris, tinst, tcol = [], [], [], [], []
     voff = 0
@@ -80,8 +83,8 @@ def bake_soup(statics, registry, max_tris_per_model: int = 200_000,
         vinst.append(np.full(len(verts), k, np.int32))
         tris.append(np.asarray(t, np.int32) + voff)
         tinst.append(np.full(len(t), k, np.int32))
-        base = model_base_color(mid, registry, materials)
-        tcol.append(np.tile(base, (len(t), 1)))
+        tcol.append(model_triangle_colors(mid, registry,
+                                          materials)[: len(t)])
         voff += len(verts)
     if not tris:
         vpos = [np.zeros((3, 3), np.float32)]
@@ -214,11 +217,17 @@ def make_raster(soup: SoupStatics, width: int, height: int,
         slot_tri = jnp.where(kk[None, :] < jnp.minimum(counts, k_slots)[:, None],
                              jnp.take(stri, slot_pos), -1)    # [NT,KS]
 
-        # large triangles: top-L by |area|, every tile tests them
+        # large triangles: top-L by |area|, every tile tests them.
+        # L pads up to a chunk multiple so the fill's dynamic_slice never
+        # reads past the slot table (tiny scenes: E < chunk)
         big_score = jnp.where(large, jnp.abs(area2), -1.0)
-        _, big_idx = jax.lax.top_k(big_score, min(large_cap, E))
+        L = min(large_cap, E)
+        L_pad = ((L + chunk - 1) // chunk) * chunk
+        _, big_idx = jax.lax.top_k(big_score, L)
         big_tri = jnp.where(jnp.take(big_score, big_idx) > 0.0,
                             big_idx.astype(jnp.int32), -1)    # [L]
+        big_tri = jnp.concatenate(
+            [big_tri, jnp.full((L_pad - L,), -1, jnp.int32)])
         large_dropped = jnp.maximum(
             jnp.sum(large.astype(jnp.int32)) - large_cap, 0)
 

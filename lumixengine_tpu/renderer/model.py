@@ -77,6 +77,7 @@ class Model:
     lod_distances: Optional[np.ndarray] = None  # f32 [4], np.inf = unused (stored squared at bake)
     skeleton: Optional[Skeleton] = None
     vertex_positions: Optional[np.ndarray] = None  # f32 [V,3] (skinning/particle MESH sampling)
+    vertex_uvs: Optional[np.ndarray] = None        # f32 [V,2] (bake-time texture sampling)
     vertex_triangles: Optional[np.ndarray] = None  # int32 [T,3] (physics trimesh cooking)
     vertex_bone: Optional[np.ndarray] = None       # int32 [V] dominant bone (simple rigid skinning)
     vertex_weights: Optional[np.ndarray] = None    # f32 [V,4] + vertex_bones [V,4] for LBS/DQS

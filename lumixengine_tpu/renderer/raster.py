@@ -57,6 +57,59 @@ def model_base_color(mid, registry, materials=None):
     return base
 
 
+def model_triangle_colors(mid, registry, materials=None):
+    """Per-TRIANGLE albedo [T, 3] 0-255: the model's material color
+    (model_base_color) modulated by its material's first texture sampled at
+    each triangle's UV CENTROID at bake time (≙ material.cpp texture slot 0).
+
+    Centroid sampling is the TPU-honest texturing: colors bake into the
+    static soup once per topology, so the hot raster stays gather-free —
+    per-PIXEL texture fetches are scalar-core gathers on TPU (see
+    gpu_tpu.py's fill notes). Fidelity is ~one texel per triangle (mip-0
+    centroid), which is exact for flat-colored texture regions and an
+    average elsewhere. Shared by the host rasterizer and the TPU soup bake
+    so both presents shade identically."""
+    verts, tris = _mesh_of(mid, registry)
+    base = np.asarray(model_base_color(mid, registry, materials), np.float32)
+    cols = np.tile(base, (len(tris), 1))
+    if materials is None or mid < 0:
+        return cols
+    try:
+        m = registry.get(int(mid))
+        mat = materials.get(int(m.material_id))
+    except (IndexError, KeyError, AttributeError):
+        return cols
+    uv = getattr(m, "vertex_uvs", None)
+    tex_names = getattr(mat, "textures", None) or {}
+    if uv is None or not tex_names or len(uv) < len(verts):
+        return cols
+    tex = None
+    for slot in sorted(tex_names):
+        tex = getattr(materials, "textures", {}).get(tex_names[slot])
+        if tex is not None:
+            break
+    if tex is None or getattr(tex, "data", None) is None:
+        return cols
+    cuv = np.asarray(uv, np.float32)[tris].mean(axis=1)     # [T, 2]
+    data = np.asarray(tex.data)
+    h, w = data.shape[:2]
+    if getattr(tex, "wrap", "repeat") == "clamp":
+        x = np.clip((cuv[:, 0] * w).astype(np.int64), 0, w - 1)
+        y = np.clip((cuv[:, 1] * h).astype(np.int64), 0, h - 1)
+    else:
+        x = np.floor(cuv[:, 0] * w).astype(np.int64) % w
+        y = np.floor(cuv[:, 1] * h).astype(np.int64) % h
+    texel = data[y, x]
+    if texel.ndim == 1:
+        texel = texel[:, None]
+    texel = np.asarray(texel[:, :3], np.float32)
+    if texel.shape[1] == 1:
+        texel = np.repeat(texel, 3, axis=1)
+    if data.dtype != np.uint8:          # float textures are 0-1
+        texel = texel * 255.0
+    return cols * (texel / 255.0)
+
+
 def _mesh_of(model, registry):
     m = registry.get(int(model)) if model >= 0 else None
     if m is not None and m.vertex_positions is not None \
@@ -110,19 +163,26 @@ def raster_instances(fb, zb, ipos, irot, iscale, models, registry,
     f = 1.0 / np.tan(fov * 0.5)
     aspect = width / height
 
+    tri_cols_cache = {}
     for i in range(n_vis):
-        verts, tris = _mesh_of(int(models[i]), registry)
+        mid = int(models[i])
+        verts, tris = _mesh_of(mid, registry)
         w = hm.quat_rotate(np.broadcast_to(irot[i], (len(verts), 4)),
                            verts * iscale[i]) + ipos[i]
-        base = model_base_color(int(models[i]), registry, materials)
-        raster_mesh(fb, zb, w, tris, base, cam_pos, cam_rot, fov,
-                    width, height)
+        if mid not in tri_cols_cache:
+            tri_cols_cache[mid] = model_triangle_colors(mid, registry,
+                                                        materials)
+        raster_mesh(fb, zb, w, tris,
+                    model_base_color(mid, registry, materials),
+                    cam_pos, cam_rot, fov, width, height,
+                    tri_colors=tri_cols_cache[mid])
 
 
 def raster_mesh(fb, zb, verts_world, tris, base_color,
-                cam_pos, cam_rot, fov, width, height):
+                cam_pos, cam_rot, fov, width, height, tri_colors=None):
     """Z-buffered fill of one world-space triangle mesh (flat Lambert shade
-    tinted by `base_color` [3] 0-255). Mutates fb/zb in place."""
+    tinted by `base_color` [3] 0-255, or per-triangle `tri_colors` [T,3]
+    when given — the centroid-textured path). Mutates fb/zb in place."""
     w = np.asarray(verts_world, np.float32)
     tris = np.asarray(tris, np.int32)
     inv_rot = hm.quat_conjugate(cam_rot)
@@ -153,7 +213,10 @@ def raster_mesh(fb, zb, verts_world, tris, base_color,
         return
     shade = 0.35 + 0.65 * np.abs(
         (nrm[idxs] / nlen[idxs, None]) @ _LIGHT)
-    cols = base[None, :] * shade[:, None]
+    if tri_colors is not None and len(tri_colors) == len(tris):
+        cols = np.asarray(tri_colors, np.float32)[idxs] * shade[:, None]
+    else:
+        cols = base[None, :] * shade[:, None]
 
     # hot loop: native fill when the on-demand C++ build is available
     # (csrc/soft_raster.cpp, ~100x the python loop), numpy fallback below
