@@ -422,6 +422,47 @@ class EditorApp:
                 self.status = f"destroyed entity {e}"
         elif ch == "s":
             self.save()
+        elif text == "p":
+            # save the selected entity's subtree as a .fab prefab
+            # (≙ prefab_system.cpp savePrefab over WorldEditor selection)
+            e = self.selected_entity()
+            if e >= 0:
+                from lumixengine_tpu.engine.serialize import make_prefab
+
+                import os as _os
+
+                name = (self.world.get_entity_name(e) or f"entity{e}"
+                        ).replace(" ", "_").replace("/", "_")
+                path = _os.path.join(
+                    getattr(self.engine.fs, "base_path", "."),
+                    f"{name}.fab")
+                with open(path, "wb") as f:
+                    f.write(make_prefab(self.world, [e]))
+                self._last_prefab = path
+                self.status = f"prefab saved: {path}"
+        elif text == "P":
+            # instantiate the last saved/loaded prefab next to the selection
+            # (≙ PrefabSystem::instantiatePrefab, undoable)
+            path = getattr(self, "_last_prefab", None)
+            if path is None:
+                fabs = [a.full for a in self.asset_browser().entries
+                        if a.type == "prefab"]
+                path = fabs[0] if fabs else None
+            if path is None:
+                self.status = "no prefab saved yet ('p' saves the selection)"
+            else:
+                from lumixengine_tpu.editor.commands import \
+                    InstantiatePrefabCommand
+
+                e = self.selected_entity()
+                pos = (np.asarray(self.world.get_local_transform(e)[0])
+                       + [2.0, 0.0, 0.0]).tolist() if e >= 0 else None
+                with open(path, "rb") as f:
+                    blob = f.read()
+                cmd = InstantiatePrefabCommand(blob, position=pos)
+                self.stack.execute(cmd)
+                self.status = (f"prefab {path}: {len(cmd.created)} "
+                               "entities instantiated")
         elif ch == "c" and self.panel == "props":
             # signal event/function rows cycle through the reflection
             # registry's known pairs (≙ signal_editor.cpp:1-73's Event and

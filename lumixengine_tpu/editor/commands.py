@@ -132,6 +132,29 @@ class DestroyEntitiesCommand(Command):
         serialize.deserialize_into(world, self._blob, keep_ids=True)
 
 
+class InstantiatePrefabCommand(Command):
+    """≙ editor/prefab_system.cpp InstantiatePrefabCommand:95-160 —
+    spawn a prefab blob at a pose; undo destroys the spawned subtree."""
+
+    name = "instantiate_prefab"
+
+    def __init__(self, blob: bytes, position=None, rotation=None):
+        self.blob = blob
+        self.position = position
+        self.rotation = rotation
+        self.created: List[int] = []
+
+    def execute(self, world: World) -> None:
+        self.created = serialize.instantiate_prefab(
+            world, self.blob, position=self.position, rotation=self.rotation)
+
+    def undo(self, world: World) -> None:
+        for e in sorted(self.created, key=lambda x: -world._level[x]):
+            if world.alive[e]:
+                world.destroy_entity(e)
+        self.created = []
+
+
 class SetSplinePointsCommand(Command):
     """≙ spline_editor.cpp EditorCommand:145-190 — snapshot the whole point
     array; continuous drags of the same point merge (recordUndo's id)."""
