@@ -52,6 +52,10 @@ class EditorApp:
         # tree/property grid, plus asset browser / profiler / scene view,
         # lazily constructed. '2'/'3'/'4' from main switches; esc returns.
         self.view = "main"
+        # docked secondary pane (≙ StudioApp docking: several windows
+        # visible at once; here the FOCUSED view keeps the keys and a
+        # second view renders in a bottom split — 'D' cycles it)
+        self.dock: Optional[str] = None
         self._asset_browser = None
         self._profiler_ui = None
         self._scene_view = None
@@ -350,6 +354,8 @@ class EditorApp:
             elif (text.lower() == "q" and self.view != "assets"
                   and not editing):
                 self.quit_requested = True
+            elif text == "D" and self.view != "assets" and not editing:
+                self._cycle_dock()
             else:
                 view_obj.handle_key(code, text)
             return
@@ -463,6 +469,8 @@ class EditorApp:
                 self.stack.execute(cmd)
                 self.status = (f"prefab {path}: {len(cmd.created)} "
                                "entities instantiated")
+        elif text == "D":
+            self._cycle_dock()
         elif ch == "c" and self.panel == "props":
             # signal event/function rows cycle through the reflection
             # registry's known pairs (≙ signal_editor.cpp:1-73's Event and
@@ -473,6 +481,17 @@ class EditorApp:
                 ctype, pname, _ = rows[self.prop_sel]
                 if ctype == "signal" and pname in ("event", "function"):
                     self._cycle_signal(ent, pname)
+
+    def _cycle_dock(self) -> None:
+        """'D' cycles the docked bottom pane: off → log → profiler → scene
+        (≙ dragging a second window into the dockspace)."""
+        order = [None, "log", "profiler", "scene"]
+        i = order.index(self.dock) if self.dock in order else 0
+        self.dock = order[(i + 1) % len(order)]
+        if self.dock == "profiler":
+            self.profiler_ui().snapshot()
+        self.status = (f"docked: {self.dock}" if self.dock
+                       else "dock closed")
 
     def _cycle_signal(self, ent: int, which: str) -> None:
         reg = reflection.registry
@@ -535,31 +554,45 @@ class EditorApp:
     # -- screen -----------------------------------------------------------
 
     def render_text(self, width: int = 100, height: int = 28) -> str:
-        if self.view == "assets":
+        """Compose the screen: the focused view, plus the docked secondary
+        pane in a bottom split when one is set (≙ StudioApp docking)."""
+        if self.dock is None or self.dock == self.view:
+            return self._render_view(self.view, width, height)
+        h1 = max(height * 2 // 3, 6)
+        h2 = max(height - h1 - 1, 3)
+        try:
+            bottom = self._render_view(self.dock, width, h2)
+        except Exception as exc:    # a broken dock view must not kill the UI
+            bottom = f"[dock {self.dock} error: {exc}]".ljust(width)[:width]
+        return "\n".join([self._render_view(self.view, width, h1),
+                          ("─" * width)[:width], bottom])
+
+    def _render_view(self, view: str, width: int, height: int) -> str:
+        if view == "assets":
             return self.asset_browser().render_text(width, height)
-        if self.view == "profiler":
+        if view == "profiler":
             return self.profiler_ui().render_text(width, height)
-        if self.view == "anim":
+        if view == "anim":
             ae = self.anim_editor()
             ae.step_preview()
             return ae.render_text(width, height)
-        if self.view == "particles":
+        if view == "particles":
             return self.particle_editor().render_text(width, height)
-        if self.view == "physics":
+        if view == "physics":
             return self.physics_view().render_text(width, height)
-        if self.view == "game":
+        if view == "game":
             return self.game_view().render_text(width, height)
-        if self.view == "material":
+        if view == "material":
             return self.material_editor().render_text(width, height)
-        if self.view == "voxelizer":
+        if view == "voxelizer":
             return self.voxelizer().render_text(width, height)
-        if self.view == "log":
+        if view == "log":
             return self.log_ui().render_text(width, height)
-        if self.view == "settings":
+        if view == "settings":
             return self.settings_ui().render_text(width, height)
-        if self.view == "spline":
+        if view == "spline":
             return self.spline_editor().render_text(width, height)
-        if self.view == "scene":
+        if view == "scene":
             sv = self.scene_view()
             # world edits since the last scene frame → re-upload host state
             n = len(self.stack._undo)
