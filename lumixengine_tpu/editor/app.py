@@ -68,6 +68,7 @@ class EditorApp:
         self._log_ui = None
         self._settings_ui = None
         self._spline_editor = None
+        self._meta_editor = None
         # typed editor options with ini persistence (≙ editor/settings.cpp:
         # every subsystem registers its options; the user file merges over
         # defaults at startup)
@@ -342,7 +343,8 @@ class EditorApp:
                         "voxelizer": self.voxelizer,
                         "log": self.log_ui,
                         "settings": self.settings_ui,
-                        "spline": self.spline_editor}[self.view]()
+                        "spline": self.spline_editor,
+                        "meta": self.meta_editor}[self.view]()
             # 'q' quits only when the sub-editor is NOT in a text-edit
             # state — typing a .pat line containing 'q' ("quad", "sq")
             # must insert the character, not drop unsaved edits
@@ -358,6 +360,17 @@ class EditorApp:
                 self._cycle_dock()
             else:
                 view_obj.handle_key(code, text)
+                # '@' on a model in the asset browser opens the meta editor
+                # (≙ the reference import UI opening from the browser)
+                req = getattr(view_obj, "meta_request", None)
+                if self.view == "assets" and req:
+                    view_obj.meta_request = None
+                    from lumixengine_tpu.editor.meta_editor import MetaEditor
+
+                    self._meta_editor = MetaEditor(
+                        req, compiler=getattr(view_obj, "compiler", None))
+                    self.view = "meta"
+                    self.status = f"meta editor: {req}"
             return
         if self.edit is None and text in ("1", "2", "3", "4", "5", "6", "7",
                                           "8", "9", "0", ",", "."):
@@ -482,6 +495,12 @@ class EditorApp:
                 if ctype == "signal" and pname in ("event", "function"):
                     self._cycle_signal(ent, pname)
 
+    def meta_editor(self):
+        if self._meta_editor is None:
+            raise ValueError("open a model's meta from the asset browser "
+                             "('@' on a model entry)")
+        return self._meta_editor
+
     def _cycle_dock(self) -> None:
         """'D' cycles the docked bottom pane: off → log → profiler → scene
         (≙ dragging a second window into the dockspace)."""
@@ -592,6 +611,8 @@ class EditorApp:
             return self.settings_ui().render_text(width, height)
         if view == "spline":
             return self.spline_editor().render_text(width, height)
+        if view == "meta":
+            return self.meta_editor().render_text(width, height)
         if view == "scene":
             sv = self.scene_view()
             # world edits since the last scene frame → re-upload host state

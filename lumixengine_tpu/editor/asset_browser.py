@@ -221,6 +221,16 @@ class AssetBrowser:
                 self.status = self.recompile(e)
         elif text == "*":                     # rescan
             self.status = f"rescanned: {self.scan()} assets"
+        elif text == "@":                     # edit the model-import .meta
+            e = self.selected()
+            if e is not None and e.type == "model":
+                # the shell (EditorApp) picks this up and opens the meta
+                # editor view (≙ the reference model importer UI opening
+                # from the asset browser's context menu)
+                self.meta_request = e.full
+                self.status = f"meta editor: {e.path}"
+            else:
+                self.status = "select a model to edit its .meta"
         elif text and (text.isalnum() or text in "._-/ "):
             self.filter += text
             self.sel = 0
