@@ -56,8 +56,31 @@ class SoupStatics(NamedTuple):
     num_instances: int
 
 
+def terrain_mesh(tr: dict, max_grid: int = 128):
+    """Heightfield → entity-local triangle mesh (decimated to ≤max_grid²
+    vertices — same quad-split as the software path's draw_terrain, at a
+    higher static budget since it bakes once per topology)."""
+    hmap = tr["heights"]
+    hgt, wid = hmap.shape
+    step = max(1, int(np.ceil(max(hgt, wid) / max_grid)))
+    sub = hmap[::step, ::step]
+    sh, sw = sub.shape
+    if sh < 2 or sw < 2:
+        return None
+    xs = np.arange(sw, dtype=np.float32) * (tr["xz_scale"] * step)
+    zs = np.arange(sh, dtype=np.float32) * (tr["xz_scale"] * step)
+    gx, gz = np.meshgrid(xs, zs)
+    verts = np.stack([gx, sub * tr["y_scale"], gz], -1).reshape(-1, 3)
+    idx = np.arange(sh * sw).reshape(sh, sw)
+    q00, q10 = idx[:-1, :-1].ravel(), idx[:-1, 1:].ravel()
+    q01, q11 = idx[1:, :-1].ravel(), idx[1:, 1:].ravel()
+    tris = np.concatenate([np.stack([q00, q10, q11], -1),
+                           np.stack([q00, q11, q01], -1)]).astype(np.int32)
+    return verts.astype(np.float32), tris
+
+
 def bake_soup(statics, registry, max_tris_per_model: int = 200_000,
-              materials=None) -> SoupStatics:
+              materials=None, extra_meshes=None) -> SoupStatics:
     """Expand (instance, model mesh) into one static soup (host, per topology).
 
     Models without triangle data fall back to raster.py's unit octahedron
@@ -86,6 +109,19 @@ def bake_soup(statics, registry, max_tris_per_model: int = 200_000,
         tcol.append(model_triangle_colors(mid, registry,
                                           materials)[: len(t)])
         voff += len(verts)
+    # extra static meshes (terrain heightfields): instance ids continue
+    # past the model-instance store so callers append their entity slots
+    # and visibility flags after the mi_* arrays
+    n_extra = 0
+    for verts, t, color in (extra_meshes or []):
+        k = len(statics.mi_model) + n_extra
+        vpos.append(np.asarray(verts, np.float32))
+        vinst.append(np.full(len(verts), k, np.int32))
+        tris.append(np.asarray(t, np.int32) + voff)
+        tinst.append(np.full(len(t), k, np.int32))
+        tcol.append(np.tile(np.asarray(color, np.float32), (len(t), 1)))
+        voff += len(verts)
+        n_extra += 1
     if not tris:
         vpos = [np.zeros((3, 3), np.float32)]
         vinst = [np.zeros(3, np.int32)]
@@ -98,7 +134,7 @@ def bake_soup(statics, registry, max_tris_per_model: int = 200_000,
         tri=np.concatenate(tris),
         tinst=np.concatenate(tinst),
         tcolor=np.concatenate(tcol).astype(np.float32),
-        num_instances=len(statics.mi_model),
+        num_instances=len(statics.mi_model) + n_extra,
     )
 
 
@@ -360,10 +396,36 @@ class TpuPresent:
         cam_slot = resolve_cam_slot(st, cam_slot)
         ver = (world.topology_version, cam_slot)
         if self._raster is None or self._soup_version != ver:
+            # terrain heightfields bake into the soup as extra static
+            # instances (entity-local grid mesh, terrain_mesh) — the TPU
+            # present draws the same ground the software path does. Bakes
+            # per topology; live sculpt preview stays the soft path's job.
+            extra, extra_slots = [], []
+            treg = getattr(rmod.system, "terrains", None)
+            tstore = getattr(rmod, "terrains", None)
+            if treg is not None and tstore is not None:
+                ents = np.asarray(tstore.entity)
+                tids = np.asarray(tstore.data["terrain"])
+                for e, tid in zip(ents, tids):
+                    if e < 0 or tid < 0:
+                        continue
+                    try:
+                        tm = terrain_mesh(treg.get(int(tid)))
+                    except (KeyError, IndexError):
+                        continue
+                    if tm is None:
+                        continue
+                    extra.append((tm[0], tm[1],
+                                  np.array([89, 140, 79], np.float32)))
+                    extra_slots.append(world.slot(int(e)))
             soup = bake_soup(st, rmod.system.models,
-                             materials=rmod.system.materials)
+                             materials=rmod.system.materials,
+                             extra_meshes=extra)
             raster = make_raster(soup, self.width, self.height, **self.kw)
-            eidx = jnp.asarray(np.maximum(st.mi_slots, 0))
+            eidx = jnp.asarray(np.concatenate(
+                [np.maximum(st.mi_slots, 0),
+                 np.asarray(extra_slots, np.int64)]).astype(np.int64))
+            n_extra = len(extra_slots)
             cam_e = max(int(st.cam_slots[cam_slot]), 0)
             # clustered point lights shade the raster output DEFERRED,
             # on-device, with the SAME pass the software present uses
@@ -381,11 +443,15 @@ class TpuPresent:
                 wrot = state.world.rot
                 rs = state.modules["renderer"]
                 cam_pos, cam_rot = wpos[:, cam_e], wrot[:, cam_e]
+                vis = rs.mi_visible
+                if n_extra:     # terrain instances are always visible
+                    vis = jnp.concatenate(
+                        [vis, jnp.ones(n_extra, vis.dtype)])
                 rgb, zbuf, overflow = raster(
                     jnp.take(wpos, eidx, axis=-1),
                     jnp.take(wrot, eidx, axis=-1),
                     jnp.take(state.world.scale, eidx, axis=-1),
-                    rs.mi_visible, cam_pos, cam_rot, rs.cam_fov[cam_slot])
+                    vis, cam_pos, cam_rot, rs.cam_fov[cam_slot])
                 if has_lights:
                     from lumixengine_tpu.renderer import clusters as _cls
                     from lumixengine_tpu.renderer import postprocess as pp
