@@ -167,20 +167,8 @@ class SoftwareGpuBackend:
         self._bound = None
 
     def _skin_map(self):
-        """World slot → palette pool column (animables region first, then
-        animators at +animables.capacity — module.py pool layout)."""
         if getattr(self, "_skin", None) is None:
-            self._skin = {}
-            amod = self.runner.world.modules.get("animation")
-            if amod is not None:
-                st = amod.statics()
-                a1 = amod.animables.capacity
-                for g in getattr(st, "an_groups", ()):
-                    for c, s in zip(g["cols"], g["entity_slots"]):
-                        self._skin[int(s)] = int(c)
-                for g in getattr(st, "at_groups", ()):
-                    for c, s in zip(g["cols"], g["entity_slots"]):
-                        self._skin[int(s)] = int(a1 + c)
+            self._skin = skin_map(self.runner.world)
         return self._skin
 
     def draw_model(self, **kw):
@@ -676,6 +664,25 @@ class SoftwareGpuBackend:
             return np.clip(self.fb, 0, 255).astype(np.uint8)
         arr = np.asarray(self.color)
         return np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+
+
+def skin_map(world) -> dict:
+    """World slot → palette pool column (animables region first, then
+    animators at +animables.capacity — animation/module.py pool layout).
+    Shared by the software backend's posed-skin draw and the TPU soup bake
+    (gpu_tpu.py)."""
+    out = {}
+    amod = world.modules.get("animation")
+    if amod is not None:
+        st = amod.statics()
+        a1 = amod.animables.capacity
+        for g in getattr(st, "an_groups", ()):
+            for c, s in zip(g["cols"], g["entity_slots"]):
+                out[int(s)] = int(c)
+        for g in getattr(st, "at_groups", ()):
+            for c, s in zip(g["cols"], g["entity_slots"]):
+                out[int(s)] = int(a1 + c)
+    return out
 
 
 def skin_points_dq_np(pal, points, bones4, weights) -> np.ndarray:

@@ -54,6 +54,9 @@ class SoupStatics(NamedTuple):
     tinst: np.ndarray    # int32 [E] owning instance
     tcolor: np.ndarray   # f32 [E,3] base color (palette by model id)
     num_instances: int
+    vbone4: np.ndarray   # int32 [VE,4] skin bone ids (0 when unskinned)
+    vweight: np.ndarray  # f32 [VE,4] skin weights (0 when unskinned)
+    vskin_col: np.ndarray  # int32 [VE] animation palette pool column, -1=rigid
 
 
 def terrain_mesh(tr: dict, max_grid: int = 128):
@@ -80,7 +83,8 @@ def terrain_mesh(tr: dict, max_grid: int = 128):
 
 
 def bake_soup(statics, registry, max_tris_per_model: int = 200_000,
-              materials=None, extra_meshes=None) -> SoupStatics:
+              materials=None, extra_meshes=None,
+              skin_cols=None) -> SoupStatics:
     """Expand (instance, model mesh) into one static soup (host, per topology).
 
     Models without triangle data fall back to raster.py's unit octahedron
@@ -94,6 +98,27 @@ def bake_soup(statics, registry, max_tris_per_model: int = 200_000,
     from lumixengine_tpu.renderer.raster import model_triangle_colors
 
     vpos, vinst, tris, tinst, tcol = [], [], [], [], []
+    vb4, vw4, vcol = [], [], []
+
+    def _skin_rows(n_v, mid, k):
+        """Per-vertex skin data for instance k's n_v expanded vertices —
+        real bone4/weights + the instance's palette pool column for models
+        the animation module poses, rigid (-1) otherwise."""
+        col = -1 if not skin_cols else int(skin_cols.get(
+            int(statics.mi_slots[k]), -1))
+        m = registry.get(mid) if mid >= 0 else None
+        if (col >= 0 and m is not None
+                and getattr(m, "vertex_bones4", None) is not None
+                and m.vertex_weights is not None
+                and len(m.vertex_bones4) == n_v):
+            vb4.append(np.asarray(m.vertex_bones4, np.int32))
+            vw4.append(np.asarray(m.vertex_weights, np.float32))
+            vcol.append(np.full(n_v, col, np.int32))
+        else:
+            vb4.append(np.zeros((n_v, 4), np.int32))
+            vw4.append(np.zeros((n_v, 4), np.float32))
+            vcol.append(np.full(n_v, -1, np.int32))
+
     voff = 0
     for k in range(len(statics.mi_model)):
         if not statics.mi_mask[k]:
@@ -108,6 +133,7 @@ def bake_soup(statics, registry, max_tris_per_model: int = 200_000,
         tinst.append(np.full(len(t), k, np.int32))
         tcol.append(model_triangle_colors(mid, registry,
                                           materials)[: len(t)])
+        _skin_rows(len(verts), mid, k)
         voff += len(verts)
     # extra static meshes (terrain heightfields): instance ids continue
     # past the model-instance store so callers append their entity slots
@@ -120,6 +146,9 @@ def bake_soup(statics, registry, max_tris_per_model: int = 200_000,
         tris.append(np.asarray(t, np.int32) + voff)
         tinst.append(np.full(len(t), k, np.int32))
         tcol.append(np.tile(np.asarray(color, np.float32), (len(t), 1)))
+        vb4.append(np.zeros((len(verts), 4), np.int32))
+        vw4.append(np.zeros((len(verts), 4), np.float32))
+        vcol.append(np.full(len(verts), -1, np.int32))
         voff += len(verts)
         n_extra += 1
     if not tris:
@@ -128,6 +157,9 @@ def bake_soup(statics, registry, max_tris_per_model: int = 200_000,
         tris = [np.zeros((1, 3), np.int32)]
         tinst = [np.full(1, -1, np.int32)]
         tcol = [np.zeros((1, 3), np.float32)]
+        vb4 = [np.zeros((3, 4), np.int32)]
+        vw4 = [np.zeros((3, 4), np.float32)]
+        vcol = [np.full(3, -1, np.int32)]
     return SoupStatics(
         vpos=np.concatenate(vpos),
         vinst=np.concatenate(vinst),
@@ -135,6 +167,9 @@ def bake_soup(statics, registry, max_tris_per_model: int = 200_000,
         tinst=np.concatenate(tinst),
         tcolor=np.concatenate(tcol).astype(np.float32),
         num_instances=len(statics.mi_model) + n_extra,
+        vbone4=np.concatenate(vb4),
+        vweight=np.concatenate(vw4),
+        vskin_col=np.concatenate(vcol),
     )
 
 
@@ -170,13 +205,39 @@ def make_raster(soup: SoupStatics, width: int, height: int,
     f_cam = 1.0
     aspect = width / height
     n_keys = E * window * window
+    # skinned vertices: DQS on the animation palette happens in the VERTEX
+    # stage (per-vertex bone gathers ONCE per frame — never per pixel),
+    # so characters animate on the device present
+    # (≙ gpu_dx12's skinning vertex shader over computeSkeletonDualQuats)
+    has_skin = bool(np.any(soup.vskin_col >= 0))
+    if has_skin:
+        vb = jnp.asarray(soup.vbone4)                       # [VE,4]
+        vw = jnp.asarray(soup.vweight)                      # [VE,4]
+        vc = jnp.asarray(np.maximum(soup.vskin_col, 0))     # [VE]
+        vmask = jnp.asarray(soup.vskin_col >= 0)
 
-    def raster(ipos, irot, iscale, visible, cam_pos, cam_rot, fov):
+    def _posed(palette):
+        """Rest → posed local positions [3,VE] (hemisphere-coherent DQS,
+        same convention as ops/skinning.blend_palette)."""
+        dqs = palette[:, vb, vc[:, None]]                   # [8,VE,4]
+        ref = dqs[:4, :, 0:1]
+        d = jnp.sum(dqs[:4] * ref, axis=0)                  # [VE,4]
+        w = vw * jnp.where(d < 0.0, -1.0, 1.0)
+        dq = jnp.einsum("cvk,vk->cv", dqs, w,
+                        preferred_element_type=jnp.float32)
+        dq = dm.dual_quat_normalize(dq, axis=0)
+        posed = dm.dual_quat_transform(dq, vpos, axis=0)
+        return jnp.where(vmask[None], posed, vpos)
+
+    def raster(ipos, irot, iscale, visible, cam_pos, cam_rot, fov,
+               palette=None):
         # -- vertex stage: world → camera → screen (matches raster.py) -------
+        local_v = vpos if (palette is None or not has_skin) \
+            else _posed(palette)
         scale_v = jnp.take(iscale, vinst, axis=-1)          # [3,VE]
         rot_v = jnp.take(irot, vinst, axis=-1)              # [4,VE]
         pos_v = jnp.take(ipos, vinst, axis=-1)              # [3,VE]
-        wv = dm.quat_rotate(rot_v, vpos * scale_v, axis=0) + pos_v  # [3,VE]
+        wv = dm.quat_rotate(rot_v, local_v * scale_v, axis=0) + pos_v
         inv = dm.quat_conjugate(cam_rot, axis=0)
         local = dm.quat_rotate(inv[:, None], wv - cam_pos[:, None], axis=0)
         depth = -local[2]
@@ -418,10 +479,15 @@ class TpuPresent:
                     extra.append((tm[0], tm[1],
                                   np.array([89, 140, 79], np.float32)))
                     extra_slots.append(world.slot(int(e)))
+            from lumixengine_tpu.renderer.gpu_soft import skin_map
+
             soup = bake_soup(st, rmod.system.models,
                              materials=rmod.system.materials,
-                             extra_meshes=extra)
+                             extra_meshes=extra,
+                             skin_cols=skin_map(world))
             raster = make_raster(soup, self.width, self.height, **self.kw)
+            has_skin = bool(np.any(soup.vskin_col >= 0)) \
+                and "animation" in world.modules
             eidx = jnp.asarray(np.concatenate(
                 [np.maximum(st.mi_slots, 0),
                  np.asarray(extra_slots, np.int64)]).astype(np.int64))
@@ -447,11 +513,14 @@ class TpuPresent:
                 if n_extra:     # terrain instances are always visible
                     vis = jnp.concatenate(
                         [vis, jnp.ones(n_extra, vis.dtype)])
+                pal = (state.modules["animation"].palette
+                       if has_skin else None)
                 rgb, zbuf, overflow = raster(
                     jnp.take(wpos, eidx, axis=-1),
                     jnp.take(wrot, eidx, axis=-1),
                     jnp.take(state.world.scale, eidx, axis=-1),
-                    vis, cam_pos, cam_rot, rs.cam_fov[cam_slot])
+                    vis, cam_pos, cam_rot, rs.cam_fov[cam_slot],
+                    palette=pal)
                 if has_lights:
                     from lumixengine_tpu.renderer import clusters as _cls
                     from lumixengine_tpu.renderer import postprocess as pp

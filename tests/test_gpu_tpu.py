@@ -196,3 +196,58 @@ def test_tpu_raster_draws_terrain():
     fg = rgb[hit].astype(np.float32)
     # terrain green dominates (89,140,79 base under flat Lambert)
     assert fg[:, 1].mean() > fg[:, 0].mean() > fg[:, 2].mean()
+
+
+def test_tpu_raster_skins_characters():
+    """Skinned vertices pose through the animation palette in the TPU
+    raster's vertex stage (DQS, ≙ gpu_dx12's skinning vertex shader over
+    computeSkeletonDualQuats): the real ybot mesh animates on the device
+    present — the silhouette CHANGES as the run clip advances, while a
+    rest-pose (unskinned) bake would be frame-invariant."""
+    import os
+    import pytest
+
+    YBOT = "/root/reference/demo/models/ybot/ybot.fbx"
+    RUN = "/root/reference/demo/models/ybot/run forward.fbx"
+    if not os.path.exists(YBOT):
+        pytest.skip("reference demo assets not present")
+    from lumixengine_tpu.importers import fbx
+    from lumixengine_tpu.models import demo_scenes
+
+    model = fbx.to_model(fbx.load_fbx(YBOT), name="ybot")
+    clip = fbx.to_clip(fbx.load_fbx(RUN), model.skeleton, name="run_tpu")
+    engine, renderer, anim = demo_scenes.build_engine(
+        with_animation=True, model_instances=4, animables=2, animators=0)
+    mid = renderer.add_model(model)
+    cid = anim.add_clip(clip)
+    world = engine.create_world(capacity=8)
+    cam = world.create_entity(position=(0.0, 1.0, 4.0), name="cam")
+    world.create_component(cam, "camera", fov=1.1, near=0.1, far=100.0)
+    e = world.create_entity(name="bot")
+    world.create_component(e, "model_instance", model=mid)
+    world.create_component(e, "animable", clip=cid)
+
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(1)
+
+    present = gpu_tpu.TpuPresent(width=128, height=72, lights=False)
+    rgb0, d0, _ = present(runner)
+    rgb0, d0 = np.asarray(rgb0).copy(), np.asarray(d0).copy()
+    assert (d0 < np.inf).any()
+
+    runner.run(15)                        # half a run cycle → new pose
+    rgb1, d1, _ = present(runner)
+    rgb1 = np.asarray(rgb1)
+    changed = (rgb1 != rgb0).any(axis=-1).mean()
+    assert changed > 0.0005, changed      # the silhouette moved
+
+    # the soup really is skinned (not falling back to rest pose)
+    from lumixengine_tpu.renderer.gpu_soft import skin_map
+
+    st = world.modules["renderer"].statics()
+    soup = gpu_tpu.bake_soup(st, renderer.models,
+                             materials=renderer.materials,
+                             skin_cols=skin_map(world))
+    assert int((soup.vskin_col >= 0).sum()) > 10_000

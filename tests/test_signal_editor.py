@@ -61,11 +61,14 @@ def test_cycle_event_and_function_with_undo():
     sig = core.signals[btn]
     assert (sig["event_component"], sig["event"]) == ("gui", "buttonClicked")
 
-    # undo restores the previous pair (two commands = two undos)
+    # undo restores the previous pair (two commands = two undos); the
+    # registry may hold events registered by other tests, so compute the
+    # expected neighbor from the live list instead of assuming position 0
     app.stack.undo()
     app.stack.undo()
     sig = core.signals[btn]
-    assert (sig["event_component"], sig["event"]) == evs[-1]
+    assert (sig["event_component"], sig["event"]) == \
+        evs[(i0 - 1) % len(evs)]
 
     # function cycling hits the script::call entry
     rows = app.prop_rows(btn)
