@@ -431,15 +431,96 @@ def make_raster(soup: SoupStatics, width: int, height: int,
     return jax.jit(raster)
 
 
+def _particle_rows(rmod):
+    """Host-side OUT-channel row map per (emitter entity, sub-emitter):
+    (pos_row, col_row, col_width, size_row) — same name rules as the
+    software splat (gpu_soft._particle_outputs)."""
+    out = []
+    for ent, (_eid, ps) in dict(rmod.particle_emitters).items():
+        for ekey, em in getattr(ps, "emitters", {}).items():
+            rows, row, first3 = {}, 0, None
+            for name, w in (getattr(em, "outs", None) or []):
+                rows[name.lower()] = (row, w)
+                if w >= 3 and first3 is None:
+                    first3 = row
+                row += w
+            pos_row = first3
+            for name, (r, w) in rows.items():
+                if "pos" in name and w >= 3:
+                    pos_row = r
+            if pos_row is None:
+                continue
+            col_row, col_w, size_row = -1, 0, -1
+            for name, (r, w) in rows.items():
+                if "color" in name and w >= 3 and col_row < 0:
+                    col_row, col_w = r, w
+                if ("scale" in name or "size" in name) and w == 1 \
+                        and size_row < 0:
+                    size_row = r
+            out.append((ent, ekey, pos_row, col_row, col_w, size_row))
+    return out
+
+
+def splat_particles(rgb_f, zbuf, est, rows, cam_pos, cam_rot, fov,
+                    width: int, height: int):
+    """Additive point splats with z-test + depth write, on device — the
+    jnp mirror of the software backend's draw_particles (gpu_soft.py:225):
+    same 3×3 ring rule, same 0.8 additive weight, splats own their depth.
+    Cost: O(capacity) scatters once per frame (bounded by the emitter's
+    static cap — fine at scene scale; the 1M stress config never presents).
+    rgb_f is float 0-255 [H,W,3]; returns (rgb_f', zbuf')."""
+    pos_row, col_row, col_w, size_row = rows
+    pos = est.outs[pos_row:pos_row + 3]                  # [3, cap]
+    alive = est.alive
+    inv = dm.quat_conjugate(cam_rot, axis=0)
+    local = dm.quat_rotate(inv[:, None], pos - cam_pos[:, None], axis=0)
+    depth = -local[2]
+    safe = jnp.maximum(depth, 1e-3)
+    f = 1.0 / jnp.tan(fov * 0.5)
+    aspect = width / height
+    sx = ((local[0] * f / aspect) / safe * 0.5 + 0.5) * width
+    sy = (1.0 - ((local[1] * f) / safe * 0.5 + 0.5)) * height
+    ok = (alive & (depth > 1e-3) & (sx >= 0) & (sx < width)
+          & (sy >= 0) & (sy < height))
+    xi = jnp.clip(sx.astype(jnp.int32), 0, width - 1)
+    yi = jnp.clip(sy.astype(jnp.int32), 0, height - 1)
+    if col_row >= 0:
+        col = jnp.clip(est.outs[col_row:col_row + 3], 0.0, 4.0)
+        if col_w >= 4:
+            col = col * jnp.clip(est.outs[col_row + 3][None], 0.0, 1.0)
+        col = col * 255.0
+    else:
+        col = jnp.full((3,) + alive.shape, 80.0, jnp.float32)
+    sc = (est.outs[size_row] if size_row >= 0
+          else jnp.full(alive.shape, 0.15, jnp.float32))
+    px = jnp.clip(sc * f / safe * height * 0.5, 0.5, 6.0)
+    flat_rgb = rgb_f.reshape(-1, 3)
+    flat_z = zbuf.reshape(-1)
+    lin = yi * width + xi
+    vis = ok & (depth < flat_z[lin])
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ring = max(abs(dy), abs(dx))
+            sel = vis & ((px > 1.6 * ring) if ring else (px >= 0.0))
+            y2 = jnp.clip(yi + dy, 0, height - 1)
+            x2 = jnp.clip(xi + dx, 0, width - 1)
+            l2 = y2 * width + x2
+            add = jnp.where(sel[None], col * 0.8, 0.0).T    # [cap,3]
+            flat_rgb = flat_rgb.at[l2].add(add)
+            flat_z = flat_z.at[l2].min(jnp.where(sel, depth, jnp.inf))
+    return flat_rgb.reshape(rgb_f.shape), flat_z.reshape(zbuf.shape)
+
+
 class TpuPresent:
     """Cached TPU present for a Runner: rebakes the soup on topology change,
     reuses the jitted raster across frames (≙ gpu_dx12's PSO/heap reuse)."""
 
     def __init__(self, width: int = 480, height: int = 270,
-                 lights: bool = True, **kw):
+                 lights: bool = True, particles: bool = True, **kw):
         self.width, self.height = width, height
         self.kw = kw
         self.lights = lights
+        self.particles = particles
         self._raster = None
         self._soup_version = None
 
@@ -500,6 +581,7 @@ class TpuPresent:
             # reconstructs view positions/normals from depth
             has_lights = (self.lights and st.pl_slots.size > 0
                           and bool(np.any(st.pl_mask)))
+            prt_rows = _particle_rows(rmod) if self.particles else []
             le = jnp.asarray(np.maximum(st.pl_slots, 0))
             aspect = self.width / self.height
 
@@ -539,6 +621,19 @@ class TpuPresent:
                         near=rs.cam_near[cam_slot],
                         far_cluster=rs.cam_far[cam_slot])
                     rgb = jnp.clip(lit * 255.0, 0, 255).astype(jnp.uint8)
+                if prt_rows:
+                    # particle splats draw AFTER the light pass: splats own
+                    # their depth but have no surface normal, so they must
+                    # not feed the depth-reconstructed deferred shading
+                    rgb_f = rgb.astype(jnp.float32)
+                    for ent, ekey, *rows in prt_rows:
+                        est = rs.particles.get(ent, {}).get(ekey)
+                        if est is None:
+                            continue
+                        rgb_f, zbuf = splat_particles(
+                            rgb_f, zbuf, est, tuple(rows), cam_pos, cam_rot,
+                            rs.cam_fov[cam_slot], self.width, self.height)
+                    rgb = jnp.clip(rgb_f, 0, 255).astype(jnp.uint8)
                 return rgb, zbuf, overflow
 
             self._frame = frame

@@ -251,3 +251,32 @@ def test_tpu_raster_skins_characters():
                              materials=renderer.materials,
                              skin_cols=skin_map(world))
     assert int((soup.vskin_col >= 0).sum()) > 10_000
+
+
+def test_tpu_present_splats_particles():
+    """Alive particles splat on the device present with z-test and depth
+    write (gpu_tpu.splat_particles ≙ the software backend's additive point
+    splats, gpu_soft.draw_particles)."""
+    from lumixengine_tpu.models import demo_scenes
+
+    engine, world, renderer = demo_scenes.particle_stress_world(capacity=2048)
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(10)                        # let the storm emit
+
+    on = gpu_tpu.TpuPresent(width=128, height=72, lights=False)
+    rgb, depth, _ = on(runner)
+    off = gpu_tpu.TpuPresent(width=128, height=72, lights=False,
+                             particles=False)
+    rgb0, depth0, _ = off(runner)
+    rgb, rgb0 = np.asarray(rgb), np.asarray(rgb0)
+    depth, depth0 = np.asarray(depth), np.asarray(depth0)
+
+    changed = (rgb != rgb0).any(axis=-1)
+    assert changed.sum() > 20, changed.sum()     # splats landed
+    # splats own their depth: the depth buffer gained finite entries
+    assert (np.isfinite(depth) & ~np.isfinite(depth0)).sum() > 10
+    # and never BEHIND existing geometry (z-tested)
+    both = np.isfinite(depth) & np.isfinite(depth0)
+    assert (depth[both] <= depth0[both] + 1e-4).all()
