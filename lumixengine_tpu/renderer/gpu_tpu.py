@@ -560,6 +560,18 @@ class TpuPresent:
                     extra.append((tm[0], tm[1],
                                   np.array([89, 140, 79], np.float32)))
                     extra_slots.append(world.slot(int(e)))
+            # procedural geometry: entity-local triangle soups (consecutive
+            # triples, ≙ the software path's _draw_procedural fill)
+            for ent, pg in getattr(rmod, "procedural_geometries",
+                                   {}).items():
+                verts = np.asarray(pg.get("vertices", ()), np.float32)
+                n = (len(verts) // 3) * 3
+                if n == 0:
+                    continue
+                extra.append((verts[:n],
+                              np.arange(n, dtype=np.int32).reshape(-1, 3),
+                              np.array([176, 122, 161], np.float32)))
+                extra_slots.append(world.slot(int(ent)))
             from lumixengine_tpu.renderer.gpu_soft import skin_map
 
             soup = bake_soup(st, rmod.system.models,

@@ -280,3 +280,32 @@ def test_tpu_present_splats_particles():
     # and never BEHIND existing geometry (z-tested)
     both = np.isfinite(depth) & np.isfinite(depth0)
     assert (depth[both] <= depth0[both] + 1e-4).all()
+
+
+def test_tpu_present_draws_procedural_geometry():
+    """Procedural geometry soups draw at their entity transform on the
+    device present (baked as extra soup instances, ≙ the software
+    _draw_procedural fill)."""
+    from lumixengine_tpu.models.demo_scenes import build_engine
+
+    engine, renderer = build_engine(model_instances=4)
+    world = engine.create_world(capacity=8)
+    cam = world.create_entity(position=(0.0, 0.0, 6.0), name="cam")
+    world.create_component(cam, "camera", fov=1.1, near=0.1, far=100.0)
+    e = world.create_entity(position=(0.0, 0.0, 0.0), name="pg")
+    tri = np.array([[-1.5, -1.0, 0.0], [1.5, -1.0, 0.0], [0.0, 1.5, 0.0]],
+                   np.float32)
+    world.create_component(e, "procedural_geometry", vertices=tri)
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(1)
+    present = gpu_tpu.TpuPresent(width=96, height=64, lights=False)
+    rgb, depth, overflow = present(runner)
+    rgb, depth = np.asarray(rgb), np.asarray(depth)
+    assert int(overflow) == 0
+    hit = depth < np.inf
+    assert hit.sum() > 50
+    fg = rgb[hit].astype(np.float32)
+    # the soft path's procedural tint (176,122,161): red>blue>green
+    assert fg[:, 0].mean() > fg[:, 2].mean() > fg[:, 1].mean()
