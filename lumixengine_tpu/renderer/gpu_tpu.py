@@ -82,6 +82,39 @@ def terrain_mesh(tr: dict, max_grid: int = 128):
     return verts.astype(np.float32), tris
 
 
+def grass_mesh(reg, tid: int, tr: dict, max_blades: int = 512):
+    """Grass blades for one terrain as a single entity-local triangle mesh
+    (terrain.scatter_grass, same seeds/density/slope rules as
+    gpu_soft._draw_grass)."""
+    import jax
+
+    from lumixengine_tpu.renderer import terrain as T
+
+    bank = reg.bank
+    hgt, wid = tr["heights"].shape
+    ext = (wid * tr["xz_scale"], hgt * tr["xz_scale"])
+    verts, tris, base = [], [], 0
+    for gi, gt in enumerate(tr["grass_types"]):
+        pos, yaw, mask = T.scatter_grass(
+            bank, tid, float(gt.get("density", 0.2)), ext,
+            jax.random.PRNGKey(17 + gi), max_instances=max_blades)
+        sel = np.asarray(mask)
+        p = np.asarray(pos).T[sel][:max_blades]
+        if not len(p):
+            continue
+        h = float(gt.get("height", 0.5))
+        r = 0.08
+        n = len(p)
+        verts += [p + [-r, 0, 0], p + [r, 0, 0], p + [0, h, 0]]
+        tris.append(np.stack([np.arange(n), np.arange(n) + n,
+                              np.arange(n) + 2 * n], -1).astype(np.int32)
+                    + base)
+        base += 3 * n
+    if not tris:
+        return None
+    return np.concatenate(verts).astype(np.float32), np.concatenate(tris)
+
+
 def bake_soup(statics, registry, max_tris_per_model: int = 200_000,
               materials=None, extra_meshes=None,
               skin_cols=None) -> SoupStatics:
@@ -560,6 +593,18 @@ class TpuPresent:
                     extra.append((tm[0], tm[1],
                                   np.array([89, 140, 79], np.float32)))
                     extra_slots.append(world.slot(int(e)))
+                    # grass types: seeded scatter → one static blade-
+                    # triangle mesh in terrain-local space (same scatter +
+                    # color as the software path's _draw_grass; static per
+                    # topology since the scatter is seed-deterministic)
+                    tr = treg.get(int(tid))
+                    if tr.get("grass_types"):
+                        gm = grass_mesh(treg, int(tid), tr)
+                        if gm is not None:
+                            extra.append((gm[0], gm[1],
+                                          np.array([96, 168, 72],
+                                                   np.float32)))
+                            extra_slots.append(world.slot(int(e)))
             # procedural geometry: entity-local triangle soups (consecutive
             # triples, ≙ the software path's _draw_procedural fill)
             for ent, pg in getattr(rmod, "procedural_geometries",

@@ -309,3 +309,33 @@ def test_tpu_present_draws_procedural_geometry():
     fg = rgb[hit].astype(np.float32)
     # the soft path's procedural tint (176,122,161): red>blue>green
     assert fg[:, 0].mean() > fg[:, 2].mean() > fg[:, 1].mean()
+
+
+def test_tpu_present_draws_grass():
+    """Grass blades bake into the soup (gpu_tpu.grass_mesh, same scatter +
+    color as the software _draw_grass) and draw above the terrain."""
+    from lumixengine_tpu.models.demo_scenes import build_engine
+
+    engine, renderer = build_engine(model_instances=4)
+    hm = np.zeros((32, 32), np.float32)
+    tid = renderer.terrains.add(hm, xz_scale=1.0, y_scale=1.0,
+                                grass_types=[{"density": 2.0,
+                                              "height": 1.5}])
+    world = engine.create_world(capacity=8)
+    cam = world.create_entity(position=(16.0, 3.0, 40.0), name="cam")
+    world.create_component(cam, "camera", fov=1.1, near=0.1, far=300.0)
+    t = world.create_entity(position=(0.0, 0.0, 0.0), name="ground")
+    world.create_component(t, "terrain", terrain=tid)
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(1)
+    present = gpu_tpu.TpuPresent(width=96, height=64, lights=False,
+                                 k_slots=2048)
+    rgb, depth, overflow = present(runner)
+    rgb, depth = np.asarray(rgb), np.asarray(depth)
+    assert int(overflow) == 0
+    # grass green (96,168,72) appears: strongly green-dominant pixels
+    fg = rgb.reshape(-1, 3).astype(np.float32)
+    grassy = (fg[:, 1] > fg[:, 0] + 20) & (fg[:, 1] > fg[:, 2] + 30)
+    assert grassy.sum() > 10, grassy.sum()
