@@ -251,7 +251,7 @@ class Runner:
         return img
 
     def present_tpu(self, path: Optional[str] = None, cam_slot: int = 0,
-                    width: int = 480, height: int = 270):
+                    width: int = 480, height: int = 270, gui: bool = True):
         """On-device present (renderer/gpu_tpu.py ≙ gpu_dx12.cpp): the View's
         triangle soup is tile-binned and z-filled ON the TPU; only the final
         framebuffer crosses to the host. The jitted raster is cached across
@@ -265,6 +265,13 @@ class Runner:
         rgb, depth, overflow = tp(self, cam_slot)
         import numpy as np
         rgb = np.asarray(rgb)
+        if gui and self.world.modules.get("gui") is not None:
+            # the UI is HOST content: composite after the device frame
+            # lands (≙ the reference GUI pass into the swapchain target)
+            from lumixengine_tpu.renderer.gpu_soft import compose_gui
+
+            buf = compose_gui(rgb.astype(np.float32), self, width, height)
+            rgb = np.clip(buf, 0, 255).astype(np.uint8)
         if path is not None:
             from PIL import Image
             Image.fromarray(rgb).save(path)

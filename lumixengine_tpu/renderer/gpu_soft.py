@@ -362,51 +362,9 @@ class SoftwareGpuBackend:
             buf = np.array(self.color) * 255.0
         else:
             buf = self.fb
-        items = gui.draw_list(self.runner.state)
-        for it in items:
-            r = it["rect"]
-            x0 = int(max(r[0] * sx, 0))
-            y0 = int(max(r[1] * sy, 0))
-            x1 = min(int(r[2] * sx), self.width)
-            y1 = min(int(r[3] * sy), self.height)
-            if x0 < x1 and y0 < y1 and "color" in it:
-                c = np.asarray(it["color"][:3], np.float32) * 255.0
-                a = it["color"][3] if len(it["color"]) > 3 else 0.6
-                buf[y0:y1, x0:x1] = (buf[y0:y1, x0:x1] * (1 - a)
-                                     + c[None, None] * a)
-            for g in it.get("glyphs", ()):
-                self._blit_glyph(gui, it, g, sx, sy, buf)
-            if "caret" in it:
-                cx0, cy0, cx1, cy1 = it["caret"]
-                x0 = int(max(cx0 * sx, 0))
-                x1 = min(int(max(cx1 * sx, x0 + 1)), self.width)
-                y0 = int(max(cy0 * sy, 0))
-                y1 = min(int(cy1 * sy), self.height)
-                if x0 < x1 and y0 < y1:
-                    buf[y0:y1, x0:x1] = 235.0
+        compose_gui(buf, self.runner, self.width, self.height)
         if self.color is not None:
             self.color = jnp.asarray(np.clip(buf, 0, 255) / 255.0)
-
-    def _blit_glyph(self, gui, item, g, sx=1.0, sy=1.0, buf=None):
-        """g = (x0,y0,x1,y1, u0,v0,u1,v1) — Font.layout's quad format in
-        canvas pixels; the atlas crop is nearest-resampled to the scaled
-        quad size."""
-        font = gui._font(item.get("font_size", 24))
-        gx0, gy0, gx1, gy1, u0, v0, u1, v1 = g
-        x0 = int(max(gx0 * sx, 0))
-        y0 = int(max(gy0 * sy, 0))
-        x1 = min(int(round(gx1 * sx)), self.width)
-        y1 = min(int(round(gy1 * sy)), self.height)
-        if x0 >= x1 or y0 >= y1 or v1 <= v0 or u1 <= u0:
-            return
-        if buf is None:
-            buf = self.fb
-        src = font.atlas[v0:v1, u0:u1].astype(np.float32) / 255.0
-        h, w = y1 - y0, x1 - x0
-        ri = (np.arange(h) * (src.shape[0] / h)).astype(np.int32)
-        ci = (np.arange(w) * (src.shape[1] / w)).astype(np.int32)
-        a = src[ri][:, ci][..., None]
-        buf[y0:y1, x0:x1] = (buf[y0:y1, x0:x1] * (1 - a) + 235.0 * a)
 
     def draw_nav_debug(self, nav_module=None, y: float = 0.1):
         """Navigation debug draw (≙ NavigationModule debug draw of the
@@ -664,6 +622,63 @@ class SoftwareGpuBackend:
             return np.clip(self.fb, 0, 255).astype(np.uint8)
         arr = np.asarray(self.color)
         return np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+
+
+def compose_gui(buf: np.ndarray, runner, width: int, height: int) -> np.ndarray:
+    """GUI overlay onto a float [H,W,3] 0-255 buffer IN PLACE: rect fills +
+    real font-atlas glyph blits + input-field carets, canvas coordinates
+    scaled to the framebuffer (≙ gui_system.cpp rendering into the
+    post-tonemap target). Shared by the software backend's draw_2d and the
+    TPU present's host-side composite (Runner.present_tpu gui=True —
+    the UI is host content, so it composites after the device framebuffer
+    lands, exactly like the reference GUI drawing into the swapchain)."""
+    gui = runner.world.modules.get("gui")
+    if gui is None:
+        return buf
+    cw, ch = getattr(gui, "canvas_size", (width, height))
+    sx = width / float(cw)
+    sy = height / float(ch)
+    for it in gui.draw_list(runner.state):
+        r = it["rect"]
+        x0 = int(max(r[0] * sx, 0))
+        y0 = int(max(r[1] * sy, 0))
+        x1 = min(int(r[2] * sx), width)
+        y1 = min(int(r[3] * sy), height)
+        if x0 < x1 and y0 < y1 and "color" in it:
+            c = np.asarray(it["color"][:3], np.float32) * 255.0
+            a = it["color"][3] if len(it["color"]) > 3 else 0.6
+            buf[y0:y1, x0:x1] = (buf[y0:y1, x0:x1] * (1 - a)
+                                 + c[None, None] * a)
+        for g in it.get("glyphs", ()):
+            _blit_glyph_np(gui, it, g, sx, sy, buf, width, height)
+        if "caret" in it:
+            cx0, cy0, cx1, cy1 = it["caret"]
+            x0 = int(max(cx0 * sx, 0))
+            x1 = min(int(max(cx1 * sx, x0 + 1)), width)
+            y0 = int(max(cy0 * sy, 0))
+            y1 = min(int(cy1 * sy), height)
+            if x0 < x1 and y0 < y1:
+                buf[y0:y1, x0:x1] = 235.0
+    return buf
+
+
+def _blit_glyph_np(gui, item, g, sx, sy, buf, width, height):
+    """g = (x0,y0,x1,y1, u0,v0,u1,v1) — Font.layout's quad format in canvas
+    pixels; the atlas crop is nearest-resampled to the scaled quad size."""
+    font = gui._font(item.get("font_size", 24))
+    gx0, gy0, gx1, gy1, u0, v0, u1, v1 = g
+    x0 = int(max(gx0 * sx, 0))
+    y0 = int(max(gy0 * sy, 0))
+    x1 = min(int(round(gx1 * sx)), width)
+    y1 = min(int(round(gy1 * sy)), height)
+    if x0 >= x1 or y0 >= y1 or v1 <= v0 or u1 <= u0:
+        return
+    src = font.atlas[v0:v1, u0:u1].astype(np.float32) / 255.0
+    h, w = y1 - y0, x1 - x0
+    ri = (np.arange(h) * (src.shape[0] / h)).astype(np.int32)
+    ci = (np.arange(w) * (src.shape[1] / w)).astype(np.int32)
+    a = src[ri][:, ci][..., None]
+    buf[y0:y1, x0:x1] = (buf[y0:y1, x0:x1] * (1 - a) + 235.0 * a)
 
 
 def skin_map(world) -> dict:

@@ -339,3 +339,30 @@ def test_tpu_present_draws_grass():
     fg = rgb.reshape(-1, 3).astype(np.float32)
     grassy = (fg[:, 1] > fg[:, 0] + 20) & (fg[:, 1] > fg[:, 2] + 30)
     assert grassy.sum() > 10, grassy.sum()
+
+
+def test_tpu_present_composites_gui():
+    """Runner.present_tpu composites the host GUI (rects/text) over the
+    downloaded device framebuffer (gpu_soft.compose_gui — the same pass the
+    software present uses, so the two UIs match)."""
+    from lumixengine_tpu import app as app_mod2
+
+    engine = app_mod2.create_full_engine()
+    world = engine.create_world(capacity=8)
+    cam = world.create_entity(position=(0.0, 0.0, 6.0), name="cam")
+    world.create_component(cam, "camera", fov=1.1, near=0.1, far=100.0)
+    panel = world.create_entity(name="panel")
+    world.create_component(panel, "gui_rect", anchor=(0.1, 0.1, 0.4, 0.3))
+    world.create_component(panel, "gui_image", color=(1.0, 0.2, 0.2, 0.9))
+    runner = app_mod2.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(1)
+    rgb, depth, _ = runner.present_tpu(width=96, height=64)
+    rgb0, _, _ = runner.present_tpu(width=96, height=64, gui=False)
+    diff = (rgb != rgb0).any(axis=-1)
+    assert diff.sum() > 50                       # the panel landed
+    ys, xs = np.nonzero(diff)
+    assert ys.max() < 64 * 0.4 and xs.max() < 96 * 0.5   # where anchored
+    px = rgb[diff].astype(np.float32)
+    assert px[:, 0].mean() > px[:, 1].mean()      # red panel
