@@ -464,6 +464,58 @@ def make_raster(soup: SoupStatics, width: int, height: int,
     return jax.jit(raster)
 
 
+def _decal_rows(rmod, world):
+    """Static decal rows for the device decal pass: (entity slots [D],
+    local offsets [3,D], local rots [4,D], half extents [D,3], tints
+    [D,3]). Curve decals sample their bezier into OBB segments exactly like
+    the software path (gpu_soft._run_decals)."""
+    from lumixengine_tpu.renderer.raster import _PALETTE
+
+    slots, loc, lrot, he, tint = [], [], [], [], []
+    for slot in range(rmod.decals.capacity):
+        e = int(rmod.decals.entity[slot])
+        if e < 0:
+            continue
+        slots.append(world.slot(e))
+        loc.append(np.zeros(3, np.float32))
+        lrot.append(np.array([0, 0, 0, 1], np.float32))
+        he.append(np.asarray(rmod.decals.data["half_extents"][slot]))
+        mat = int(rmod.decals.data["material"][slot])
+        tint.append(_PALETTE[mat % len(_PALETTE)] / 255.0)
+    for slot in range(rmod.curve_decals.capacity):
+        e = int(rmod.curve_decals.entity[slot])
+        if e < 0:
+            continue
+        bhe = np.asarray(rmod.curve_decals.data["half_extents"][slot])
+        p0 = np.asarray(rmod.curve_decals.data["bezier_p0"][slot])
+        p2 = np.asarray(rmod.curve_decals.data["bezier_p2"][slot])
+        mat = int(rmod.curve_decals.data["material"][slot])
+        t = _PALETTE[mat % len(_PALETTE)] / 255.0
+        nseg = 8
+        ts = np.linspace(0.0, 1.0, nseg + 1)
+        bz = ((1 - ts) ** 2)[:, None] * p0[None] \
+            + (ts ** 2)[:, None] * p2[None]
+        for i in range(nseg):
+            a, b = bz[i], bz[i + 1]
+            mid = (a + b) * 0.5
+            d = b - a
+            ln = float(np.hypot(d[0], d[1]))
+            yaw = float(np.arctan2(d[0], d[1]))
+            slots.append(world.slot(e))
+            loc.append(np.array([mid[0], 0.0, mid[1]], np.float32))
+            lrot.append(np.array([0.0, np.sin(yaw / 2), 0.0,
+                                  np.cos(yaw / 2)], np.float32))
+            he.append(np.array([bhe[0], bhe[1], ln / 2 + 0.05], np.float32))
+            tint.append(t)
+    if not slots:
+        return None
+    import jax.numpy as _jnp
+
+    return (_jnp.asarray(np.asarray(slots, np.int64)),
+            _jnp.asarray(np.stack(loc).T), _jnp.asarray(np.stack(lrot).T),
+            _jnp.asarray(np.stack(he)), _jnp.asarray(np.stack(tint)))
+
+
 def _particle_rows(rmod):
     """Host-side OUT-channel row map per (emitter entity, sub-emitter):
     (pos_row, col_row, col_width, size_row) — same name rules as the
@@ -639,6 +691,11 @@ class TpuPresent:
             has_lights = (self.lights and st.pl_slots.size > 0
                           and bool(np.any(st.pl_mask)))
             prt_rows = _particle_rows(rmod) if self.particles else []
+            # decals + curve decals: static (entity slot, local offset,
+            # local rot, half extents, tint) rows; poses compose with the
+            # LIVE entity transform in-frame, then the same depth-projected
+            # OBB pass the software present runs (postprocess.decal_pass)
+            dec = _decal_rows(rmod, world)
             le = jnp.asarray(np.maximum(st.pl_slots, 0))
             aspect = self.width / self.height
 
@@ -660,6 +717,19 @@ class TpuPresent:
                     jnp.take(state.world.scale, eidx, axis=-1),
                     vis, cam_pos, cam_rot, rs.cam_fov[cam_slot],
                     palette=pal)
+                if dec is not None:
+                    from lumixengine_tpu.renderer import postprocess as pp
+
+                    slots_d, loc, lrot, he_d, tint_d = dec
+                    ep = jnp.take(wpos, slots_d, axis=-1)       # [3,D]
+                    er = jnp.take(wrot, slots_d, axis=-1)       # [4,D]
+                    dpos = ep + dm.quat_rotate(er, loc, axis=0)
+                    drot = dm.quat_mul(er, lrot, axis=0)
+                    out = pp.decal_pass(
+                        rgb.astype(jnp.float32) / 255.0, zbuf,
+                        rs.cam_fov[cam_slot], aspect, cam_pos, cam_rot,
+                        dpos.T, drot.T, he_d, tint_d)
+                    rgb = jnp.clip(out * 255.0, 0, 255).astype(jnp.uint8)
                 if has_lights:
                     from lumixengine_tpu.renderer import clusters as _cls
                     from lumixengine_tpu.renderer import postprocess as pp

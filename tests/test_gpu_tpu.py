@@ -366,3 +366,41 @@ def test_tpu_present_composites_gui():
     assert ys.max() < 64 * 0.4 and xs.max() < 96 * 0.5   # where anchored
     px = rgb[diff].astype(np.float32)
     assert px[:, 0].mean() > px[:, 1].mean()      # red panel
+
+
+def test_tpu_present_projects_decals():
+    """Decal + curve-decal OBBs tint geometry on the device present through
+    the SAME depth-projected pass the software present runs
+    (postprocess.decal_pass), with poses composed from the live entity
+    transform in-frame."""
+    from lumixengine_tpu.models import demo_scenes
+
+    engine, renderer = demo_scenes.build_engine(model_instances=16)
+    world = engine.create_world(capacity=16)
+    cam = world.create_entity(position=(0.0, 0.0, 10.0), name="camera")
+    world.create_component(cam, "camera", fov=np.radians(70.0))
+    wall = world.create_entity(position=(0.0, 0.0, 0.0), scale=(4.0,) * 3)
+    world.create_component(wall, "model_instance", model="cube")
+    dec = world.create_entity(position=(0.0, 0.0, 2.5))
+    world.create_component(dec, "decal", material=3,
+                           half_extents=(1.0, 1.0, 2.0))
+    cd = world.create_entity(position=(0.0, 0.0, 2.5))
+    world.create_component(cd, "curve_decal", material=6,
+                           half_extents=(0.6, 1.0, 0.6),
+                           bezier_p0=(-2.0, 0.0), bezier_p2=(2.0, 0.0))
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(1)
+    present = gpu_tpu.TpuPresent(width=120, height=68, lights=False)
+    rgb, depth, _ = present(runner)
+    rgb = np.asarray(rgb)
+
+    world.destroy_component(dec, "decal")
+    world.destroy_component(cd, "curve_decal")
+    runner.state = world.device_state()
+    bare = gpu_tpu.TpuPresent(width=120, height=68, lights=False)
+    rgb0, _, _ = bare(runner)
+    rgb0 = np.asarray(rgb0)
+    diff = np.abs(rgb.astype(int) - rgb0.astype(int)).max(axis=-1)
+    assert (diff > 20).sum() > 30        # both decals tinted the wall
