@@ -601,22 +601,13 @@ class TpuPresent:
     reuses the jitted raster across frames (≙ gpu_dx12's PSO/heap reuse)."""
 
     def __init__(self, width: int = 480, height: int = 270,
-                 lights: bool = True, particles: bool = True,
-                 upscale: int = 1, **kw):
-        """upscale > 1 = the performance present: raster at
-        width/upscale × height/upscale, then the FSR3-structured temporal
-        upscaler (renderer/fsr3.py) reconstructs presentation resolution —
-        fill cost drops ~upscale², history accumulates across frames
-        (≙ fsr3.inl binding the FFX upscale context to the pipeline)."""
+                 lights: bool = True, particles: bool = True, **kw):
         self.width, self.height = width, height
-        self.upscale = max(int(upscale), 1)
         self.kw = kw
         self.lights = lights
         self.particles = particles
         self._raster = None
         self._soup_version = None
-        self._fsr_state = None
-        self._prev_cam = None
 
     def device_frame(self, runner, cam_slot: int = 0):
         """One jitted device dispatch: instance gathers + raster fused; the
@@ -684,9 +675,7 @@ class TpuPresent:
                              materials=rmod.system.materials,
                              extra_meshes=extra,
                              skin_cols=skin_map(world))
-            rw = max(self.width // self.upscale, 2)
-            rh = max(self.height // self.upscale, 2)
-            raster = make_raster(soup, rw, rh, **self.kw)
+            raster = make_raster(soup, self.width, self.height, **self.kw)
             has_skin = bool(np.any(soup.vskin_col >= 0)) \
                 and "animation" in world.modules
             eidx = jnp.asarray(np.concatenate(
@@ -770,52 +759,14 @@ class TpuPresent:
                             continue
                         rgb_f, zbuf = splat_particles(
                             rgb_f, zbuf, est, tuple(rows), cam_pos, cam_rot,
-                            rs.cam_fov[cam_slot], rw, rh)
+                            rs.cam_fov[cam_slot], self.width, self.height)
                     rgb = jnp.clip(rgb_f, 0, 255).astype(jnp.uint8)
                 return rgb, zbuf, overflow
 
             self._frame = frame
-            if self.upscale > 1:
-                # the PERFORMANCE present: raster at render res, FSR3
-                # temporal upscale to presentation res — one fused dispatch
-                from lumixengine_tpu.renderer import fsr3 as _fsr3
-
-                @jax.jit
-                def frame_up(state, fsr_state, prev_pos, prev_rot):
-                    rgb, zbuf, overflow = frame(state)
-                    rs = state.modules["renderer"]
-                    cam_pos = state.world.pos[:, cam_e]
-                    cam_rot = state.world.rot[:, cam_e]
-                    motion = _fsr3.camera_motion_vectors(
-                        zbuf, rs.cam_fov[cam_slot], aspect,
-                        cam_pos, cam_rot, prev_pos, prev_rot)
-                    out, new_state = _fsr3.dispatch(
-                        fsr_state, rgb.astype(jnp.float32) / 255.0, zbuf,
-                        motion, self.height, self.width)
-                    out8 = jnp.clip(out * 255.0, 0, 255).astype(jnp.uint8)
-                    return out8, zbuf, overflow, new_state, cam_pos, cam_rot
-
-                self._frame_up = frame_up
-                self._render_res = (rh, rw)
-                self._cam_e = cam_e
-                self._fsr_state = None      # fresh history per topology
             self._soup_version = ver
             self._raster = raster
-        state = runner.state
-        if self.upscale == 1:
-            return self._frame(state)
-        from lumixengine_tpu.renderer import fsr3 as _fsr3
-
-        if self._fsr_state is None:
-            rh, rw = self._render_res
-            self._fsr_state = _fsr3.init_state(rh, rw, self.height,
-                                               self.width)
-            self._prev_cam = (state.world.pos[:, self._cam_e],
-                              state.world.rot[:, self._cam_e])
-        rgb, zbuf, ovf, self._fsr_state, pc, pr = self._frame_up(
-            state, self._fsr_state, *self._prev_cam)
-        self._prev_cam = (pc, pr)
-        return rgb, zbuf, ovf
+        return self._frame(runner.state)
 
     def __call__(self, runner, cam_slot: int = 0):
         return self.device_frame(runner, cam_slot)

@@ -404,30 +404,3 @@ def test_tpu_present_projects_decals():
     rgb0 = np.asarray(rgb0)
     diff = np.abs(rgb.astype(int) - rgb0.astype(int)).max(axis=-1)
     assert (diff > 20).sum() > 30        # both decals tinted the wall
-
-
-def test_tpu_present_fsr_upscale():
-    """The performance present: raster at half res + FSR3 temporal upscale
-    to presentation res in one fused dispatch (TpuPresent(upscale=2) ≙
-    fsr3.inl binding the FFX upscale context to the pipeline)."""
-    runner = _runner(num_entities=64)
-    up = gpu_tpu.TpuPresent(width=128, height=64, lights=False, upscale=2)
-    rgb1, depth1, ovf = up(runner)
-    assert np.asarray(rgb1).shape == (64, 128, 3)       # presentation res
-    assert np.asarray(depth1).shape == (32, 64)          # render res
-    # history accumulates: a second frame blends toward the scene
-    runner.run(1)
-    rgb2, _, _ = up(runner)
-    rgb1, rgb2 = np.asarray(rgb1), np.asarray(rgb2)
-    assert (rgb2 != rgb1).any()                          # temporal state live
-    # the upscaled image resembles the full-res ground truth
-    full = gpu_tpu.TpuPresent(width=128, height=64, lights=False)
-    ref, dref, _ = full(runner)
-    ref = np.asarray(ref).astype(np.float32)
-    err = np.abs(rgb2.astype(np.float32) - ref).mean()
-    assert err < 40.0, err                               # coarse agreement
-    # coverage: geometry pixels land in roughly the same places
-    hit_ref = np.asarray(dref) < np.inf
-    bright2 = rgb2.mean(-1) > 30
-    agree = (bright2 == hit_ref).mean()
-    assert agree > 0.85, agree
