@@ -273,3 +273,43 @@ def test_box_drop_cubic_settles_quality_tier():
     assert y.max() < 7.5, y.max()
     ke = float(jnp.sum(c[2] ** 2) + jnp.sum(c[3] ** 2))
     assert ke < 60.0, ke                      # settled (≈0.3 m/s mean jitter)
+
+
+def test_sleep_entry_gated_on_ground_depth():
+    """A body may not DOZE OFF while >4 cm into the ground (asleep ⇒ zero
+    effective inverse mass ⇒ position projection can't push it out — the
+    frozen-5-8-cm-deep failure), while a body resting at slop depth sleeps
+    normally. Gate is on ENTRY only: re-waking settled sleepers re-injected
+    pile jostle (0315408)."""
+    nb = 2
+    step = PS.make_slot_world_step(*_mats(nb), slots=4, window=4,
+                                   sleeping=True, sleep_speed=0.15,
+                                   sleep_frames=5, lin_damping=0.0,
+                                   ang_damping=0.0)
+    # body 0 rests ON the ground (≈ slop depth); body 1 is buried 8 cm
+    # deep — both start at zero velocity (calm)
+    pos = jnp.array([[0.0, 3.0], [0.495, 0.42], [0.0, 0.0]], jnp.float32)
+    rot = jnp.zeros((4, nb)).at[3].set(1.0)
+    vel = jnp.zeros((3, nb))
+    ang = jnp.zeros((3, nb))
+    carry = step.init_carry()
+    stepj = jax.jit(step)
+    first_sleep_y = [None, None]
+    for i in range(12):
+        pos, rot, vel, ang, ctr, carry = stepj(pos, rot, vel, ang,
+                                               jnp.float32(DT), carry)
+        # carry[3] = calm-frame counters; a body that reached sleep_frames
+        # is asleep next frame
+        ctrs = np.asarray(carry[3])
+        ys = np.asarray(pos[1])
+        for b in range(nb):
+            if first_sleep_y[b] is None and ctrs[b] >= 5:
+                first_sleep_y[b] = float(ys[b])
+    # the resting body slept promptly, at rest depth
+    assert first_sleep_y[0] is not None
+    assert first_sleep_y[0] > 0.49
+    # the buried body was NOT allowed to sleep until the solver pushed it
+    # above the 4 cm gate — when it finally slept it was no longer deep
+    assert first_sleep_y[1] is None or first_sleep_y[1] > 0.46, first_sleep_y
+    # and it genuinely depenetrated (frozen-deep would sit at 0.42)
+    assert float(pos[1, 1]) > 0.455, float(pos[1, 1])
