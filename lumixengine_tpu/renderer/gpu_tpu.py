@@ -657,6 +657,35 @@ class TpuPresent:
                                           np.array([96, 168, 72],
                                                    np.float32)))
                             extra_slots.append(world.slot(int(e)))
+            # InstancedModel chunks: every sub-instance's mesh pre-
+            # transforms into OWNER-entity-local space at bake (the blob's
+            # transforms are owner-relative, render_module.py), so the
+            # whole chunk rides one soup instance and follows the live
+            # owner transform (≙ encodeInstancedModels' chunk draw)
+            from lumixengine_tpu.core import host_math as hm
+            from lumixengine_tpu.renderer.raster import model_base_color
+
+            for ent, im in getattr(rmod, "instanced_models", {}).items():
+                mid = int(im["model"])
+                verts, t = _mesh_of(mid, rmod.system.models)
+                n_sub = len(im["pos"])
+                if n_sub == 0 or len(t) == 0:
+                    continue
+                if n_sub * len(t) > 200_000:     # static soup budget
+                    n_sub = max(200_000 // len(t), 1)
+                V = len(verts)
+                vv = np.tile(verts, (n_sub, 1)) \
+                    * np.repeat(im["scale"][:n_sub], V, axis=0)
+                vv = hm.quat_rotate(np.repeat(im["rot"][:n_sub], V, axis=0),
+                                    vv) + np.repeat(im["pos"][:n_sub], V,
+                                                    axis=0)
+                tt = (np.tile(t, (n_sub, 1))
+                      + (np.repeat(np.arange(n_sub), len(t)) * V)[:, None]
+                      ).astype(np.int32)
+                extra.append((vv.astype(np.float32), tt,
+                              model_base_color(mid, rmod.system.models,
+                                               rmod.system.materials)))
+                extra_slots.append(world.slot(int(ent)))
             # procedural geometry: entity-local triangle soups (consecutive
             # triples, ≙ the software path's _draw_procedural fill)
             for ent, pg in getattr(rmod, "procedural_geometries",

@@ -404,3 +404,36 @@ def test_tpu_present_projects_decals():
     rgb0 = np.asarray(rgb0)
     diff = np.abs(rgb.astype(int) - rgb0.astype(int)).max(axis=-1)
     assert (diff > 20).sum() > 30        # both decals tinted the wall
+
+
+def test_tpu_present_draws_instanced_models():
+    """InstancedModel chunks bake into the soup owner-relative and follow
+    the owner's live transform (≙ encodeInstancedModels chunk draws)."""
+    from lumixengine_tpu.models import demo_scenes
+
+    engine, world, renderer = demo_scenes.headless_demo_world(num_entities=8)
+    # find a free entity slot? build a dedicated scene instead
+    engine, renderer = demo_scenes.build_engine(model_instances=8)
+    world = engine.create_world(capacity=8)
+    cam = world.create_entity(position=(0.0, 2.0, 14.0), name="cam")
+    world.create_component(cam, "camera", fov=1.1, near=0.1, far=100.0)
+    owner = world.create_entity(position=(0.0, 0.0, 0.0), name="rocks")
+    n = 5
+    world.create_component(
+        owner, "instanced_model", model="cube",
+        positions=np.stack([np.linspace(-6, 6, n), np.zeros(n),
+                            np.zeros(n)], -1).astype(np.float32),
+        rotations=np.tile([0, 0, 0, 1.0], (n, 1)).astype(np.float32),
+        scales=np.ones((n, 3), np.float32))
+    runner = app_mod.Runner([], engine=engine)
+    runner.use_world(world)
+    runner.start()
+    runner.run(1)
+    present = gpu_tpu.TpuPresent(width=128, height=64, lights=False)
+    rgb, depth, overflow = present(runner)
+    depth = np.asarray(depth)
+    assert int(overflow) == 0
+    cols_hit = np.nonzero((depth < np.inf).any(axis=0))[0]
+    # five separated cubes → five distinct column runs across the screen
+    runs = int((np.diff(cols_hit) > 1).sum()) + 1
+    assert runs == n, (runs, cols_hit)
