@@ -48,9 +48,11 @@ class EditorApp:
         # when the world came from a .unv, save writes the reference format
         # back (≙ WorldEditor save); set by main()'s --world load
         self.scene_inst = None
-        # editor views (≙ StudioApp's dockable windows): "main" entity
-        # tree/property grid, plus asset browser / profiler / scene view,
-        # lazily constructed. '2'/'3'/'4' from main switches; esc returns.
+        # editor views (≙ StudioApp's dockable windows), lazily constructed;
+        # from main: 1 log · 2 assets · 3 profiler · 4 scene · 5 anim graph
+        # · 6 particles · 7 physics · 8 game · 9 material · 0 voxelizer ·
+        # ',' settings · '.' spline ('@' in assets opens the model-meta
+        # editor); esc returns, 'D' docks a second pane.
         self.view = "main"
         # docked secondary pane (≙ StudioApp docking: several windows
         # visible at once; here the FOCUSED view keeps the keys and a
