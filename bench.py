@@ -346,9 +346,11 @@ def main_all(args):
     jobs = [
         # args.config arrives as "all" — EVERY job must set its own config
         ("full", {"config": "full"}, None),
-        # boxes: long horizon so the completeness certificates cover the
-        # whole drop-impact-settle arc, not just the first frames
-        ("boxes", {"config": "boxes", "steps": 300, "trials": 1},
+        # boxes: 600 steps so the record covers the whole drop-impact-
+        # settle-REST arc — measured on-chip 2026-08-19: ke_end = 0.0 with
+        # 9887/10000 bodies asleep and both certificates zero (the r4
+        # 300-step horizon ended mid-grind and could only show boundedness)
+        ("boxes", {"config": "boxes", "steps": 600, "trials": 1},
          {"steps": 50}),
         ("crowd", {"config": "crowd", "characters": 256}, None),
         ("particles", {"config": "particles"}, None),
