@@ -701,6 +701,54 @@ PROVENANCE = ("independent f64 sequential-impulse (Gauss-Seidel) oracle, "
               "in this image); same documented contract, different algorithm")
 
 
+def bake_controller_slope():
+    """Character-controller golden (≙ physics_module.cpp updateControllers'
+    manual gravity + move + ground clamp, with the heightfield sampled
+    bilinearly): a controller falls onto a sloped heightfield and walks +x
+    up the slope. The contract under test is the integration ORDER
+    (vy += g·dt; pos += disp; y += vy·dt; bilinear ground clamp at the
+    foot) and the exact bilinear sample (renderer/terrain.sample_height) —
+    computed here in float64 with an independent clamp/lerp expression."""
+    H = W = 16
+    heights = (np.arange(W, dtype=np.float64)[None, :]
+               * np.ones((H, 1)) * 0.2)            # slope: h = x_cell * 0.2
+    xz_scale, y_scale = 1.0, 1.0
+    origin = np.array([-8.0, 0.0, -8.0])           # heightfield entity pos
+    g = -9.81
+    dt = DT
+    disp = np.array([0.05, 0.0, 0.0])
+    pos = np.array([-4.0, 3.0, 0.0])               # world foot position
+    vy = 0.0
+    steps = 300
+    traj = np.zeros((steps, 3))
+
+    def sample(x, z):
+        gx = min(max((x - origin[0]) / xz_scale, 0.0), W - 1.001)
+        gz = min(max((z - origin[2]) / xz_scale, 0.0), H - 1.001)
+        x0, z0 = int(np.floor(gx)), int(np.floor(gz))
+        fx, fz = gx - x0, gz - z0
+        h00, h10 = heights[z0, x0], heights[z0, x0 + 1]
+        h01, h11 = heights[z0 + 1, x0], heights[z0 + 1, x0 + 1]
+        return (((h00 * (1 - fx) + h10 * fx) * (1 - fz)
+                 + (h01 * (1 - fx) + h11 * fx) * fz) * y_scale + origin[1])
+
+    for i in range(steps):
+        vy += g * dt
+        pos = pos + disp
+        pos[1] += vy * dt
+        gy = sample(pos[0], pos[2])
+        if pos[1] <= gy:
+            pos[1] = gy
+            vy = 0.0
+        traj[i] = pos
+    np.savez(os.path.join(DATA_DIR, "golden_controller_slope.npz"),
+             kind="controller", heights=heights.astype(np.float32),
+             xz_scale=xz_scale, y_scale=y_scale, origin=origin,
+             gravity=g, dt=dt, disp=disp, start=np.array([-4.0, 3.0, 0.0]),
+             steps=steps, traj=traj, provenance=PROVENANCE)
+    print(f"controller_slope: {steps} steps, final {traj[-1].round(4)}")
+
+
 def main(only=None):
     os.makedirs(DATA_DIR, exist_ok=True)
     for name, make in SCENES.items():
